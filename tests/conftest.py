@@ -1,0 +1,35 @@
+"""Test harness setup: force an 8-device virtual CPU mesh before JAX loads.
+
+Multi-chip sharding is validated on host CPU devices
+(xla_force_host_platform_device_count=8), per the project's TPU-design-but-
+CPU-test strategy. Real-TPU runs happen via bench.py / the driver.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def fixture_data_root() -> str:
+    """Path to the checked-in tiny synthetic FakeSV fixture."""
+    return str(REPO_ROOT / "tests" / "fixtures" / "fakesv_tiny")
+
+
+@pytest.fixture
+def rng() -> np.random.Generator:
+    return np.random.default_rng(0)

@@ -1,0 +1,124 @@
+"""Stable, vectorizable hash embeddings.
+
+The reference falls back to bag-of-hashed-tokens embeddings whenever HF
+models are unavailable (`src/core_blocks/text_blocks.py:19-27`,
+`audio_blocks.py:47-53`, `visual_blocks.py:117-122`). It uses Python's
+built-in `hash`, which is randomized per process (PYTHONHASHSEED), so the
+reference's own fallback features are NOT reproducible across runs.
+
+We deliberately replace it with 64-bit FNV-1a over UTF-8 bytes: stable
+across processes, hosts and Python versions, so cached features, parity
+tests and multi-host data loading all agree.
+
+Hot path: the per-record loop is hashed once per unique token and memoized;
+embedding assembly is a numpy scatter-add over all records at once.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Sequence
+
+import numpy as np
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def fnv1a_64(token: str) -> int:
+    """64-bit FNV-1a hash of a unicode string (UTF-8 bytes)."""
+    h = _FNV_OFFSET
+    for b in token.encode("utf-8"):
+        h ^= b
+        h = (h * _FNV_PRIME) & _MASK64
+    return h
+
+
+class _TokenHashCache:
+    """Memoized token -> bucket mapping (per embedding dim)."""
+
+    def __init__(self) -> None:
+        self._raw: Dict[str, int] = {}
+
+    def bucket(self, token: str, dim: int) -> int:
+        h = self._raw.get(token)
+        if h is None:
+            h = fnv1a_64(token)
+            self._raw[token] = h
+        return h % dim
+
+
+_CACHE = _TokenHashCache()
+
+
+def hash_embed(text: str, dim: int, max_tokens: int | None = None) -> np.ndarray:
+    """Bag-of-hashed-tokens embedding, L2-normalized.
+
+    Mirrors the reference fallback semantics (whitespace tokens, +1 count per
+    token, L2 norm with 1e-9 eps) with a stable hash. `max_tokens` mirrors the
+    reference audio/visual variants which only consume the first `dim` tokens.
+    Empty text returns the zero vector (matching `text_blocks._hash_embed`,
+    which returns zeros without normalizing).
+    """
+    v = np.zeros(dim, dtype=np.float32)
+    if not text:
+        return v
+    toks = text.split()
+    if max_tokens is not None:
+        toks = toks[:max_tokens]
+    for tok in toks:
+        v[_CACHE.bucket(tok, dim)] += 1.0
+    n = float(np.linalg.norm(v))
+    if n == 0.0:
+        return v
+    return (v / (n + 1e-9)).astype(np.float32)
+
+
+def hash_embed_batch(
+    texts: Sequence[str], dim: int, max_tokens: int | None = None
+) -> np.ndarray:
+    """Vectorized batch of hash embeddings: one scatter-add over all records.
+
+    Equivalent to stacking `hash_embed(t, dim)` per text, but tokenizes and
+    hashes each unique token once and assembles the (N, dim) matrix with a
+    single np.add.at call — this is the batched replacement for the
+    reference's per-string hot loop (`fakesv_dataset.py:149-197`).
+    """
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float32)
+
+    rows: List[int] = []
+    cols: List[int] = []
+    for i, text in enumerate(texts):
+        if not text:
+            continue
+        toks = text.split()
+        if max_tokens is not None:
+            toks = toks[:max_tokens]
+        for tok in toks:
+            rows.append(i)
+            cols.append(_CACHE.bucket(tok, dim))
+
+    if rows:
+        np.add.at(out, (np.asarray(rows), np.asarray(cols)), 1.0)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, norms + 1e-9, out=out, where=norms > 0)
+    return out.astype(np.float32)
+
+
+def stable_unit_score(text: str) -> float:
+    """Deterministic pseudo-probability in [0,1) from a string.
+
+    Stable replacement for the reference's `abs(hash(x)) % 1000` score proxies
+    (`audio_blocks.py:239`, `visual_blocks.py:369`).
+    """
+    return float((fnv1a_64(text) % 1000) % 100) / 100.0
+
+
+def token_vocabulary(token_sets: Iterable[Iterable[str]]) -> Dict[str, int]:
+    """Assign consecutive ids to all unique tokens across the corpus."""
+    vocab: Dict[str, int] = {}
+    for toks in token_sets:
+        for t in toks:
+            if t not in vocab:
+                vocab[t] = len(vocab)
+    return vocab

@@ -1,0 +1,93 @@
+"""Vectorized OCR-Jaccard graph construction.
+
+Parity target: reference `src/training/forensic_trainer.py:114-132`
+(`jaccard` + `build_adj_from_ocr`), which runs an O(N^2) Python loop of set
+intersections. Here the whole adjacency is two matmuls over a binary
+token-incidence matrix — MXU-shaped work instead of interpreter work:
+
+    M[i, t] = 1 iff token t appears in record i's OCR set
+    inter   = M @ M.T
+    union   = |s_i| + |s_j| - inter
+    A[i, j] = 1  iff  inter / (union + eps) >= thresh   (i != j), A[i,i] = 1
+
+Semantics notes kept from the reference:
+  * jaccard(empty, empty) = 0 (the reference returns 0.0 early), and the
+    union denominator carries a +1e-9 epsilon.
+  * The result is a dense binary float32 adjacency with self-loops.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Set
+
+import numpy as np
+
+from ultrafnd_git_tpu.ops.hashing import token_vocabulary
+
+
+def jaccard(a: Set[str], b: Set[str]) -> float:
+    """Scalar Jaccard similarity (reference-compatible helper)."""
+    if not a and not b:
+        return 0.0
+    inter = len(a & b)
+    union = len(a | b) + 1e-9
+    return float(inter / union)
+
+
+def incidence_matrix(ocr_sets: Sequence[Set[str]]) -> np.ndarray:
+    """Binary (N, V) record-by-token incidence matrix."""
+    vocab = token_vocabulary(ocr_sets)
+    n, v = len(ocr_sets), max(1, len(vocab))
+    m = np.zeros((n, v), dtype=np.float32)
+    for i, toks in enumerate(ocr_sets):
+        for t in toks:
+            m[i, vocab[t]] = 1.0
+    return m
+
+
+def build_adj_from_ocr(
+    ocr_sets: Sequence[Set[str]], thresh: float = 0.12
+) -> np.ndarray:
+    """Dense 0/1 adjacency from pairwise OCR Jaccard similarity >= thresh.
+
+    Numerically identical to the reference loop, built with one (N,V)@(V,N)
+    matmul. For FakeSV scale (~5k nodes) this runs in milliseconds.
+    """
+    n = len(ocr_sets)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+
+    m = incidence_matrix(ocr_sets)
+    sizes = m.sum(axis=1)  # |s_i|
+    inter = m @ m.T  # (N, N) intersection counts
+    union = sizes[:, None] + sizes[None, :] - inter
+    jac = inter / (union + 1e-9)
+
+    adj = (jac >= thresh).astype(np.float32)
+    # Empty-vs-empty pairs have jac == 0/eps == 0, never >= thresh for
+    # thresh > 0; for thresh <= 0 the reference still links them only via the
+    # explicit diagonal, so zero out and re-add the diagonal uniformly.
+    np.fill_diagonal(adj, 1.0)
+    return adj
+
+
+def build_weighted_adj_from_ocr(
+    ocr_sets: Sequence[Set[str]], thresh: float = 0.12
+) -> np.ndarray:
+    """Weighted variant: A[i,j] = jac if jac >= thresh else 0; diag = 1.
+
+    Mirrors the orphan trainer's weighted adjacency
+    (`forensic_trainer_integrated.py:77-98`) in vectorized form.
+    """
+    n = len(ocr_sets)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+
+    m = incidence_matrix(ocr_sets)
+    sizes = m.sum(axis=1)
+    inter = m @ m.T
+    union = sizes[:, None] + sizes[None, :] - inter
+    jac = (inter / (union + 1e-9)).astype(np.float32)
+
+    adj = np.where(jac >= thresh, jac, 0.0).astype(np.float32)
+    np.fill_diagonal(adj, 1.0)
+    return adj
