@@ -7,6 +7,9 @@ CPU-test strategy. Real-TPU runs happen via bench.py / the driver.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hermetic tests: never attempt HuggingFace weight loads (the fallback
+# ladders' hash/DSP rungs are what run in CI anyway).
+os.environ.setdefault("ULTRAFND_DISABLE_HF", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,199 @@
+"""Batched feature-cache builder + on-disk persistence.
+
+Parity target: reference `src/data_pipeline/fakesv_dataset.py:98-253`
+(`build_gnn_cache_from_raw_dataset`): one pass over the corpus producing
+
+    ids (N,) | labels (N,) | text (N,768) | audio (N,128) | visual (N,512)
+    temporal (N,256) | aux (N,2) | ocr_sets list[set] | split (tr, va, te)
+
+with identical per-field semantics:
+  * text = mean of title/OCR/<=10-comment encodings, L2-normed
+  * audio = encoding of the text proxy `title + " " + first comment`
+  * visual = concat(flow-proxy-256, ELA-proxy-256) fit to 512, L2-normed
+  * temporal = TemporalSyncNet.align(text, visual)
+  * aux = [1 - cos(align(T,T), align(T,V)) clipped to [0,1],
+           0.1 * count of 8 sensational terms, capped at 1]
+  * ocr_sets = whitespace tokens (or the richer phrase pickle when given —
+    the reference accepted but ignored that argument, SURVEY §2.3)
+  * split = stratified 70/15/15
+
+TPU-first differences:
+  * everything is batched: encoders run corpus-wide (hot loop #1 from
+    SURVEY §3.1 becomes a handful of array ops / model forwards),
+  * the cache persists to one .npz so --eval_only never rebuilds
+    (fixes the reference gap noted at SURVEY §3.2),
+  * temporal alignment runs as a single jitted batch on the accelerator.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ultrafnd_git_tpu.data.dataset import FakeSVRawDataset
+from ultrafnd_git_tpu.data.ocr import ocr_sets_for_records
+from ultrafnd_git_tpu.data.splits import make_split
+from ultrafnd_git_tpu.models.audio import SpectralForensics
+from ultrafnd_git_tpu.models.temporal import TemporalSyncNet
+from ultrafnd_git_tpu.models.text import BERTContextEncoder
+from ultrafnd_git_tpu.models.visual import DeepForgeryDetector, OpticalFlow3DCNN
+
+# Sensational-term lexicon for the emotion-intensity proxy
+# (reference fakesv_dataset.py:184).
+EMO_TERMS = ("恐惧", "警告", "危险", "外星", "消失", "危机", "谣言", "假")
+
+CACHE_VERSION = 1
+
+
+def _l2n_rows(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=-1, keepdims=True)
+    return (x / (n + 1e-9)).astype(np.float32)
+
+
+def _fit_dim_rows(x: np.ndarray, dim: int) -> np.ndarray:
+    if x.shape[1] == dim:
+        return x
+    if x.shape[1] > dim:
+        return x[:, :dim]
+    out = np.zeros((x.shape[0], dim), dtype=np.float32)
+    out[:, : x.shape[1]] = x
+    return out
+
+
+def build_feature_cache(
+    raw: FakeSVRawDataset,
+    ocr_phrase_pkl: Optional[str] = None,
+    text_dim: int = 768,
+    audio_dim: int = 128,
+    visual_dim: int = 512,
+    temporal_dim: int = 256,
+    seed: int = 42,
+) -> Dict[str, Any]:
+    """Build the full tensor cache for the trainer + GNN in batched passes."""
+    rng = np.random.default_rng(seed)
+    n = len(raw)
+
+    records = [raw.get_item(i) for i in range(n)]
+    ids = np.array([r["id"] for r in records], dtype=object)
+    labels = np.array([r["label"] for r in records], dtype=np.int64)
+
+    # ---- text: corpus-wide field encoding ----------------------------------
+    text_enc = BERTContextEncoder(dim=text_dim)
+    T = text_enc.encode_fields_batch(records)  # (N, 768)
+
+    # ---- audio: text-proxy batch -------------------------------------------
+    aud_enc = SpectralForensics(dim=audio_dim)
+    audio_proxies = [
+        (r["title"] or "")
+        + " "
+        + (" ".join(r["comments"][:1]) if r["comments"] else "")
+        for r in records
+    ]
+    A = aud_enc.extract_text_batch(audio_proxies)  # (N, 128)
+
+    # ---- visual: flow-proxy ++ ELA-proxy, fit to visual_dim, L2 ------------
+    vis_proxies = [r["ocr"] or r["title"] or "" for r in records]
+    flow = OpticalFlow3DCNN(dim=visual_dim // 2).extract_text_batch(vis_proxies)
+    ela = DeepForgeryDetector(dim=visual_dim // 2).ela_lbp_text_batch(vis_proxies)
+    V = _l2n_rows(_fit_dim_rows(np.concatenate([flow, ela], axis=1), visual_dim))
+
+    # ---- temporal: one jitted corpus-wide alignment pass -------------------
+    tsync = TemporalSyncNet(in_dim=text_dim, out_dim=temporal_dim, seed=seed)
+    U = tsync.align_batch(T, V)  # (N, 256)
+    U_tt = tsync.align_batch(T, T)  # reference alignment of text to itself
+
+    # ---- aux: delay + emotion proxies --------------------------------------
+    def _row_cos(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        an = np.linalg.norm(a, axis=-1) + 1e-9
+        bn = np.linalg.norm(b, axis=-1) + 1e-9
+        return np.sum(a * b, axis=-1) / (an * bn)
+
+    delay = np.clip(1.0 - _row_cos(U_tt, U), 0.0, 1.0)
+    emo = np.array(
+        [
+            min(
+                1.0,
+                0.1
+                * sum(
+                    term in ((r["title"] or "") + (r["ocr"] or ""))
+                    for term in EMO_TERMS
+                ),
+            )
+            for r in records
+        ],
+        dtype=np.float32,
+    )
+    AUX = np.stack([delay.astype(np.float32), emo], axis=1)  # (N, 2)
+
+    # ---- OCR token sets + split --------------------------------------------
+    ocr_sets = ocr_sets_for_records(records, ocr_phrase_pkl)
+    split = make_split(labels, rng)
+
+    return {
+        "ids": ids,
+        "labels": labels,
+        "text": T.astype(np.float32),
+        "audio": A.astype(np.float32),
+        "visual": V.astype(np.float32),
+        "temporal": U.astype(np.float32),
+        "aux": AUX,
+        "ocr_sets": ocr_sets,
+        "split": split,
+    }
+
+
+# Reference-compatible alias
+build_gnn_cache_from_raw_dataset = build_feature_cache
+
+
+# ----------------------------------------------------------------------
+# Persistence: one .npz so eval-only runs don't rebuild (SURVEY §3.2 gap)
+# ----------------------------------------------------------------------
+
+def save_cache(cache: Dict[str, Any], path: str) -> None:
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tr, va, te = cache["split"]
+    np.savez_compressed(
+        p,
+        version=np.int64(CACHE_VERSION),
+        ids=np.array([str(x) for x in cache["ids"]]),
+        labels=cache["labels"],
+        text=cache["text"],
+        audio=cache["audio"],
+        visual=cache["visual"],
+        temporal=cache["temporal"],
+        aux=cache["aux"],
+        ocr_sets=np.array(
+            [json.dumps(sorted(s), ensure_ascii=False) for s in cache["ocr_sets"]]
+        ),
+        split_train=tr,
+        split_val=va,
+        split_test=te,
+    )
+
+
+def load_cache(path: str) -> Optional[Dict[str, Any]]:
+    p = Path(path)
+    if not p.exists():
+        return None
+    try:
+        z = np.load(p, allow_pickle=False)
+        if int(z["version"]) != CACHE_VERSION:
+            return None
+        ocr_sets: List[set] = [set(json.loads(s)) for s in z["ocr_sets"]]
+        return {
+            "ids": np.array(list(z["ids"]), dtype=object),
+            "labels": z["labels"],
+            "text": z["text"],
+            "audio": z["audio"],
+            "visual": z["visual"],
+            "temporal": z["temporal"],
+            "aux": z["aux"],
+            "ocr_sets": ocr_sets,
+            "split": (z["split_train"], z["split_val"], z["split_test"]),
+        }
+    except Exception:
+        return None

@@ -1,0 +1,196 @@
+"""Text encoding with a graceful-degradation ladder.
+
+Parity target: reference `src/core_blocks/text_blocks.py`:
+  * BERT mean-pooled-with-mask last hidden state, L2-normed, pad/trunc to
+    768 (ref :69-106), falling back to a bag-of-hashed-tokens embedding
+    (ref :19-27) when no HF model is available.
+  * `encode_fields` averages title + OCR + up to 10 comments (ref :108-128).
+  * `SemanticAlignmentLayer` no-op averager (ref :133-141) and
+    `MultilingualEmbedding` alias (ref :144-150).
+
+TPU-first differences:
+  * every API has a *_batch variant — the cache builder encodes the whole
+    corpus in a handful of forwards instead of one forward per string
+    (kills reference hot loop #1, SURVEY §3.1).
+  * the hash fallback uses a stable FNV-1a hash (reproducible).
+  * HF weights load with local_files_only=True: cached weights are used,
+    a cold cache falls back instantly instead of hitting the network.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ultrafnd_git_tpu.ops.hashing import hash_embed, hash_embed_batch
+
+_DEFAULT_MODEL = "bert-base-uncased"
+_DIM = 768
+
+
+def _fit_dim(vec: np.ndarray, dim: int) -> np.ndarray:
+    if vec.shape[-1] == dim:
+        return vec
+    if vec.shape[-1] > dim:
+        return vec[..., :dim]
+    out = np.zeros(vec.shape[:-1] + (dim,), dtype=np.float32)
+    out[..., : vec.shape[-1]] = vec
+    return out
+
+
+class BERTContextEncoder:
+    """768-D text encoder: HF BERT (if cached locally) -> stable hash."""
+
+    def __init__(
+        self,
+        model_name: str = _DEFAULT_MODEL,
+        dim: int = _DIM,
+        max_length: int = 256,
+        hf_batch_size: int = 64,
+    ):
+        self.dim = int(dim)
+        self.max_length = int(max_length)
+        self.hf_batch_size = int(hf_batch_size)
+        from ultrafnd_git_tpu.utils.hf import load_once
+
+        def _loader():
+            import torch  # host-side feature extraction only
+            from transformers import AutoModel, AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(model_name, local_files_only=True)
+            model = AutoModel.from_pretrained(model_name, local_files_only=True)
+            model.eval()
+            return torch, tok, model
+
+        loaded = load_once(f"text:{model_name}", _loader)
+        if loaded is not None:
+            self._torch, self.tok, self.model = loaded
+            self.use_hf = True
+        else:
+            self.tok = None
+            self.model = None
+            self.use_hf = False
+
+    # ------------------------------------------------------------------
+    def _hf_encode_batch(self, texts: Sequence[str]) -> np.ndarray:
+        torch = self._torch
+        outs: List[np.ndarray] = []
+        with torch.inference_mode():
+            for s in range(0, len(texts), self.hf_batch_size):
+                chunk = list(texts[s : s + self.hf_batch_size])
+                enc = self.tok(
+                    chunk,
+                    return_tensors="pt",
+                    padding=True,
+                    truncation=True,
+                    max_length=self.max_length,
+                )
+                hidden = self.model(**enc).last_hidden_state  # [B, L, H]
+                mask = enc["attention_mask"].unsqueeze(-1).float()
+                rep = (hidden * mask).sum(dim=1) / mask.sum(dim=1).clamp_min(1e-6)
+                outs.append(rep.float().numpy())
+        vecs = _fit_dim(np.concatenate(outs, axis=0), self.dim)
+        norms = np.linalg.norm(vecs, axis=-1, keepdims=True)
+        return (vecs / (norms + 1e-9)).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def encode(self, text: Optional[str]) -> np.ndarray:
+        if not text:
+            return np.zeros(self.dim, dtype=np.float32)
+        if self.use_hf:
+            try:
+                return self._hf_encode_batch([text])[0]
+            except Exception:
+                pass
+        return hash_embed(text, self.dim)
+
+    def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
+        """Encode many strings at once; empty strings map to zero vectors."""
+        texts = list(texts)
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        if self.use_hf:
+            try:
+                nonempty = [i for i, t in enumerate(texts) if t]
+                out = np.zeros((len(texts), self.dim), dtype=np.float32)
+                if nonempty:
+                    out[nonempty] = self._hf_encode_batch(
+                        [texts[i] for i in nonempty]
+                    )
+                return out
+            except Exception:
+                pass
+        return hash_embed_batch(texts, self.dim)
+
+    def encode_fields(
+        self,
+        title: Optional[str],
+        ocr: Optional[str],
+        comments: Optional[List[str]],
+    ) -> np.ndarray:
+        """Average title + OCR + up to 10 non-empty comments; L2 norm."""
+        parts = [t for t in [title, ocr, *(comments or [])[:10]] if t]
+        if not parts:
+            return np.zeros(self.dim, dtype=np.float32)
+        vecs = self.encode_batch(parts)
+        v = vecs.mean(axis=0)
+        return (v / (np.linalg.norm(v) + 1e-9)).astype(np.float32)
+
+    def encode_fields_batch(self, records: Sequence[Dict]) -> np.ndarray:
+        """Corpus-wide `encode_fields`: one encoder pass over all strings.
+
+        records: iterable of dicts with title / ocr / comments keys.
+        Returns (N, dim) float32.
+        """
+        flat: List[str] = []
+        owners: List[int] = []
+        for i, rec in enumerate(records):
+            parts = [
+                t
+                for t in [
+                    rec.get("title"),
+                    rec.get("ocr"),
+                    *((rec.get("comments") or [])[:10]),
+                ]
+                if t
+            ]
+            flat.extend(parts)
+            owners.extend([i] * len(parts))
+
+        n = len(records)
+        out = np.zeros((n, self.dim), dtype=np.float32)
+        if not flat:
+            return out
+        vecs = self.encode_batch(flat)
+        counts = np.zeros((n, 1), dtype=np.float32)
+        np.add.at(out, np.asarray(owners), vecs)
+        np.add.at(counts, (np.asarray(owners), np.zeros(len(owners), int)), 1.0)
+        np.divide(out, counts, out=out, where=counts > 0)
+        norms = np.linalg.norm(out, axis=-1, keepdims=True)
+        np.divide(out, norms + 1e-9, out=out, where=norms > 0)
+        return out.astype(np.float32)
+
+
+class SemanticAlignmentLayer:
+    """Safe no-op baseline: normalized average of two text vectors."""
+
+    def __init__(self, dim: int = _DIM):
+        self.dim = dim
+
+    def align(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        if a is None or b is None or a.size == 0 or b.size == 0:
+            return np.zeros(self.dim, dtype=np.float32)
+        v = 0.5 * (a.astype(np.float32) + b.astype(np.float32))
+        return (v / (np.linalg.norm(v) + 1e-9)).astype(np.float32)
+
+
+class MultilingualEmbedding(BERTContextEncoder):
+    """XLM-R alias (requires sentencepiece weights cached locally)."""
+
+    def __init__(
+        self,
+        model_name: str = "xlm-roberta-base",
+        dim: int = _DIM,
+        max_length: int = 256,
+    ):
+        super().__init__(model_name=model_name, dim=dim, max_length=max_length)
