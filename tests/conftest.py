@@ -23,6 +23,12 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+# Persistent compilation cache: jit compiles dominate test wall-time here.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ultrafnd_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
 import numpy as np
 import pytest
 

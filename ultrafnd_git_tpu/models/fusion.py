@@ -1,0 +1,159 @@
+"""Cross-modal fusion with evidence-gated co-attention.
+
+Parity target: reference `src/models/fusion/cross_modal_transformer.py`:
+  * ForensicCoAttention (ref :17-55): scalar sigmoid attention
+    sigmoid(q.k/sqrt(H)) gating v, blended with (x+y)/2 through an
+    evidence-driven gate.
+  * CrossModalTransformer (ref :62-210): projections of t/a/v/u (+gnn) to a
+    shared hidden space; no-grad evidence scalars (semantic conflict,
+    emotion proxy, delay proxy); three co-attention blocks on (t,v), (t,a),
+    (v,u); 8 pairwise interaction features; concat -> fuse MLP -> fused-512
+    and a linear logits head; forensic scalars returned for metrics.
+
+TPU-first notes:
+  * a single Flax module, fully batched; evidence scalars use
+    jax.lax.stop_gradient (the functional analogue of torch.no_grad here);
+  * exact GELU (erf) to match torch's default;
+  * the concat + MLP lowers to two large MXU matmuls; XLA fuses the
+    elementwise pair features into them.
+
+Construction from YAML follows the reference's config-path pattern via
+`CrossModalTransformer.from_config(path)`.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ultrafnd_git_tpu.utils.config import ConfigManager
+
+
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.gelu(x, approximate=False)
+
+
+def cos01(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Cosine similarity mapped to [0, 1], keepdims. (B,H)x(B,H) -> (B,1)."""
+    xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+    yn = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-12)
+    c = jnp.sum(xn * yn, axis=-1, keepdims=True)
+    return 0.5 * (jnp.clip(c, -1.0, 1.0) + 1.0)
+
+
+class ForensicCoAttention(nn.Module):
+    """Evidence-gated co-attention over two modality vectors."""
+
+    hidden: int
+    evidence_dim: int = 3
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, y: jnp.ndarray, evidence: jnp.ndarray
+    ) -> jnp.ndarray:
+        q = nn.Dense(self.hidden, name="q")(x)
+        k = nn.Dense(self.hidden, name="k")(y)
+        v = nn.Dense(self.hidden, name="v")(y)
+
+        score = jnp.sum(q * k, axis=-1, keepdims=True) / jnp.sqrt(
+            jnp.asarray(self.hidden, x.dtype)
+        )
+        attn = jax.nn.sigmoid(score)  # (B, 1)
+
+        e = nn.Dense(self.hidden, name="evidence_in")(evidence)
+        e = _gelu(e)
+        gate = jax.nn.sigmoid(nn.Dense(1, name="evidence_out")(e))  # (B, 1)
+
+        return gate * (attn * v) + (1.0 - gate) * 0.5 * (x + y)
+
+
+class CrossModalTransformer(nn.Module):
+    """Fuse text/audio/visual/temporal (+ optional GNN) feature vectors."""
+
+    hidden: int = 512
+    dropout: float = 0.1
+    use_gnn: bool = True
+    gnn_dim: int = 128
+
+    @classmethod
+    def from_config(
+        cls, config_path: str = "configs/model_configs/fusion.yaml"
+    ) -> "CrossModalTransformer":
+        cfg = ConfigManager().load_config(config_path)
+        return cls(
+            hidden=int(cfg.get("hidden_dim", 512)),
+            dropout=float(cfg.get("dropout", 0.1)),
+            use_gnn=bool(cfg.get("use_gnn", True)),
+            gnn_dim=int(cfg.get("gnn_dim", 128)),
+        )
+
+    @property
+    def fused_dim(self) -> int:
+        return (4 + 8 + 3 + (1 if self.use_gnn else 0)) * self.hidden
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: Dict[str, jnp.ndarray],
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        t = nn.Dense(self.hidden, name="text_proj")(feats["text_features"])
+        a = nn.Dense(self.hidden, name="audio_proj")(feats["audio_features"])
+        v = nn.Dense(self.hidden, name="visual_proj")(feats["visual_features"])
+        u = nn.Dense(self.hidden, name="temporal_proj")(
+            feats["temporal_features"]
+        )
+
+        # Evidence scalars from the projected features; gradients are cut so
+        # the evidence path shapes attention without steering the encoders.
+        sg = jax.lax.stop_gradient
+        semantic_conflict = sg(1.0 - cos01(t, v))  # (B, 1)
+        emo_proxy = sg(jnp.tanh(jnp.mean(jnp.abs(t), axis=-1, keepdims=True)))
+        delay_proxy = sg(1.0 - cos01(t, u))
+        zeros = jnp.zeros_like(emo_proxy)
+
+        tv_star = ForensicCoAttention(self.hidden, name="attn_tv")(
+            t, v, jnp.concatenate([semantic_conflict, emo_proxy, zeros], -1)
+        )
+        ta_star = ForensicCoAttention(self.hidden, name="attn_ta")(
+            t, a, jnp.concatenate([emo_proxy, zeros, zeros], -1)
+        )
+        vu_star = ForensicCoAttention(self.hidden, name="attn_vu")(
+            v, u, jnp.concatenate([delay_proxy, zeros, zeros], -1)
+        )
+
+        pairs = jnp.concatenate(
+            [
+                t + a, t * a, jnp.abs(t - a),
+                t + v, t * v, jnp.abs(t - v),
+                t + u, v + u,
+            ],
+            axis=-1,
+        )  # (B, 8H)
+
+        parts = [t, a, v, u, pairs, tv_star, ta_star, vu_star]
+        gnn_feat = feats.get("gnn_feat") if self.use_gnn else None
+        if self.use_gnn and gnn_feat is not None:
+            parts.append(nn.Dense(self.hidden, name="gnn_proj")(gnn_feat))
+        fused_cat = jnp.concatenate(parts, axis=-1)
+
+        h = nn.Dense(2 * self.hidden, name="fuse0")(fused_cat)
+        h = _gelu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.hidden, name="fuse1")(h)
+        h = _gelu(h)
+        fused = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+        logits = nn.Dense(2, name="head")(fused)
+
+        return {
+            "fused": fused,
+            "logits": logits,
+            "forensic": {
+                "emotion_intensity": emo_proxy.squeeze(-1),
+                "semantic_conflict": semantic_conflict.squeeze(-1),
+                "temporal_delay": delay_proxy.squeeze(-1),
+            },
+        }
