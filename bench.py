@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Benchmark: flagship train-step throughput on one chip.
+
+Workload: the full jitted training step at FakeSV scale — differentiable
+full-graph GCN over N=5376 nodes, gather, cross-modal fusion, NODE
+classifier, masked CE, backward, AdamW update — batch 512, synthetic
+features with the real cache contract shapes (768/128/512/256/+2).
+
+Baseline (`vs_baseline` denominator): the reference implementation's
+fusion+classifier AdamW step measured on this host via
+`scripts/measure_reference_baseline.py` (torch CPU — the reference's only
+non-Apple backend): 961.6 samples/s at batch 512 (recorded in BASELINE.md).
+Note our step does strictly MORE work per step than the reference's (the
+reference trains against a frozen GNN cache; we recompute the GCN
+differentiably in-step).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+REFERENCE_SAMPLES_PER_SEC = 961.6  # see module docstring
+
+N_NODES = 5376
+BATCH = 512
+VOCAB = 4096
+TOKENS_PER_DOC = 12
+WARMUP = 5
+ITERS = 30
+
+
+def synthetic_cache(n: int, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 2, size=n).astype(np.int64)
+    vocab = [f"tok{i}" for i in range(VOCAB)]
+    ocr_sets = [
+        set(rng.choice(vocab, size=TOKENS_PER_DOC, replace=False))
+        for _ in range(n)
+    ]
+    split = np.arange(n)
+    rng.shuffle(split)
+    k1, k2 = int(0.7 * n), int(0.85 * n)
+    return {
+        "ids": np.array([f"v{i}" for i in range(n)], dtype=object),
+        "labels": labels,
+        "text": rng.standard_normal((n, 768)).astype(np.float32),
+        "audio": rng.standard_normal((n, 128)).astype(np.float32),
+        "visual": rng.standard_normal((n, 512)).astype(np.float32),
+        "temporal": rng.standard_normal((n, 256)).astype(np.float32),
+        "aux": rng.uniform(size=(n, 2)).astype(np.float32),
+        "ocr_sets": ocr_sets,
+        "split": (split[:k1], split[k1:k2], split[k2:]),
+    }
+
+
+def main() -> None:
+    import tempfile
+
+    from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
+
+    cache = synthetic_cache(N_NODES)
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = TrainConfig(
+            data_root="<synthetic>",
+            out_dir=tmp,
+            batch_size=BATCH,
+            epochs=0,
+            seed=0,
+            cache_to_disk=False,
+            save_best=False,
+            log_metrics_jsonl=False,
+        )
+        trainer = ForensicTrainer(cfg, cache=cache)
+
+        rng = np.random.default_rng(0)
+        ones = np.ones(BATCH, np.float32)
+
+        def one_step():
+            idx = rng.integers(0, N_NODES, size=BATCH).astype(np.int32)
+            i, m = trainer._batch_arrays(idx, ones)
+            trainer.state, out = trainer._train_step(trainer.state, i, m)
+            return out
+
+        for _ in range(WARMUP):
+            out = one_step()
+        import jax
+
+        jax.block_until_ready(out["loss"])
+
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = one_step()
+        jax.block_until_ready(out["loss"])
+        dt = (time.perf_counter() - t0) / ITERS
+
+        throughput = BATCH / dt
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship_train_step_throughput",
+                    "value": round(throughput, 1),
+                    "unit": "samples/sec",
+                    "vs_baseline": round(
+                        throughput / REFERENCE_SAMPLES_PER_SEC, 2
+                    ),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Train/eval entrypoint for ultrafnd_git_tpu (the v2 canonical path).
+
+CLI-parity target: reference `run_train_eval.py:28-47` — identical flags.
+The `--cpu` flag forces the JAX CPU backend (the reference's analogue
+forces CPU over MPS).
+
+Examples:
+  python run_train_eval.py --data_root /data/FakeSV --out_dir outputs_v2 \
+      --epochs 12 --batch_size 16
+  python run_train_eval.py --eval_only --data_root /data/FakeSV \
+      --out_dir outputs_v2
+"""
+import argparse
+import os
+from pathlib import Path
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="ultrafnd_git_tpu v2 — train/test")
+    p.add_argument("--data_root", type=str, default="data/FakeSV",
+                   help="Root with videos/, video_comment/, data_complete.json")
+    p.add_argument("--ocr_phrase_pkl", type=str,
+                   default="fakesv/preprocess_ocr/ocr_phrase_fea.pkl",
+                   help="OCR phrase cache from scripts/generate_ocr_phrase_features.py "
+                        "(optional; whitespace tokenization is used if missing).")
+    p.add_argument("--out_dir", type=str, default="outputs_v2",
+                   help="Where to save checkpoints & logs")
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--gnn_dim", type=int, default=128)
+    p.add_argument("--gnn_overlap_thresh", type=float, default=0.12,
+                   help="OCR Jaccard threshold for graph edges")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--cpu", action="store_true",
+                   help="Force the CPU backend even if a TPU is available")
+    p.add_argument("--no_gnn", action="store_true", help="Disable GNN features")
+    p.add_argument("--eval_only", action="store_true",
+                   help="Skip training; load best and test")
+    # TPU-native extras (not in the reference CLI)
+    p.add_argument("--dp", type=int, default=None,
+                   help="Data-parallel mesh size (default: no mesh)")
+    p.add_argument("--tp", type=int, default=1, help="Tensor-parallel mesh size")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from the latest checkpoint in out_dir")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="Write a jax.profiler trace here during fit()")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        # Env var alone is not enough: a PJRT plugin loaded via
+        # sitecustomize may have already pinned jax_platforms, so override
+        # the config before the backend initializes on first device use.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax  # after backend selection
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
+    from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    data_root = Path(args.data_root).expanduser()
+    out_dir = Path(args.out_dir).expanduser()
+    ocr_pkl = Path(args.ocr_phrase_pkl).expanduser()
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    print("==== ultrafnd_git_tpu v2 ====")
+    print(f"Backend:         {jax.default_backend()} ({len(jax.devices())} device(s))")
+    print(f"Data root:       {data_root}")
+    print(f"OCR phrase pkl:  {ocr_pkl}  (exists: {ocr_pkl.exists()})")
+    print(f"Output dir:      {out_dir}")
+    print(f"Epochs:          {args.epochs}")
+    print(f"Batch size:      {args.batch_size}")
+    print(f"Use GNN:         {not args.no_gnn}")
+    print(f"GNN overlap thr: {args.gnn_overlap_thresh}")
+    print("=============================")
+
+    cfg = TrainConfig(
+        data_root=str(data_root),
+        ocr_phrase_pkl=str(ocr_pkl) if ocr_pkl.exists() else None,
+        out_dir=str(out_dir),
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        gnn_dim=args.gnn_dim,
+        gnn_overlap_thresh=args.gnn_overlap_thresh,
+        seed=args.seed,
+        use_gnn=(not args.no_gnn),
+        save_best=True,
+        dp=args.dp,
+        tp=args.tp,
+        resume=args.resume,
+        profile_dir=args.profile_dir,
+    )
+
+    trainer = ForensicTrainer(cfg)
+
+    if not args.eval_only:
+        print("\n>>> Training...")
+        trainer.fit()
+
+    print("\n>>> Testing best checkpoint...")
+    results = trainer.test()
+
+    print("\n==== Final Results ====")
+    print(f"Test Loss: {results['test_loss']:.4f}")
+    print(f"Test Acc : {results['test_acc']:.4f}")
+    print(f"Test AUC : {results['test_auc']:.4f}")
+    for k in ("test_precision", "test_recall", "test_f1", "test_cmcs", "test_dfdr"):
+        if k in results:
+            print(f"{k.replace('test_', 'Test ').title()}: {results[k]:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,10 +24,9 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 # Persistent compilation cache: jit compiles dominate test wall-time here.
-import jax
+from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/ultrafnd_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+enable_persistent_cache("/tmp/ultrafnd_jax_cache")
 
 import numpy as np
 import pytest

@@ -1,0 +1,107 @@
+"""Trainer integration tests on the hermetic fixture (8 virtual CPU devices)."""
+import numpy as np
+import pytest
+
+from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
+
+EXPECTED_KEYS = {
+    "test_loss", "test_acc", "test_auc", "test_precision",
+    "test_recall", "test_f1", "test_cmcs", "test_dfdr",
+}
+
+
+@pytest.fixture(scope="module")
+def fixture_root():
+    from pathlib import Path
+
+    return str(Path(__file__).resolve().parent / "fixtures" / "fakesv_tiny")
+
+
+def _cfg(root, tmp, **kw):
+    base = dict(
+        data_root=root,
+        ocr_phrase_pkl=None,
+        out_dir=str(tmp),
+        batch_size=16,
+        epochs=1,
+        seed=42,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_trainer_zero_epochs_then_test(fixture_root, tmp_path):
+    """Reference smoke-test pattern: epochs=0 init + .test() key contract."""
+    t = ForensicTrainer(_cfg(fixture_root, tmp_path, epochs=0))
+    res = t.test()
+    assert EXPECTED_KEYS <= set(res)
+    assert 0.0 <= res["test_acc"] <= 1.0
+
+
+def test_trainer_one_epoch_improves_and_checkpoints(fixture_root, tmp_path):
+    t = ForensicTrainer(_cfg(fixture_root, tmp_path, epochs=2))
+    best = t.fit()
+    assert best > 0.5  # fixture is separable; AUC should beat chance fast
+    assert (tmp_path / "best" / "meta.json").exists()
+    assert (tmp_path / "latest" / "meta.json").exists()
+    assert (tmp_path / "metrics.jsonl").exists()
+    res = t.test()
+    assert res["test_auc"] > 0.5
+
+
+def test_eval_only_reuses_cache(fixture_root, tmp_path):
+    t1 = ForensicTrainer(_cfg(fixture_root, tmp_path, epochs=1))
+    t1.fit()
+    # second construction must load the persisted cache, not rebuild
+    assert (tmp_path / "feature_cache.npz").exists()
+    t2 = ForensicTrainer(_cfg(fixture_root, tmp_path, epochs=0))
+    np.testing.assert_allclose(t2.cache["text"], t1.cache["text"])
+    res = t2.test()  # restores t1's best checkpoint
+    assert EXPECTED_KEYS <= set(res)
+
+
+def test_trainer_no_gnn(fixture_root, tmp_path):
+    t = ForensicTrainer(_cfg(fixture_root, tmp_path, use_gnn=False, epochs=1))
+    t.fit()
+    assert "gnn_proj" not in t.state.params["fusion"]
+
+
+def test_trainer_resume(fixture_root, tmp_path):
+    t1 = ForensicTrainer(_cfg(fixture_root, tmp_path, epochs=1))
+    t1.fit()
+    step1 = int(t1.state.step)
+    t2 = ForensicTrainer(_cfg(fixture_root, tmp_path, epochs=2, resume=True))
+    assert int(t2.state.step) == step1
+    assert t2.start_epoch == 2
+    t2.fit()
+    assert int(t2.state.step) > step1
+
+
+def test_trainer_mesh_dp_tp(fixture_root, tmp_path):
+    """Full train step over a (4 data x 2 model) mesh of virtual devices."""
+    t = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path, epochs=1, dp=4, tp=2, batch_size=16,
+            mesh_backend="cpu",
+        )
+    )
+    best = t.fit()
+    assert best >= 0.0
+    res = t.test()
+    assert EXPECTED_KEYS <= set(res)
+
+
+def test_mesh_and_single_device_agree(fixture_root, tmp_path):
+    """Same seed, same data: mesh vs single-device losses stay close."""
+    t1 = ForensicTrainer(
+        _cfg(fixture_root, tmp_path / "a", epochs=1, save_best=False)
+    )
+    t2 = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path / "b", epochs=1, dp=4, tp=2,
+            save_best=False, mesh_backend="cpu",
+        )
+    )
+    l1, _ = t1._epoch_loop(t1.va_idx, "val")
+    l2, _ = t2._epoch_loop(t2.va_idx, "val")
+    assert abs(l1 - l2) < 5e-2

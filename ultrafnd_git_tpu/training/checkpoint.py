@@ -1,0 +1,52 @@
+"""Checkpointing: full-train-state Orbax checkpoints with best/latest slots.
+
+The reference saves best-only model weights via torch.save and cannot
+resume training (`src/training/forensic_trainer.py:350-361`, SURVEY §5.4).
+Here:
+  * `best`   — written when val AUC improves (same semantics),
+  * `latest` — written every epoch for restart-from-latest fault recovery,
+both containing the FULL TrainState (params + optimizer moments + step +
+PRNG) plus a JSON metadata sidecar (epoch, best metric, config).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckptr() -> ocp.PyTreeCheckpointer:
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(
+    directory: str, name: str, state: Any, meta: Dict[str, Any]
+) -> None:
+    root = Path(directory).resolve() / name
+    _ckptr().save(root / "state", jax.device_get(state), force=True)
+    with open(root / "meta.json", "w", encoding="utf-8") as fh:
+        json.dump(meta, fh, ensure_ascii=False, indent=2)
+
+
+def load_checkpoint(
+    directory: str, name: str, target: Any
+) -> Optional[Tuple[Any, Dict[str, Any]]]:
+    """Restore (state, meta), or None if the slot doesn't exist."""
+    root = Path(directory).resolve() / name
+    meta_path = root / "meta.json"
+    if not meta_path.exists():
+        return None
+    try:
+        state = _ckptr().restore(root / "state", item=jax.device_get(target))
+        with open(meta_path, "r", encoding="utf-8") as fh:
+            meta = json.load(fh)
+        return state, meta
+    except Exception:
+        return None
+
+
+def checkpoint_exists(directory: str, name: str) -> bool:
+    return (Path(directory).resolve() / name / "meta.json").exists()

@@ -1,0 +1,69 @@
+"""Train state: params + optimizer + step + PRNG in one pytree.
+
+The reference keeps three torch modules and a torch.optim.AdamW with a
+StepLR schedule (`src/training/forensic_trainer.py:169-177`); best-only
+checkpoints drop optimizer state (SURVEY §5.4). Here the full training
+state is a single functional pytree, so checkpoints capture everything
+needed for exact resume (params + AdamW moments + step + PRNG key).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # scalar int32
+    params: Dict[str, Any]  # {"fusion": ..., "clf": ..., "gnn": ...}
+    opt_state: optax.OptState
+    rng: jax.Array
+
+    def apply_gradients(self, grads, tx: optax.GradientTransformation):
+        updates, new_opt = tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt
+        )
+
+
+def make_optimizer(
+    lr: float,
+    weight_decay: float,
+    grad_clip: float,
+    steps_per_epoch: int,
+    lr_decay_every_epochs: int = 3,
+    lr_decay_rate: float = 0.7,
+) -> optax.GradientTransformation:
+    """AdamW + global-norm clipping + epoch-staircase LR decay.
+
+    Mirrors the reference's AdamW(lr, wd) + StepLR(step_size=3, gamma=0.7)
+    + clip_grad_norm_(5.0) as one optax chain; the staircase decays every
+    `lr_decay_every_epochs * steps_per_epoch` optimizer steps.
+    """
+    schedule = optax.exponential_decay(
+        init_value=lr,
+        transition_steps=max(1, lr_decay_every_epochs * steps_per_epoch),
+        decay_rate=lr_decay_rate,
+        staircase=True,
+    )
+    chain = []
+    if grad_clip and grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.adamw(schedule, weight_decay=weight_decay))
+    return optax.chain(*chain)
+
+
+def create_train_state(
+    params: Dict[str, Any], tx: optax.GradientTransformation, rng: jax.Array
+) -> TrainState:
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=rng,
+    )
