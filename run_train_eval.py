@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--cpu", action="store_true",
                    help="Force the CPU backend even if a TPU is available")
     p.add_argument("--no_gnn", action="store_true", help="Disable GNN features")
+    p.add_argument("--use_evidence", action="store_true",
+                   help="Feed real evidence-scorer outputs (semantic gap, "
+                        "emotion intensity, temporal delay) into the fusion "
+                        "evidence gates instead of the internal proxies")
     p.add_argument("--eval_only", action="store_true",
                    help="Skip training; load best and test")
     # TPU-native extras (not in the reference CLI)
@@ -96,6 +100,7 @@ def main():
         gnn_overlap_thresh=args.gnn_overlap_thresh,
         seed=args.seed,
         use_gnn=(not args.no_gnn),
+        use_evidence=args.use_evidence,
         save_best=True,
         dp=args.dp,
         tp=args.tp,

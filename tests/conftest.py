@@ -6,7 +6,7 @@ CPU-test strategy. Real-TPU runs happen via bench.py / the driver.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Hermetic tests: never attempt HuggingFace weight loads (the fallback
 # ladders' hash/DSP rungs are what run in CI anyway).
 os.environ.setdefault("ULTRAFND_DISABLE_HF", "1")
@@ -27,6 +27,13 @@ if str(REPO_ROOT) not in sys.path:
 from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
 
 enable_persistent_cache("/tmp/ultrafnd_jax_cache")
+
+# The env var alone is not enough when a PJRT plugin sitecustomize pins
+# jax_platforms (this machine's TPU tunnel does) — override the config
+# directly so tests never compile over the tunnel.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

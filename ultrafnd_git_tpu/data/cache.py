@@ -44,7 +44,7 @@ from ultrafnd_git_tpu.models.visual import DeepForgeryDetector, OpticalFlow3DCNN
 # (reference fakesv_dataset.py:184).
 EMO_TERMS = ("恐惧", "警告", "危险", "外星", "消失", "危机", "谣言", "假")
 
-CACHE_VERSION = 1
+CACHE_VERSION = 2
 
 
 def _l2n_rows(x: np.ndarray) -> np.ndarray:
@@ -127,6 +127,27 @@ def build_feature_cache(
     )
     AUX = np.stack([delay.astype(np.float32), emo], axis=1)  # (N, 2)
 
+    # ---- evidence: real scorer outputs (the wiring the reference intended
+    # but never completed, SURVEY §2.1) — (N, 3) ordered
+    # [semantic_conflict, emotion_intensity, temporal_delay] ----------------
+    from ultrafnd_git_tpu.models.affective import AffectiveForensics
+    from ultrafnd_git_tpu.models.semantic import SemanticForgeryAnalyzer
+
+    titles = [r["title"] or "" for r in records]
+    ocrs = [r["ocr"] or "" for r in records]
+    texts_full = [
+        (r["title"] or "") + " " + (r["ocr"] or "") for r in records
+    ]
+    sem_gap = SemanticForgeryAnalyzer.from_config(seed=seed).gap_magnitude(
+        titles, ocrs
+    )
+    emo_int = AffectiveForensics.from_config().analyze_batch(texts_full)[
+        "intensity"
+    ]
+    evidence = np.stack(
+        [sem_gap, emo_int, delay.astype(np.float32)], axis=1
+    ).astype(np.float32)
+
     # ---- OCR token sets + split --------------------------------------------
     ocr_sets = ocr_sets_for_records(records, ocr_phrase_pkl)
     split = make_split(labels, rng)
@@ -139,6 +160,7 @@ def build_feature_cache(
         "visual": V.astype(np.float32),
         "temporal": U.astype(np.float32),
         "aux": AUX,
+        "evidence": evidence,
         "ocr_sets": ocr_sets,
         "split": split,
     }
@@ -166,6 +188,9 @@ def save_cache(cache: Dict[str, Any], path: str) -> None:
         visual=cache["visual"],
         temporal=cache["temporal"],
         aux=cache["aux"],
+        evidence=cache.get(
+            "evidence", np.zeros((len(cache["labels"]), 3), np.float32)
+        ),
         ocr_sets=np.array(
             [json.dumps(sorted(s), ensure_ascii=False) for s in cache["ocr_sets"]]
         ),
@@ -192,6 +217,7 @@ def load_cache(path: str) -> Optional[Dict[str, Any]]:
             "visual": z["visual"],
             "temporal": z["temporal"],
             "aux": z["aux"],
+            "evidence": z["evidence"],
             "ocr_sets": ocr_sets,
             "split": (z["split_train"], z["split_val"], z["split_test"]),
         }

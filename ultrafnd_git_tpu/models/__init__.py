@@ -1,3 +1,5 @@
+from ultrafnd_git_tpu.models.affective import AffectiveForensics
+from ultrafnd_git_tpu.models.chronos import ChronosGuard
 from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier, NODEEnsemble
 from ultrafnd_git_tpu.models.fusion import CrossModalTransformer, ForensicCoAttention
 from ultrafnd_git_tpu.models.gnn import (
@@ -6,9 +8,19 @@ from ultrafnd_git_tpu.models.gnn import (
     SimpleGCN,
     normalize_adjacency,
 )
+from ultrafnd_git_tpu.models.semantic import (
+    SemanticConfig,
+    SemanticForgeryAnalyzer,
+    SemanticProjector,
+)
 from ultrafnd_git_tpu.models.temporal import TemporalSyncNet
 
 __all__ = [
+    "AffectiveForensics",
+    "ChronosGuard",
+    "SemanticConfig",
+    "SemanticForgeryAnalyzer",
+    "SemanticProjector",
     "CrossModalTransformer",
     "ForensicCoAttention",
     "DeepTruthClassifier",

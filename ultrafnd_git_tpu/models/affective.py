@@ -1,0 +1,216 @@
+"""Affective forensics: emotion probes for manipulation/rumor detection.
+
+Parity target: reference `src/models/affective_forensics.py` —
+`AffectiveForensics.analyze(text, audio) -> {probs{fear,anger,joy},
+intensity, arousal, valence}` (ref :130-148) with the same fusion recipe:
+
+    text_intensity = clip(sigmoid(2.5 * (fear + anger - 0.5*joy)))
+    intensity      = clip(0.6 * text_intensity + 0.4 * arousal)
+    valence        = clip(0.5 + 0.5 * (joy - 0.5*(fear + anger)))
+
+Fallback ladder (ref :69-105): HF emotion classifier (label buckets mapped
+onto fear/anger/joy) -> Chinese sensational-term lexicon counts.
+
+TPU-first differences:
+  * everything is batched (`analyze_batch` over the whole corpus) — the
+    reference runs one HF forward per string;
+  * audio arousal (ref :107-128) is pure numpy FFT: energy + a
+    spectral-centroid pitch proxy (the reference's own fallback when pyin
+    fails, ref :120), so there is no librosa dependency;
+  * this is a plain (non-module) analyzer exactly like the reference — it
+    produces host-side evidence scalars that feed the fusion block's
+    evidence gates; nothing here needs gradients.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Union
+
+import numpy as np
+
+from ultrafnd_git_tpu.utils.config import ConfigManager
+from ultrafnd_git_tpu.utils.hf import load_once
+
+# Chinese sensational-term lexicon (reference affective_forensics.py:23-27).
+EMO_LEXICON: Dict[str, frozenset] = {
+    "fear": frozenset({"恐惧", "警告", "危险", "外星", "消失", "危机", "害怕", "恐怖"}),
+    "anger": frozenset({"愤怒", "欺骗", "骗局", "谣言", "假", "讨厌", "生气"}),
+    "joy": frozenset({"真相", "辟谣", "科学", "证据", "研究", "发现", "开心", "高兴"}),
+}
+
+_HEADS = ("fear", "anger", "joy")
+# HF label-name buckets -> our three heads (reference :95-97).
+_LABEL_BUCKETS = {
+    "fear": ("fear", "anx", "worr", "scare"),
+    "anger": ("anger", "annoy", "mad", "rage"),
+    "joy": ("joy", "happi", "delight", "amuse"),
+}
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def lexicon_probs_batch(texts: Sequence[str]) -> np.ndarray:
+    """(N,) strings -> (N, 3) [fear, anger, joy], rows sum to <=1."""
+    counts = np.zeros((len(texts), 3), dtype=np.float32)
+    for i, text in enumerate(texts):
+        if not text:
+            continue
+        for j, head in enumerate(_HEADS):
+            counts[i, j] = sum(1.0 for w in EMO_LEXICON[head] if w in text)
+    totals = counts.sum(axis=1, keepdims=True) + 1e-9
+    return counts / totals
+
+
+class AffectiveForensics:
+    """Batched emotion-intensity/arousal/valence estimation."""
+
+    def __init__(
+        self,
+        text_model: str = "j-hartmann/emotion-english-distilroberta-base",
+    ):
+        self.text_model_name = text_model
+
+    @classmethod
+    def from_config(
+        cls, config_path: str = "configs/model_configs/affective.yaml"
+    ) -> "AffectiveForensics":
+        cfg = ConfigManager().load_config(config_path)
+        return cls(
+            text_model=str(
+                cfg.get(
+                    "text_model", "j-hartmann/emotion-english-distilroberta-base"
+                )
+            )
+        )
+
+    # -- text emotion probabilities --------------------------------------
+    def _hf_pipe(self):
+        name = self.text_model_name
+
+        def loader():
+            import torch
+            from transformers import (
+                AutoModelForSequenceClassification,
+                AutoTokenizer,
+            )
+
+            tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
+            model = AutoModelForSequenceClassification.from_pretrained(
+                name, local_files_only=True
+            )
+            model.eval()
+            return (torch, tok, model)
+
+        return load_once(f"affective:{name}", loader)
+
+    def text_probs_batch(self, texts: Sequence[str]) -> np.ndarray:
+        """(N,) strings -> (N, 3) fear/anger/joy via HF model or lexicon."""
+        pipe = self._hf_pipe()
+        if pipe is None:
+            return lexicon_probs_batch(texts)
+        torch, tok, model = pipe
+        try:
+            with torch.inference_mode():
+                inp = tok(
+                    list(texts),
+                    return_tensors="pt",
+                    truncation=True,
+                    padding=True,
+                    max_length=256,
+                )
+                p = torch.softmax(model(**inp).logits, dim=-1).numpy()  # (N, C)
+            id2label = getattr(model.config, "id2label", {})
+            names = [
+                str(id2label.get(i, i)).lower() for i in range(p.shape[1])
+            ]
+            out = np.zeros((p.shape[0], 3), dtype=np.float32)
+            for j, head in enumerate(_HEADS):
+                cols = [
+                    i
+                    for i, n in enumerate(names)
+                    if any(k in n for k in _LABEL_BUCKETS[head])
+                ]
+                if cols:
+                    out[:, j] = p[:, cols].sum(axis=1)
+            totals = out.sum(axis=1, keepdims=True) + 1e-9
+            return out / totals
+        except Exception:
+            return lexicon_probs_batch(texts)
+
+    # -- audio arousal ----------------------------------------------------
+    @staticmethod
+    def audio_arousal(
+        audio: Optional[np.ndarray], sr: int = 16000
+    ) -> float:
+        if audio is None:
+            return 0.5
+        wave = np.asarray(audio, dtype=np.float32).ravel()
+        if wave.size == 0:
+            return 0.5
+        energy = float(np.mean(wave**2))
+        # Pitch proxy: magnitude-weighted spectral centroid in Hz (the
+        # reference's own fallback path when pyin is unavailable, ref :120).
+        spec = np.abs(np.fft.rfft(wave[: min(wave.size, sr * 10)]))
+        freqs = np.fft.rfftfreq(min(wave.size, sr * 10), d=1.0 / sr)
+        centroid = float((spec * freqs).sum() / (spec.sum() + 1e-9))
+        a = _sigmoid(
+            np.tanh(5.0 * energy) + np.tanh(centroid / 300.0) - 0.5 * 0.0
+        )
+        return float(np.clip(a, 0.0, 1.0))
+
+    # -- fused analysis ----------------------------------------------------
+    def analyze_batch(
+        self,
+        texts: Sequence[str],
+        audios: Optional[Sequence[Optional[np.ndarray]]] = None,
+        sr: int = 16000,
+    ) -> Dict[str, np.ndarray]:
+        """Corpus-wide analysis. Returns arrays keyed like the reference dict."""
+        probs = self.text_probs_batch(texts)  # (N, 3)
+        fear, anger, joy = probs[:, 0], probs[:, 1], probs[:, 2]
+        text_intensity = np.clip(
+            _sigmoid(2.5 * (fear + anger - 0.5 * joy)), 0.0, 1.0
+        )
+
+        if audios is None:
+            arousal = np.full(len(texts), 0.5, dtype=np.float32)
+        else:
+            arousal = np.array(
+                [self.audio_arousal(a, sr) for a in audios], dtype=np.float32
+            )
+
+        intensity = np.clip(0.6 * text_intensity + 0.4 * arousal, 0.0, 1.0)
+        valence = np.clip(0.5 + 0.5 * (joy - 0.5 * (fear + anger)), 0.0, 1.0)
+        return {
+            "probs": probs,
+            "intensity": intensity.astype(np.float32),
+            "arousal": arousal.astype(np.float32),
+            "valence": valence.astype(np.float32),
+        }
+
+    def analyze(
+        self,
+        text: Optional[str] = None,
+        audio: Optional[np.ndarray] = None,
+        sr: int = 16000,
+    ) -> Dict[str, Union[float, Dict[str, float]]]:
+        """Single-sample API shaped like the reference (ref :130-148)."""
+        out = self.analyze_batch(
+            [text or ""], None if audio is None else [audio], sr=sr
+        )
+        probs = out["probs"][0]
+        return {
+            "probs": {h: float(probs[i]) for i, h in enumerate(_HEADS)},
+            "intensity": float(out["intensity"][0]),
+            "arousal": float(out["arousal"][0]),
+            "valence": float(out["valence"][0]),
+        }
+
+    def get_emotion_intensity(
+        self,
+        text: Optional[str] = None,
+        audio: Optional[np.ndarray] = None,
+        sr: int = 16000,
+    ) -> float:
+        return float(self.analyze(text=text, audio=audio, sr=sr)["intensity"])

@@ -106,12 +106,24 @@ class CrossModalTransformer(nn.Module):
             feats["temporal_features"]
         )
 
-        # Evidence scalars from the projected features; gradients are cut so
-        # the evidence path shapes attention without steering the encoders.
+        # Evidence scalars; gradients are cut so the evidence path shapes
+        # attention without steering the encoders. When real evidence-scorer
+        # outputs are supplied (feats["evidence"], (B,3) ordered
+        # [semantic_conflict, emotion_intensity, temporal_delay] — the wiring
+        # the reference intended but never completed, SURVEY §2.1), they
+        # replace the internal projection-based proxies.
         sg = jax.lax.stop_gradient
-        semantic_conflict = sg(1.0 - cos01(t, v))  # (B, 1)
-        emo_proxy = sg(jnp.tanh(jnp.mean(jnp.abs(t), axis=-1, keepdims=True)))
-        delay_proxy = sg(1.0 - cos01(t, u))
+        evidence = feats.get("evidence")
+        if evidence is not None:
+            semantic_conflict = sg(evidence[:, 0:1])
+            emo_proxy = sg(evidence[:, 1:2])
+            delay_proxy = sg(evidence[:, 2:3])
+        else:
+            semantic_conflict = sg(1.0 - cos01(t, v))  # (B, 1)
+            emo_proxy = sg(
+                jnp.tanh(jnp.mean(jnp.abs(t), axis=-1, keepdims=True))
+            )
+            delay_proxy = sg(1.0 - cos01(t, u))
         zeros = jnp.zeros_like(emo_proxy)
 
         tv_star = ForensicCoAttention(self.hidden, name="attn_tv")(

@@ -68,6 +68,7 @@ class TrainConfig:
     gnn_overlap_thresh: float = 0.12
     seed: int = 42
     use_gnn: bool = True
+    use_evidence: bool = False  # feed real evidence-scorer outputs to fusion
     save_best: bool = True
     grad_clip: float = 5.0
     early_stop_patience: int = 3
@@ -131,6 +132,9 @@ class ForensicTrainer:
         self.TEMP = put(self.cache["temporal"])
         self.AUX = put(self.cache["aux"])
         self.LABELS = put(self.cache["labels"].astype(np.int32))
+        self.EVID = None
+        if cfg.use_evidence and "evidence" in self.cache:
+            self.EVID = put(self.cache["evidence"].astype(np.float32))
 
         # graph node features: compact modality slices, row-L2-normalized
         xg = np.concatenate(
@@ -279,6 +283,8 @@ class ForensicTrainer:
             "visual_features": self.VIS[idx],
             "temporal_features": self.TEMP[idx],
         }
+        if self.EVID is not None:
+            feats["evidence"] = self.EVID[idx]
         if self.cfg.use_gnn:
             z = self.gnn.apply(
                 {"params": params["gnn"]},
