@@ -43,6 +43,11 @@ def parse_args():
                         "evidence gates instead of the internal proxies")
     p.add_argument("--eval_only", action="store_true",
                    help="Skip training; load best and test")
+    p.add_argument("--trainer", choices=("v2", "integrated"), default="v2",
+                   help="v2 = canonical cache trainer (transductive GCN); "
+                        "integrated = per-batch annealed OCR graphs, cosine "
+                        "LR, label smoothing (the reference's orphan "
+                        "variant, wired in)")
     # TPU-native extras (not in the reference CLI)
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh size (default: no mesh)")
@@ -87,6 +92,34 @@ def main():
     print(f"Use GNN:         {not args.no_gnn}")
     print(f"GNN overlap thr: {args.gnn_overlap_thresh}")
     print("=============================")
+
+    if args.trainer == "integrated":
+        from ultrafnd_git_tpu.training.trainer_integrated import (
+            IntegratedForensicTrainer,
+            IntegratedTrainConfig,
+        )
+
+        icfg = IntegratedTrainConfig(
+            data_root=str(data_root),
+            ocr_phrase_pkl=str(ocr_pkl) if ocr_pkl.exists() else None,
+            out_dir=str(out_dir),
+            batch_size=args.batch_size,
+            epochs=args.epochs,
+            lr=args.lr,
+            weight_decay=args.weight_decay,
+            gnn_dim=args.gnn_dim,
+            gnn_overlap_thresh=args.gnn_overlap_thresh,
+            seed=args.seed,
+            use_gnn=(not args.no_gnn),
+        )
+        itrainer = IntegratedForensicTrainer(icfg)
+        results = (
+            itrainer.test() if args.eval_only else itrainer.train()
+        )
+        print("\n==== Final Results ====")
+        for k, v in results.items():
+            print(f"{k.replace('test_', 'Test ').title()}: {v:.4f}")
+        return
 
     cfg = TrainConfig(
         data_root=str(data_root),

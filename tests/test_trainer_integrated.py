@@ -1,0 +1,78 @@
+"""Integrated trainer variant: annealed per-batch graphs, cosine LR."""
+import numpy as np
+import pytest
+
+from ultrafnd_git_tpu.training.trainer_integrated import (
+    IntegratedForensicTrainer,
+    IntegratedTrainConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def trainer_factory(fixture_data_root, tmp_path_factory):
+    def make(**overrides):
+        out = tmp_path_factory.mktemp("integrated")
+        kwargs = dict(
+            data_root=fixture_data_root,
+            out_dir=str(out),
+            batch_size=8,
+            epochs=2,
+            cache_to_disk=False,
+        )
+        kwargs.update(overrides)
+        return IntegratedForensicTrainer(IntegratedTrainConfig(**kwargs))
+
+    return make
+
+
+def test_annealed_threshold_schedule(trainer_factory):
+    t = trainer_factory(save_best=False)
+    thr0 = t.cfg.gnn_overlap_thresh
+    assert t._annealed_thresh(0) == pytest.approx(thr0)
+    assert t._annealed_thresh(1) == pytest.approx(thr0 * 0.95)
+    # floors at 0.05
+    assert t._annealed_thresh(1000) == pytest.approx(0.05)
+
+
+def test_train_and_test_end_to_end(trainer_factory):
+    t = trainer_factory()
+    results = t.train()
+    assert set(results) == {"test_loss", "test_acc", "test_auc"}
+    assert np.isfinite(results["test_loss"])
+    assert 0.0 <= results["test_acc"] <= 1.0
+    # the optimizer actually stepped through both epochs
+    assert int(t.state.step) > 0
+
+
+def test_class_weighting_weights_inverse_frequency(trainer_factory):
+    t = trainer_factory(class_weighting=True, save_best=False)
+    w = np.asarray(t.class_w)
+    y = t.cache["labels"]
+    pos, neg = float((y == 1).sum()), float((y == 0).sum())
+    total = pos + neg
+    np.testing.assert_allclose(
+        w, [0.5 * total / neg, 0.5 * total / pos], rtol=1e-6
+    )
+    # unweighted default is all-ones
+    t2 = trainer_factory(save_best=False)
+    np.testing.assert_allclose(np.asarray(t2.class_w), [1.0, 1.0])
+
+
+def test_no_gnn_path(trainer_factory):
+    t = trainer_factory(use_gnn=False, save_best=False, epochs=1)
+    loss, acc, auc = t._run_split(t.train_idx[:16], thr=0.12, train=True)
+    assert np.isfinite(loss)
+
+
+def test_label_smoothing_changes_loss(trainer_factory):
+    t_smooth = trainer_factory(save_best=False)
+    t_hard = trainer_factory(save_best=False, label_smoothing=0.0)
+    import jax.numpy as jnp
+
+    logits = jnp.asarray([[4.0, -4.0], [-4.0, 4.0]])
+    y = jnp.asarray([0, 1])
+    mask = jnp.ones(2)
+    l_smooth = float(t_smooth._loss_from_logits(logits, y, mask))
+    l_hard = float(t_hard._loss_from_logits(logits, y, mask))
+    # smoothing adds probability mass on the wrong class -> higher loss here
+    assert l_smooth > l_hard

@@ -44,6 +44,23 @@ def incidence_matrix(ocr_sets: Sequence[Set[str]]) -> np.ndarray:
     return m
 
 
+def pairwise_jaccard(ocr_sets: Sequence[Set[str]]) -> np.ndarray:
+    """Full (N, N) pairwise Jaccard similarity matrix, no threshold.
+
+    The integrated trainer keeps this device-resident and applies its
+    epoch-annealed threshold as a traced scalar inside the jitted step
+    (no host rebuild, no recompile per epoch).
+    """
+    n = len(ocr_sets)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    m = incidence_matrix(ocr_sets)
+    sizes = m.sum(axis=1)  # |s_i|
+    inter = m @ m.T  # (N, N) intersection counts
+    union = sizes[:, None] + sizes[None, :] - inter
+    return (inter / (union + 1e-9)).astype(np.float32)
+
+
 def build_adj_from_ocr(
     ocr_sets: Sequence[Set[str]], thresh: float = 0.12
 ) -> np.ndarray:
@@ -56,12 +73,7 @@ def build_adj_from_ocr(
     if n == 0:
         return np.zeros((0, 0), dtype=np.float32)
 
-    m = incidence_matrix(ocr_sets)
-    sizes = m.sum(axis=1)  # |s_i|
-    inter = m @ m.T  # (N, N) intersection counts
-    union = sizes[:, None] + sizes[None, :] - inter
-    jac = inter / (union + 1e-9)
-
+    jac = pairwise_jaccard(ocr_sets)
     adj = (jac >= thresh).astype(np.float32)
     # Empty-vs-empty pairs have jac == 0/eps == 0, never >= thresh for
     # thresh > 0; for thresh <= 0 the reference still links them only via the
@@ -82,12 +94,7 @@ def build_weighted_adj_from_ocr(
     if n == 0:
         return np.zeros((0, 0), dtype=np.float32)
 
-    m = incidence_matrix(ocr_sets)
-    sizes = m.sum(axis=1)
-    inter = m @ m.T
-    union = sizes[:, None] + sizes[None, :] - inter
-    jac = (inter / (union + 1e-9)).astype(np.float32)
-
+    jac = pairwise_jaccard(ocr_sets)
     adj = np.where(jac >= thresh, jac, 0.0).astype(np.float32)
     np.fill_diagonal(adj, 1.0)
     return adj

@@ -1,0 +1,149 @@
+"""Interpretability: Grad x Input, SmoothGrad, optional SHAP.
+
+Parity target: reference `src/models/fusion/deep_truth_classifier.py`
+interpretability block —
+  * `feature_importance` (ref :189-211): Gradient x Input attribution,
+    |d logits[class_idx] / d x * x|, per-sample + optional mean aggregate;
+  * `explain_shap` (ref :213-272): SHAP KernelExplainer on class-1
+    probability when the `shap` package is available, otherwise a
+    SmoothGrad fallback (16 noise draws, sigma = 0.1 * per-feature std).
+
+TPU-first design: these are pure functions of (model, params, inputs)
+built from `jax.grad`/`vmap` and jitted — no in-place `.grad` mutation, no
+`requires_grad_` bookkeeping. SmoothGrad draws all noise at once and scans
+the grad evaluations inside one compiled program. (The reference's loop
+accumulates gradients at *progressively* noisier inputs because it reuses
+the mutated tensor; we evaluate each draw at `x + noise_i` — standard
+SmoothGrad — which is the behavior that loop intends.)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
+
+
+def _split_inputs(
+    model: DeepTruthClassifier, x: jnp.ndarray, fused_dim: int
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    if model.use_aux and x.shape[-1] > fused_dim:
+        return x[:, :fused_dim], x[:, fused_dim:]
+    return x, None
+
+
+def _concat_inputs(
+    fused: jnp.ndarray, aux: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    if aux is None:
+        return jnp.asarray(fused, jnp.float32)
+    return jnp.concatenate(
+        [jnp.asarray(fused, jnp.float32), jnp.asarray(aux, jnp.float32)],
+        axis=-1,
+    )
+
+
+def feature_importance(
+    model: DeepTruthClassifier,
+    params,
+    fused,
+    aux=None,
+    class_idx: int = 1,
+    aggregate: bool = True,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Gradient x Input attribution on the class-`class_idx` logit.
+
+    Returns (per_input_importance (B, F[+A]), mean (F[+A],) or None).
+    """
+    fused = jnp.asarray(fused, jnp.float32)
+    fused_dim = fused.shape[-1]
+    x = _concat_inputs(fused, aux)
+
+    def target(xb):
+        f, a = _split_inputs(model, xb, fused_dim)
+        out = model.apply({"params": params}, f, a, deterministic=True)
+        return out["logits"][:, class_idx].sum()
+
+    grad = jax.jit(jax.grad(target))(x)
+    imp = np.asarray(jnp.abs(grad * x))
+    return (imp, imp.mean(axis=0)) if aggregate else (imp, None)
+
+
+def smooth_grad(
+    model: DeepTruthClassifier,
+    params,
+    fused,
+    aux=None,
+    n_samples: int = 16,
+    sigma_scale: float = 0.1,
+    seed: int = 0,
+) -> np.ndarray:
+    """Mean |d probs[:,1] / d x| over `n_samples` Gaussian perturbations."""
+    fused = jnp.asarray(fused, jnp.float32)
+    fused_dim = fused.shape[-1]
+    x = _concat_inputs(fused, aux)
+    sigma = sigma_scale * jnp.clip(x.std(axis=0, keepdims=True), 1e-6)
+
+    def target(xb):
+        f, a = _split_inputs(model, xb, fused_dim)
+        out = model.apply({"params": params}, f, a, deterministic=True)
+        return out["probs"][:, 1].sum()
+
+    grad_fn = jax.grad(target)
+
+    @jax.jit
+    def run(key):
+        def body(total, k):
+            noise = jax.random.normal(k, x.shape) * sigma
+            return total + jnp.abs(grad_fn(x + noise)), None
+
+        keys = jax.random.split(key, n_samples)
+        total, _ = jax.lax.scan(body, jnp.zeros_like(x), keys)
+        return total / n_samples
+
+    return np.asarray(run(jax.random.PRNGKey(seed)))
+
+
+def explain_shap(
+    model: DeepTruthClassifier,
+    params,
+    fused,
+    aux=None,
+    max_samples: int = 256,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """SHAP KernelExplainer on class-1 probability, SmoothGrad fallback.
+
+    Returns {"method": "shap" | "smooth-grad", "values": (B, F[+A])}.
+    """
+    fused = np.asarray(fused, np.float32)[:max_samples]
+    aux_np = None if aux is None else np.asarray(aux, np.float32)[:max_samples]
+    fused_dim = fused.shape[-1]
+    try:
+        import shap  # type: ignore
+
+        x = (
+            fused
+            if aux_np is None
+            else np.concatenate([fused, aux_np], axis=-1)
+        )
+
+        def f(batch: np.ndarray) -> np.ndarray:
+            b = jnp.asarray(batch, jnp.float32)
+            fb, ab = _split_inputs(model, b, fused_dim)
+            out = model.apply({"params": params}, fb, ab, deterministic=True)
+            return np.asarray(out["probs"][:, 1])
+
+        explainer = shap.KernelExplainer(f, x[:32])
+        vals = explainer.shap_values(x, nsamples="auto")
+        if isinstance(vals, list):
+            vals = vals[1]
+        return {"method": "shap", "values": np.asarray(vals)}
+    except Exception:
+        return {
+            "method": "smooth-grad",
+            "values": smooth_grad(model, params, fused, aux_np, seed=seed),
+        }

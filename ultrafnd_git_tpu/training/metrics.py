@@ -37,6 +37,11 @@ def _safe_auc(y_true: np.ndarray, y_prob: np.ndarray) -> float:
         return 0.5
 
 
+# Public alias (the integrated trainer and external callers use this name,
+# matching the reference's `auc_safe`, forensic_trainer_integrated.py:66).
+safe_auc = _safe_auc
+
+
 def _to_prob_1(y_score: np.ndarray) -> np.ndarray:
     """Normalize model outputs to positive-class probabilities of shape (N,).
 

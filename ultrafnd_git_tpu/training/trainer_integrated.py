@@ -1,0 +1,428 @@
+"""Integrated trainer variant: per-batch annealed graphs, cosine LR.
+
+Parity target: reference `src/training/forensic_trainer_integrated.py`
+(the orphan variant nothing imports, SURVEY §2.2) — same shape as the v2
+trainer but with:
+  * per-mini-batch GNN graphs from OCR Jaccard, WEIGHTED adjacency
+    (A[i,j] = jaccard, not 0/1; ref :77-98),
+  * epoch-annealed edge threshold `thr = max(0.05, thr0 * 0.95^epoch)`
+    (ref :219-222),
+  * cosine LR annealing to `lr * min_lr_scale` (ref :152-156),
+  * label smoothing 0.05 and optional inverse-frequency class weighting
+    `w_c = 0.5 * total / count_c` (ref :159-169),
+  * grad clip 1.0 (ref :280-283), early stop patience 3 on val AUC,
+    best-checkpoint save/load, `train() -> test()` returning
+    {test_loss, test_acc, test_auc} (ref :256-365),
+  * `freeze_epochs` config accepted for parity; in the reference the
+    freeze helper getattr-probes encoder attributes that don't exist and
+    is a silent no-op (ref :189-194) — here it is an explicit no-op.
+
+Latent reference bug NOT replicated: the orphan builds GNN node features
+with `torch.stack([T, A, V, U]).mean(0)` on tensors of different widths
+(768/128/512/256), which raises at runtime (ref :214). The intended
+416-wide compact node feature (ref comment :135) is what the v2 trainer
+actually builds — the same compact concat is used here.
+
+TPU-first design:
+  * the full (N, N) pairwise-Jaccard matrix is computed once (two matmuls
+    over the token-incidence matrix) and kept device-resident; each jitted
+    step gathers the (B, B) sub-block and applies the annealed threshold as
+    a TRACED SCALAR — annealing never recompiles and never touches host;
+  * one jitted step: sub-graph GCN -> fusion -> classifier -> weighted,
+    label-smoothed CE -> backward -> AdamW(cosine) update;
+  * ragged last batch padded + masked (fixed shapes, no recompilation).
+"""
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import asdict, dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ultrafnd_git_tpu.data.cache import build_feature_cache, load_cache, save_cache
+from ultrafnd_git_tpu.data.dataset import FakeSVRawDataset
+from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
+from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
+from ultrafnd_git_tpu.models.gnn import GNNModel
+from ultrafnd_git_tpu.ops.jaccard import pairwise_jaccard
+from ultrafnd_git_tpu.training import checkpoint as ckpt
+from ultrafnd_git_tpu.training.metrics import safe_auc
+from ultrafnd_git_tpu.training.state import TrainState, create_train_state
+
+
+@dataclass
+class IntegratedTrainConfig:
+    data_root: str
+    ocr_phrase_pkl: Optional[str] = None
+    out_dir: str = "outputs_v2"
+    epochs: int = 12
+    batch_size: int = 16
+    lr: float = 2e-4
+    weight_decay: float = 1e-4
+    seed: int = 42
+    # GNN
+    use_gnn: bool = True
+    gnn_dim: int = 128
+    gnn_overlap_thresh: float = 0.12
+    # Checkpointing
+    save_best: bool = True
+    # Loss options
+    label_smoothing: float = 0.05
+    class_weighting: bool = False
+    # Encoder freeze (parity no-op, see module docstring)
+    freeze_epochs: int = 0
+    # Grad clipping
+    grad_clip: float = 1.0
+    # Scheduler
+    use_cosine: bool = True
+    min_lr_scale: float = 0.1
+    # TPU-native extras
+    cache_to_disk: bool = True
+    early_stop_patience: int = 3
+    fusion_config: str = "configs/model_configs/fusion.yaml"
+    classifier_config: str = "configs/model_configs/classifier.yaml"
+
+
+class IntegratedForensicTrainer:
+    """Mini-batch-graph trainer with annealed OCR-Jaccard adjacency."""
+
+    def __init__(
+        self, cfg: IntegratedTrainConfig, cache: Optional[Dict[str, Any]] = None
+    ):
+        self.cfg = cfg
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        np.random.seed(cfg.seed)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+        # ---- cache ---------------------------------------------------------
+        cache_path = os.path.join(cfg.out_dir, "feature_cache.npz")
+        self.cache = cache
+        if self.cache is None and cfg.cache_to_disk:
+            self.cache = load_cache(cache_path)
+        if self.cache is None:
+            raw = FakeSVRawDataset(cfg.data_root)
+            self.cache = build_feature_cache(
+                raw, ocr_phrase_pkl=cfg.ocr_phrase_pkl, seed=cfg.seed
+            )
+            if cfg.cache_to_disk:
+                save_cache(self.cache, cache_path)
+        self.train_idx, self.val_idx, self.test_idx = (
+            np.asarray(s) for s in self.cache["split"]
+        )
+
+        labels = self.cache["labels"]
+        n = int(labels.shape[0])
+
+        def dist(idx):
+            y = labels[idx]
+            return {int(c): int((y == c).sum()) for c in np.unique(y)}
+
+        print(
+            f"[Split] sizes train/val/test = {len(self.train_idx)}/"
+            f"{len(self.val_idx)}/{len(self.test_idx)}"
+        )
+        print(
+            f"[Split] label dist train: {dist(self.train_idx)} | "
+            f"val: {dist(self.val_idx)} | test: {dist(self.test_idx)}"
+        )
+
+        # ---- device-resident corpus + pairwise Jaccard ----------------------
+        self.TEXT = jnp.asarray(self.cache["text"])
+        self.AUD = jnp.asarray(self.cache["audio"])
+        self.VIS = jnp.asarray(self.cache["visual"])
+        self.TEMP = jnp.asarray(self.cache["temporal"])
+        self.AUX = jnp.asarray(self.cache["aux"])
+        self.LABELS = jnp.asarray(labels.astype(np.int32))
+        # compact 416-d node features (see module docstring re ref :214 bug)
+        xg = np.concatenate(
+            [
+                self.cache["text"][:, :192],
+                self.cache["audio"][:, :32],
+                self.cache["visual"][:, :128],
+                self.cache["temporal"][:, :64],
+            ],
+            axis=1,
+        ).astype(np.float32)
+        xg /= np.linalg.norm(xg, axis=1, keepdims=True) + 1e-9
+        self.XG = jnp.asarray(xg)
+        self.JAC = jnp.asarray(pairwise_jaccard(self.cache["ocr_sets"]))
+
+        # ---- class weights (ref :159-169) -----------------------------------
+        if cfg.class_weighting:
+            pos = float((labels == 1).sum())
+            neg = float((labels == 0).sum())
+            total = max(1.0, pos + neg)
+            self.class_w = jnp.asarray(
+                [0.5 * total / max(1.0, neg), 0.5 * total / max(1.0, pos)],
+                jnp.float32,
+            )
+        else:
+            self.class_w = jnp.ones((2,), jnp.float32)
+
+        # ---- models ---------------------------------------------------------
+        self.fusion = CrossModalTransformer.from_config(cfg.fusion_config)
+        if not cfg.use_gnn:
+            self.fusion = self.fusion.clone(use_gnn=False)
+        self.clf = DeepTruthClassifier.from_config(cfg.classifier_config)
+        self.gnn = GNNModel(hid=256, out_dim=cfg.gnn_dim, dropout=0.1)
+
+        b = cfg.batch_size
+        self.rng, k_f, k_c, k_g, k_state = jax.random.split(self.rng, 5)
+        dummy_feats = {
+            "text_features": jnp.zeros((b, self.TEXT.shape[1])),
+            "audio_features": jnp.zeros((b, self.AUD.shape[1])),
+            "visual_features": jnp.zeros((b, self.VIS.shape[1])),
+            "temporal_features": jnp.zeros((b, self.TEMP.shape[1])),
+        }
+        if cfg.use_gnn:
+            dummy_feats["gnn_feat"] = jnp.zeros((b, cfg.gnn_dim))
+        params = {
+            "fusion": self.fusion.init(k_f, dummy_feats)["params"],
+            "clf": self.clf.init(
+                k_c, jnp.zeros((b, 512)), jnp.zeros((b, 2))
+            )["params"],
+        }
+        if cfg.use_gnn:
+            params["gnn"] = self.gnn.init(
+                k_g,
+                jnp.zeros((b, self.XG.shape[1])),
+                jnp.zeros((b, b)),
+            )["params"]
+
+        # ---- optimizer: AdamW + clip(1.0) + cosine (ref :150-156) -----------
+        steps_per_epoch = max(1, math.ceil(len(self.train_idx) / b))
+        if cfg.use_cosine:
+            schedule = optax.cosine_decay_schedule(
+                init_value=cfg.lr,
+                decay_steps=max(1, cfg.epochs * steps_per_epoch),
+                alpha=cfg.min_lr_scale,
+            )
+        else:
+            schedule = cfg.lr
+        chain = []
+        if cfg.grad_clip and cfg.grad_clip > 0:
+            chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+        chain.append(optax.adamw(schedule, weight_decay=cfg.weight_decay))
+        self.tx = optax.chain(*chain)
+        self.state = create_train_state(params, self.tx, k_state)
+
+        self.best_score = -1.0
+        self.no_improve = 0
+        self._frozen = cfg.freeze_epochs > 0  # parity no-op
+
+        self._train_step = jax.jit(self._make_step(train=True), donate_argnums=0)
+        self._eval_step = jax.jit(self._make_step(train=False))
+
+    # ------------------------------------------------------------------
+    def _loss_from_logits(self, logits, y, mask):
+        """Class-weighted, label-smoothed CE (ref criterion :169)."""
+        c = logits.shape[-1]
+        eps = self.cfg.label_smoothing
+        onehot = jax.nn.one_hot(y, c)
+        soft = onehot * (1.0 - eps) + eps / c
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per = -(soft * logp).sum(axis=-1) * self.class_w[y]
+        return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+    def _forward(self, params, idx, thr, deterministic, rng=None):
+        rngs_f = rngs_c = rngs_g = None
+        if not deterministic:
+            k_g, k_f, k_c = jax.random.split(rng, 3)
+            rngs_g, rngs_f, rngs_c = (
+                {"dropout": k_g},
+                {"dropout": k_f},
+                {"dropout": k_c},
+            )
+
+        feats = {
+            "text_features": self.TEXT[idx],
+            "audio_features": self.AUD[idx],
+            "visual_features": self.VIS[idx],
+            "temporal_features": self.TEMP[idx],
+        }
+        if self.cfg.use_gnn:
+            # (B, B) weighted sub-graph, annealed threshold applied on device
+            # Diagonal stays 0 — the GNN's sym-normalization adds the
+            # self-loops (the reference's comment at ref :97-98).
+            jb = self.JAC[idx][:, idx]
+            b = idx.shape[0]
+            adj = jnp.where(
+                (jb >= thr) & ~jnp.eye(b, dtype=bool), jb, 0.0
+            )
+            z = self.gnn.apply(
+                {"params": params["gnn"]},
+                self.XG[idx],
+                adj,
+                deterministic=deterministic,
+                rngs=rngs_g,
+            )
+            feats["gnn_feat"] = z
+
+        fo = self.fusion.apply(
+            {"params": params["fusion"]},
+            feats,
+            deterministic=deterministic,
+            rngs=rngs_f,
+        )
+        co = self.clf.apply(
+            {"params": params["clf"]},
+            fo["fused"],
+            self.AUX[idx],
+            deterministic=deterministic,
+            rngs=rngs_c,
+        )
+        return co["logits"], co["probs"]
+
+    def _make_step(self, train: bool):
+        if train:
+
+            def step(state: TrainState, idx, mask, thr):
+                rng = jax.random.fold_in(state.rng, state.step)
+
+                def loss_fn(params):
+                    logits, probs = self._forward(
+                        params, idx, thr, deterministic=False, rng=rng
+                    )
+                    loss = self._loss_from_logits(
+                        logits, self.LABELS[idx], mask
+                    )
+                    return loss, probs
+
+                (loss, probs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                state = state.apply_gradients(grads, self.tx)
+                return state, {"loss": loss, "p1": probs[:, 1]}
+
+            return step
+
+        def step(params, idx, mask, thr):
+            logits, probs = self._forward(params, idx, thr, deterministic=True)
+            loss = self._loss_from_logits(logits, self.LABELS[idx], mask)
+            return {"loss": loss, "p1": probs[:, 1]}
+
+        return step
+
+    # ------------------------------------------------------------------
+    def _annealed_thresh(self, epoch_zero_based: int) -> float:
+        return max(
+            0.05, self.cfg.gnn_overlap_thresh * (0.95**epoch_zero_based)
+        )
+
+    def _run_split(
+        self,
+        idx: np.ndarray,
+        thr: float,
+        train: bool,
+        params=None,
+    ) -> Tuple[float, float, float]:
+        b = self.cfg.batch_size
+        order = np.array(idx, dtype=np.int32)
+        if train:
+            np.random.shuffle(order)
+
+        losses, y_all, p1_all = [], [], []
+        thr_dev = jnp.asarray(thr, jnp.float32)
+        for s in range(0, len(order), b):
+            chunk = order[s : s + b]
+            valid = len(chunk)
+            if valid < b:
+                chunk = np.concatenate(
+                    [chunk, np.full(b - valid, chunk[-1], chunk.dtype)]
+                )
+            mask = np.zeros(b, np.float32)
+            mask[:valid] = 1.0
+            i = jnp.asarray(chunk, jnp.int32)
+            m = jnp.asarray(mask)
+
+            if train:
+                self.state, out = self._train_step(self.state, i, m, thr_dev)
+            else:
+                out = self._eval_step(
+                    params if params is not None else self.state.params,
+                    i,
+                    m,
+                    thr_dev,
+                )
+            losses.append(float(out["loss"]))
+            p1_all.append(np.asarray(out["p1"])[:valid])
+            y_all.append(self.cache["labels"][chunk[:valid]])
+
+        if not losses:
+            return 0.0, 0.0, 0.5
+        y = np.concatenate(y_all)
+        p1 = np.concatenate(p1_all)
+        preds = (p1 >= 0.5).astype(int)
+        acc = float((preds == y).mean()) if y.size else 0.0
+        auc = safe_auc(y, p1)
+        return float(np.mean(losses)), acc, auc
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, float]:
+        print("\n>>> Training (integrated variant)...")
+        cfg = self.cfg
+        for epoch in range(1, cfg.epochs + 1):
+            thr = self._annealed_thresh(epoch - 1)
+            if self._frozen and epoch > cfg.freeze_epochs:
+                print("→ Unfreezing encoders")  # parity no-op
+                self._frozen = False
+
+            tr_loss, tr_acc, tr_auc = self._run_split(
+                self.train_idx, thr, train=True
+            )
+            val_loss, val_acc, val_auc = self._run_split(
+                self.val_idx, thr, train=False
+            )
+            print(
+                f"[Epoch {epoch:02d}] train: loss={tr_loss:.4f} "
+                f"acc={tr_acc:.3f} auc={tr_auc:.3f} | "
+                f"val: loss={val_loss:.4f} acc={val_acc:.3f} "
+                f"auc={val_auc:.3f} | thr={thr:.3f}"
+            )
+
+            if val_auc > self.best_score + 1e-4 and cfg.save_best:
+                self.best_score = val_auc
+                self.no_improve = 0
+                ckpt.save_checkpoint(
+                    cfg.out_dir,
+                    "best",
+                    self.state,
+                    {
+                        "epoch": epoch,
+                        "best_val_auc": self.best_score,
+                        "cfg": asdict(cfg),
+                    },
+                )
+                print(
+                    f"  ↳ saved best checkpoint to {cfg.out_dir}/best "
+                    f"(score={self.best_score:.3f})"
+                )
+            else:
+                self.no_improve += 1
+                if self.no_improve >= cfg.early_stop_patience:
+                    print(
+                        "↳ Early stopping (no val AUC improvement "
+                        f"{cfg.early_stop_patience} epochs)"
+                    )
+                    break
+        return self.test()
+
+    def test(self) -> Dict[str, float]:
+        print("\n>>> Testing best checkpoint...")
+        params = self.state.params
+        restored = ckpt.load_checkpoint(self.cfg.out_dir, "best", self.state)
+        epoch = self.cfg.epochs
+        if restored is not None:
+            params = restored[0].params
+            epoch = int(restored[1].get("epoch", epoch))
+        thr = self._annealed_thresh(max(0, epoch - 1))
+        loss, acc, auc = self._run_split(
+            self.test_idx, thr, train=False, params=params
+        )
+        print(f"[Test] loss={loss:.4f} acc={acc:.3f} auc={auc:.3f}\n")
+        return {"test_loss": loss, "test_acc": acc, "test_auc": auc}
