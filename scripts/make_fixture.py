@@ -35,6 +35,64 @@ COMMENTS = [
 ]
 
 
+def write_media(records, n_media: int = 8) -> None:
+    """Tiny real media for the raw pipeline: cv2 videos + wav sidecars +
+    comment JSONs for the first `n_media` records (fake ones get hard
+    scene cuts; real ones smooth motion — so tamper scores differ)."""
+    import json as _json
+
+    import numpy as np
+
+    try:
+        import cv2
+    except Exception:
+        print("cv2 unavailable — skipping media fixture")
+        return
+    from scipy.io import wavfile
+
+    vid_dir = OUT / "videos"
+    com_dir = OUT / "video_comment"
+    vid_dir.mkdir(exist_ok=True)
+    com_dir.mkdir(exist_ok=True)
+    rng = np.random.default_rng(99)
+
+    for rec in records[:n_media]:
+        vid = rec["video_id"]
+        fake = rec["annotation"] in ("假", "fake")
+        h = w = 64
+        path = vid_dir / f"{vid}.avi"  # MJPG/avi: codec always available
+        vw = cv2.VideoWriter(
+            str(path), cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (w, h)
+        )
+        base = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        for t in range(12):
+            if fake and t % 4 == 0:  # hard scene cuts
+                frame = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            else:  # smooth drift
+                frame = np.roll(base, shift=t, axis=1)
+            vw.write(frame)
+        vw.release()
+
+        tone = 440.0 if fake else 220.0
+        t = np.arange(16000) / 16000.0
+        wave = (0.3 * np.sin(2 * np.pi * tone * t)).astype(np.float32)
+        wavfile.write(
+            str(vid_dir / f"{vid}.wav"),
+            16000,
+            (wave * 32767).astype(np.int16),
+        )
+
+        with open(com_dir / f"{vid}.json", "w", encoding="utf-8") as fh:
+            _json.dump(
+                [{"content": c} for c in rec["comments"][:2]],
+                fh,
+                ensure_ascii=False,
+            )
+    # one deliberately corrupt comment file (the loader must skip it)
+    (com_dir / "corrupt.json").write_text("{not json", encoding="utf-8")
+    print(f"wrote media for {n_media} records under {vid_dir}")
+
+
 def main() -> None:
     rng = random.Random(1234)
     OUT.mkdir(parents=True, exist_ok=True)
@@ -56,6 +114,7 @@ def main() -> None:
         for rec in records:
             fh.write(json.dumps(rec, ensure_ascii=False) + "\n")
     print(f"wrote {len(records)} records to {OUT/'data_complete.json'}")
+    write_media(records)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,153 @@
+"""Raw-media pipeline: decode ladders, collate, augmentation, v1 training."""
+import numpy as np
+import pytest
+
+from ultrafnd_git_tpu.data.media import (
+    AUDIO_LEN,
+    AugmentedRawMediaDataset,
+    RawMediaDataset,
+    load_audio_waveform,
+    load_comments,
+    load_video_frames,
+    multimodal_collate,
+)
+from ultrafnd_git_tpu.training.pipeline_v1 import (
+    BatchFeatureExtractor,
+    V1Config,
+    focal_loss,
+    mixup_arrays,
+    train_and_evaluate,
+)
+
+
+@pytest.fixture(scope="module")
+def media_root(fixture_data_root):
+    return fixture_data_root
+
+
+class TestDecoders:
+    def test_video_decode_shape_and_range(self, media_root):
+        frames = load_video_frames(f"{media_root}/videos/douyin_0000.avi")
+        assert frames.shape == (30, 256, 256, 3)
+        assert frames.dtype == np.float32
+        assert 0.0 <= frames.min() and frames.max() <= 1.0
+        # 12 real frames then last-frame padding
+        np.testing.assert_allclose(frames[11], frames[29])
+
+    def test_video_decode_missing_file_gives_dummy(self):
+        frames = load_video_frames("/nonexistent/clip.mp4")
+        assert frames.shape == (30, 256, 256, 3)
+        assert np.all(frames == 0.0)
+
+    def test_audio_wav_sidecar_ladder(self, media_root):
+        wave = load_audio_waveform(f"{media_root}/videos/douyin_0000.avi")
+        assert wave.shape == (AUDIO_LEN,)
+        # 1s of tone zero-padded to 5s: energy in front, silence behind
+        assert np.abs(wave[:16000]).max() > 0.1
+        assert np.all(wave[16000:] == 0.0)
+
+    def test_audio_silence_fallback(self):
+        wave = load_audio_waveform("/nonexistent/clip.mp4")
+        assert wave.shape == (AUDIO_LEN,) and np.all(wave == 0.0)
+
+    def test_comments_loader_skips_corrupt(self, media_root):
+        ok = load_comments(f"{media_root}/video_comment/douyin_0000.json")
+        assert isinstance(ok, list)
+        corrupt = load_comments(f"{media_root}/video_comment/corrupt.json")
+        assert corrupt == []
+
+
+class TestDatasetCollate:
+    def test_dataset_item_contract(self, media_root):
+        ds = RawMediaDataset(media_root)
+        item = ds[0]
+        assert item["video_frames"].shape == (30, 256, 256, 3)
+        assert item["audio_waveform"].shape[0] >= AUDIO_LEN
+        assert set(item["text_data"]) == {"title", "ocr", "comments"}
+        assert item["label"] in (0, 1)
+
+    def test_filter_existing_keeps_media_records(self, media_root):
+        full = RawMediaDataset(media_root)
+        filt = RawMediaDataset(media_root, filter_existing=True)
+        assert len(filt) == 8 < len(full)
+
+    def test_missing_media_counts_failure(self, media_root):
+        ds = RawMediaDataset(media_root)
+        _ = ds[20]  # record without media
+        assert ds.decode_failures == 1
+
+    def test_collate_fixed_shapes(self, media_root):
+        ds = RawMediaDataset(media_root)
+        batch = multimodal_collate([ds[0], ds[1], ds[20]])
+        assert batch["video_frames"].shape == (3, 30, 256, 256, 3)
+        assert batch["audio_waveform"].shape == (3, AUDIO_LEN)
+        assert batch["label"].shape == (3,)
+        assert len(batch["text_data"]) == 3
+
+    def test_augmentation_preserves_contract(self, media_root):
+        ds = AugmentedRawMediaDataset(RawMediaDataset(media_root), seed=0)
+        item = ds[0]
+        assert item["video_frames"].shape == (30, 256, 256, 3)
+        assert 0.0 <= item["video_frames"].min()
+        assert item["video_frames"].max() <= 1.0
+
+
+class TestTrainMath:
+    def test_focal_loss_downweights_easy_examples(self):
+        import jax.numpy as jnp
+
+        easy = jnp.asarray([[6.0, -6.0]])  # confident correct
+        hard = jnp.asarray([[0.1, -0.1]])
+        y = jnp.asarray([0])
+        import optax
+
+        ce_easy = optax.softmax_cross_entropy_with_integer_labels(easy, y)
+        fl_easy = focal_loss(easy, y)
+        fl_hard = focal_loss(hard, y)
+        # focal shrinks easy-example loss far below its CE
+        assert float(fl_easy[0]) < 0.01 * float(ce_easy[0])
+        assert float(fl_hard[0]) > float(fl_easy[0])
+
+    def test_mixup_arrays(self):
+        rng = np.random.default_rng(0)
+        lam, perm = mixup_arrays(rng, 8, alpha=0.2)
+        assert 0.0 <= lam <= 1.0
+        assert sorted(perm.tolist()) == list(range(8))
+        lam1, _ = mixup_arrays(rng, 8, alpha=0.0)
+        assert lam1 == 1.0
+
+
+class TestV1EndToEnd:
+    def test_dummy_path_trains(self):
+        cfg = V1Config(
+            epochs=2, batch_size=4, ensemble_size=2, debug_mode=True,
+            dummy_samples=16, eval_every=1,
+        )
+        results = train_and_evaluate(cfg=cfg)
+        assert results["steps"] > 0
+        assert np.isfinite(results["loss"])
+        assert 0.0 <= results["val_acc"] <= 1.0
+
+    def test_real_media_path_trains(self, media_root):
+        extractor = BatchFeatureExtractor(seed=0)
+        ds = RawMediaDataset(media_root, filter_existing=True)
+        batch = multimodal_collate([ds[i] for i in range(4)])
+        feats = extractor(batch)
+        assert feats["text"].shape == (4, 768)
+        assert feats["audio"].shape == (4, 128)
+        assert feats["visual"].shape == (4, 512)
+        assert feats["temporal"].shape == (4, 256)
+        assert feats["evidence"].shape == (4, 3)
+        # chronos tamper evidence separates cutty (fake) from smooth clips
+        labels = batch["label"]
+        tamper = feats["evidence"][:, 2]
+        if labels.min() != labels.max():
+            assert tamper[labels == 1].mean() > tamper[labels == 0].mean()
+
+        cfg = V1Config(
+            data_dir=media_root, epochs=1, batch_size=4,
+            ensemble_size=2, eval_every=1, seed=0,
+        )
+        results = train_and_evaluate(cfg=cfg)
+        assert results["steps"] > 0
+        assert np.isfinite(results["loss"])

@@ -1,0 +1,346 @@
+"""Raw-media host pipeline: video/audio/comment decode + fixed-shape collate.
+
+Parity target: reference `src/training/run_train_eval.py` v1 dataset —
+  * `_load_video_frames` (ref :286-351): cv2 decode of <=30 frames,
+    BGR->RGB, /255, bilinear resize to 256x256, last-frame pad / truncate,
+    all-zeros dummy clip on any failure;
+  * `_load_audio` (ref :353-421): mono 16 kHz waveform clamped to 5-10 s
+    with zero-pad; decode ladder torchaudio -> ffmpeg-subprocess -> silence.
+    This image has neither torchaudio nor ffmpeg, so the ladder here is
+    scipy WAV sidecar (`<stem>.wav` next to the video) -> silence — same
+    graceful-degradation contract, honest about available decoders;
+  * `_load_text` (ref :423-482): comment JSON loader tolerant of dict/list/
+    corrupt/empty files and macOS `._` droppings;
+  * `multimodal_collate_fn` (ref :496-548): pad/trunc video to
+    [B,30,256,256,3] (last-frame pad), audio to [B,80000], texts kept
+    raw, labels stacked;
+  * `AugmentedFakeSVDataset` (ref :1165-1215): horizontal flip p=.5, small
+    jitter, audio noise p=.3, title word-append p=.2*.5.
+
+Label convention: the reference v1 maps 辟谣 -> fake while v2 maps
+辟谣 -> real (SURVEY §2.3 "two label conventions"); this module uses the
+canonical v2 mapping from `data.dataset.label_of`.
+
+TPU-first notes: decode stays on host (ragged, codec-bound); the collate
+emits fixed-shape float32 numpy blocks that feed HBM directly, and the
+whole item pipeline is exception-free by construction (every failure
+degrades to a deterministic dummy + a counter on the dataset).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ultrafnd_git_tpu.data.dataset import FakeSVRawDataset
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+NUM_FRAMES = 30
+FRAME_SIZE = (256, 256)
+SR = 16000
+MIN_AUDIO_S = 5
+MAX_AUDIO_S = 10
+AUDIO_LEN = SR * MIN_AUDIO_S  # collate length, 80000 (ref :520-521)
+
+
+# ----------------------------------------------------------------------
+# Decoders
+# ----------------------------------------------------------------------
+
+def load_video_frames(
+    video_path: Path | str,
+    num_frames: int = NUM_FRAMES,
+    size=FRAME_SIZE,
+) -> np.ndarray:
+    """Decode -> (num_frames, H, W, 3) float32 in [0, 1]; dummy on failure."""
+    dummy = np.zeros((num_frames, size[0], size[1], 3), dtype=np.float32)
+    if not _HAS_CV2:
+        return dummy
+    try:
+        cap = cv2.VideoCapture(str(video_path))
+        if not cap.isOpened():
+            return dummy
+        frames: List[np.ndarray] = []
+        while len(frames) < num_frames:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            rgb = cv2.resize(rgb, size, interpolation=cv2.INTER_LINEAR)
+            frames.append(rgb.astype(np.float32) / 255.0)
+        cap.release()
+        if not frames:
+            return dummy
+        while len(frames) < num_frames:  # last-frame pad (ref :329-333)
+            frames.append(frames[-1])
+        return np.stack(frames[:num_frames])
+    except Exception:
+        return dummy
+
+
+def _resample_poly(wave: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    if sr_in == sr_out:
+        return wave
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(sr_in, sr_out)
+    return resample_poly(wave, sr_out // g, sr_in // g).astype(np.float32)
+
+
+def load_audio_waveform(
+    media_path: Path | str,
+    sr: int = SR,
+    min_s: int = MIN_AUDIO_S,
+    max_s: int = MAX_AUDIO_S,
+) -> np.ndarray:
+    """Mono waveform at `sr`, zero-padded to >= min_s, truncated to max_s.
+
+    Ladder: the file itself if it is a WAV, else a `<stem>.wav` sidecar,
+    else silence (this image has no container-audio demuxer; ref :391-421
+    falls through to silence the same way when ffmpeg is absent).
+    """
+    silence = np.zeros(sr * min_s, dtype=np.float32)
+    p = Path(media_path)
+    candidates = [p] if p.suffix.lower() == ".wav" else []
+    candidates.append(p.with_suffix(".wav"))
+    for cand in candidates:
+        try:
+            if not cand.exists() or cand.stat().st_size == 0:
+                continue
+            from scipy.io import wavfile
+
+            sr_in, wave = wavfile.read(str(cand))
+            wave = np.asarray(wave)
+            if wave.ndim == 2:  # stereo -> mono
+                wave = wave.mean(axis=1)
+            if np.issubdtype(wave.dtype, np.integer):
+                wave = wave.astype(np.float32) / float(
+                    np.iinfo(wave.dtype).max
+                )
+            wave = _resample_poly(wave.astype(np.float32), int(sr_in), sr)
+            wave = wave[: sr * max_s]
+            if wave.size < sr * min_s:
+                wave = np.concatenate(
+                    [wave, np.zeros(sr * min_s - wave.size, np.float32)]
+                )
+            return wave.astype(np.float32)
+        except Exception:
+            continue
+    return silence
+
+
+def load_comments(comment_path: Path | str) -> List[str]:
+    """Tolerant comment loader: dir of JSON files or a single JSON file.
+
+    Handles dict {content}, list of dicts/strings, corrupt/empty files and
+    macOS `._` droppings (ref :432-476) by skipping silently.
+    """
+    p = Path(comment_path)
+    files: List[Path] = []
+    if p.is_dir():
+        files = sorted(p.glob("*.json"))
+    elif p.exists():
+        files = [p]
+
+    out: List[str] = []
+    for f in files:
+        if f.name.startswith("._"):
+            continue
+        try:
+            if f.stat().st_size == 0:
+                continue
+            content = f.read_text(encoding="utf-8", errors="ignore").strip()
+            if not content:
+                continue
+            data = json.loads(content)
+        except Exception:
+            continue
+        if isinstance(data, dict):
+            text = data.get("content", "")
+            if isinstance(text, str) and text:
+                out.append(text)
+        elif isinstance(data, list):
+            for item in data:
+                if isinstance(item, dict):
+                    text = item.get("content", "")
+                    if isinstance(text, str) and text:
+                        out.append(text)
+                elif isinstance(item, str) and item.strip():
+                    out.append(item.strip())
+    return out
+
+
+# ----------------------------------------------------------------------
+# Dataset + collate
+# ----------------------------------------------------------------------
+
+class RawMediaDataset:
+    """Raw-media FakeSV dataset: metadata + decoded frames/audio/comments.
+
+    Layout (reference v1, ref :198-284): `data_root/data_complete.json`,
+    `videos/<id>.mp4` (any cv2-readable container), optional `<id>.wav`
+    audio sidecars, `video_comment/<id>.json` or `video_comment/<id>/`.
+    """
+
+    def __init__(
+        self,
+        data_root: str,
+        filter_existing: bool = False,
+        num_frames: int = NUM_FRAMES,
+    ):
+        self.root = Path(data_root)
+        self.meta = FakeSVRawDataset(data_root)
+        self.num_frames = num_frames
+        self.video_dir = self.root / "videos"
+        self.comment_dir = self.root / "video_comment"
+        self.decode_failures = 0  # data-level fault counter (SURVEY §5.3)
+
+        self.indices = list(range(len(self.meta)))
+        if filter_existing:
+            self.indices = [
+                i
+                for i in self.indices
+                if self._video_path(self.meta.get_item(i)["id"]) is not None
+            ]
+
+    def _video_path(self, vid: str) -> Optional[Path]:
+        for ext in (".mp4", ".avi", ".mkv", ".mov"):
+            p = self.video_dir / f"{vid}{ext}"
+            if p.exists():
+                return p
+        return None
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        rec = self.meta.get_item(self.indices[i])
+        vid = rec["id"]
+        vp = self._video_path(vid)
+        if vp is None:
+            frames = np.zeros(
+                (self.num_frames, *FRAME_SIZE, 3), dtype=np.float32
+            )
+            audio = np.zeros(AUDIO_LEN, dtype=np.float32)
+            self.decode_failures += 1
+        else:
+            frames = load_video_frames(vp, self.num_frames)
+            audio = load_audio_waveform(vp)
+
+        comments = list(rec["comments"])
+        for cand in (
+            self.comment_dir / f"{vid}.json",
+            self.comment_dir / vid,
+        ):
+            extra = load_comments(cand)
+            if extra:
+                comments.extend(extra)
+                break
+
+        return {
+            "video_id": vid,
+            "video_frames": frames,
+            "audio_waveform": audio,
+            "text_data": {
+                "title": rec["title"],
+                "ocr": rec["ocr"],
+                "comments": comments,
+            },
+            "label": rec["label"],
+        }
+
+
+def multimodal_collate(batch: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    """Fixed-shape batch: video [B,30,256,256,3], audio [B,80000]."""
+    videos, audios, texts, labels, ids = [], [], [], [], []
+    for item in batch:
+        frames = np.asarray(item["video_frames"], dtype=np.float32)
+        t = frames.shape[0]
+        if t < NUM_FRAMES:
+            last = (
+                frames[-1:]
+                if t > 0
+                else np.zeros((1, *FRAME_SIZE, 3), np.float32)
+            )
+            frames = np.concatenate(
+                [frames, np.repeat(last, NUM_FRAMES - t, axis=0)], axis=0
+            )
+        videos.append(frames[:NUM_FRAMES])
+
+        audio = np.asarray(item["audio_waveform"], dtype=np.float32).ravel()
+        if audio.size < AUDIO_LEN:
+            audio = np.concatenate(
+                [audio, np.zeros(AUDIO_LEN - audio.size, np.float32)]
+            )
+        audios.append(audio[:AUDIO_LEN])
+
+        texts.append(item["text_data"])
+        labels.append(int(item["label"]))
+        ids.append(item["video_id"])
+
+    return {
+        "video_frames": np.stack(videos),
+        "audio_waveform": np.stack(audios),
+        "text_data": texts,
+        "label": np.asarray(labels, dtype=np.int64),
+        "video_id": ids,
+    }
+
+
+class AugmentedRawMediaDataset:
+    """Train-time augmentation wrapper (ref :1165-1215 semantics).
+
+    Horizontal flip p=.5, brightness/contrast jitter, audio noise p=.3,
+    title word-append p=.1 — numpy-only (no torchvision in this stack).
+    """
+
+    _EXTRA_WORDS = ("video", "content", "media", "clip", "footage")
+
+    def __init__(self, base, augment: bool = True, seed: int = 0):
+        self.base = base
+        self.augment = augment
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        sample = self.base[i]
+        if not self.augment:
+            return sample
+        rng = self._rng
+
+        frames = sample["video_frames"]
+        if rng.random() < 0.5:
+            frames = frames[:, :, ::-1, :]  # horizontal flip
+        scale = 1.0 + rng.uniform(-0.2, 0.2)  # brightness/contrast jitter
+        shift = rng.uniform(-0.05, 0.05)
+        sample["video_frames"] = np.clip(
+            frames * scale + shift, 0.0, 1.0
+        ).astype(np.float32)
+
+        if rng.random() < 0.3:
+            audio = sample["audio_waveform"]
+            sample["audio_waveform"] = (
+                audio + 0.01 * rng.standard_normal(audio.shape)
+            ).astype(np.float32)
+
+        if rng.random() < 0.1:
+            td = dict(sample["text_data"])
+            td["title"] = (
+                td.get("title", "")
+                + " "
+                + str(rng.choice(self._EXTRA_WORDS))
+            ).strip()
+            sample["text_data"] = td
+        return sample

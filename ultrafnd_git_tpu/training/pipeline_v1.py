@@ -1,0 +1,522 @@
+"""v1 integrated raw-media pipeline: decode -> encode -> ensemble train/eval.
+
+Parity target: reference `src/training/run_train_eval.py` (the 1,323-LoC
+self-contained v1 pipeline, SURVEY §2.1): raw video/audio/comment decode,
+7-encoder feature extraction per batch, an ENSEMBLE of fusion models,
+mixup (ref :1245-1261), focal loss (alpha=1, gamma=2; ref :1263-1281),
+train-time augmentation (ref :1165-1215), mean-logit ensemble prediction
+(ref :946-1057), early stopping, and a dummy-random-data fallback when no
+media is present (ref :1059-1158).
+
+Latent reference bugs fixed, not replicated (SURVEY §2.1):
+  * v1 imports `SemanticForgeryDetector` (a name that doesn't exist) so its
+    whole model import block always fails and it silently trains dummy
+    stand-ins — here the REAL evidence scorers run and feed the fusion
+    evidence gates;
+  * v1 creates fresh nn.Linear projections per batch (ref :787-788) —
+    here all parameters live in one train state from step 0.
+
+TPU-first design:
+  * the ensemble is a single stacked-params pytree trained with ONE jitted
+    step under `jax.vmap` — every member's matmuls batch together on the
+    MXU instead of the reference's sequential Python loop over models;
+  * mixup runs inside the compiled step (lam + permutation are step
+    inputs); focal loss is a closed-form jnp expression;
+  * decode + non-differentiable CV feature extraction stay on host
+    (SURVEY §7 hard parts), producing fixed-shape blocks fed to HBM once
+    per batch.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ultrafnd_git_tpu.data.media import (
+    AugmentedRawMediaDataset,
+    RawMediaDataset,
+    multimodal_collate,
+)
+from ultrafnd_git_tpu.models.affective import AffectiveForensics
+from ultrafnd_git_tpu.models.audio import SpectralForensics
+from ultrafnd_git_tpu.models.chronos import ChronosGuard
+from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
+from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
+from ultrafnd_git_tpu.models.semantic import SemanticForgeryAnalyzer
+from ultrafnd_git_tpu.models.temporal import TemporalSyncNet
+from ultrafnd_git_tpu.models.text import BERTContextEncoder
+from ultrafnd_git_tpu.models.visual import DeepForgeryDetector, OpticalFlow3DCNN
+from ultrafnd_git_tpu.training.metrics import safe_auc
+
+
+@dataclass
+class V1Config:
+    data_dir: Optional[str] = None
+    epochs: int = 5
+    batch_size: int = 4
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    ensemble_size: int = 2
+    mixup_alpha: float = 0.2
+    use_focal: bool = True
+    focal_alpha: float = 1.0
+    focal_gamma: float = 2.0
+    augment: bool = True
+    grad_clip: float = 1.0
+    early_stop_patience: int = 15
+    eval_every: int = 5  # reference evaluates every 5 epochs (ref :896)
+    seed: int = 42
+    debug_mode: bool = False  # tiny dummy run
+    dummy_samples: int = 32
+
+
+def focal_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    alpha: float = 1.0,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """Per-sample focal loss: alpha * (1 - pt)^gamma * CE (ref :1263-1281)."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    pt = jnp.exp(-ce)
+    return alpha * (1.0 - pt) ** gamma * ce
+
+
+def mixup_arrays(
+    rng: np.random.Generator, batch_size: int, alpha: float
+) -> Tuple[float, np.ndarray]:
+    """Host-side mixup draw: (lam, permutation) fed into the jitted step."""
+    lam = float(rng.beta(alpha, alpha)) if alpha > 0 else 1.0
+    return lam, rng.permutation(batch_size).astype(np.int32)
+
+
+# ----------------------------------------------------------------------
+# Host feature extraction (the "7 encoders" stage)
+# ----------------------------------------------------------------------
+
+class BatchFeatureExtractor:
+    """Raw collated batch -> fixed-width feature dict + evidence scalars."""
+
+    def __init__(self, seed: int = 42):
+        self.text_enc = BERTContextEncoder(dim=768)
+        self.audio_enc = SpectralForensics(dim=128)
+        self.flow = OpticalFlow3DCNN(dim=256)
+        self.ela = DeepForgeryDetector(dim=256)
+        self.tsync = TemporalSyncNet(in_dim=768, out_dim=256, seed=seed)
+        self.affective = AffectiveForensics.from_config()
+        self.chronos = ChronosGuard.from_config()
+        self.semantic = SemanticForgeryAnalyzer.from_config(seed=seed)
+
+    def __call__(self, batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
+        texts: List[Dict[str, Any]] = batch["text_data"]
+        records = [
+            {
+                "title": t.get("title", ""),
+                "ocr": t.get("ocr", "") or t.get("description", ""),
+                "comments": t.get("comments", []),
+            }
+            for t in texts
+        ]
+        T = self.text_enc.encode_fields_batch(records)  # (B, 768)
+
+        A = np.stack(
+            [self.audio_enc.extract(w) for w in batch["audio_waveform"]]
+        )  # (B, 128)
+
+        frames = batch["video_frames"]  # (B, 30, 256, 256, 3)
+        V = np.stack(
+            [
+                np.concatenate(
+                    [self.flow.extract(clip), self.ela.ela_lbp(clip)]
+                )
+                for clip in frames
+            ]
+        ).astype(np.float32)  # (B, 512)
+        V /= np.linalg.norm(V, axis=1, keepdims=True) + 1e-9
+
+        U = self.tsync.align_batch(T, V)  # (B, 256)
+        U_tt = self.tsync.align_batch(T, T)
+
+        def row_cos(a, b):
+            return np.sum(a * b, axis=-1) / (
+                (np.linalg.norm(a, axis=-1) + 1e-9)
+                * (np.linalg.norm(b, axis=-1) + 1e-9)
+            )
+
+        delay = np.clip(1.0 - row_cos(U_tt, U), 0.0, 1.0).astype(np.float32)
+
+        # Real evidence scorers, wired in (fixes SURVEY §2.1 latent bug)
+        full_text = [
+            (r["title"] + " " + r["ocr"]).strip() for r in records
+        ]
+        aff = self.affective.analyze_batch(
+            full_text, list(batch["audio_waveform"])
+        )
+        tamper = self.chronos.temporal_tamper_score_batch(list(frames))
+        sem_gap = self.semantic.gap_magnitude(
+            [r["title"] for r in records], [r["ocr"] for r in records]
+        )
+        evidence = np.stack([sem_gap, aff["intensity"], tamper], axis=1)
+
+        aux = np.stack([delay, aff["intensity"]], axis=1).astype(np.float32)
+        return {
+            "text": T.astype(np.float32),
+            "audio": A.astype(np.float32),
+            "visual": V,
+            "temporal": U.astype(np.float32),
+            "aux": aux,
+            "evidence": evidence.astype(np.float32),
+        }
+
+
+# ----------------------------------------------------------------------
+# Ensemble trainer
+# ----------------------------------------------------------------------
+
+class EnsembleTrainer:
+    """Vmapped ensemble of (fusion -> classifier) stacks."""
+
+    def __init__(self, cfg: V1Config):
+        self.cfg = cfg
+        self.fusion = CrossModalTransformer.from_config().clone(use_gnn=False)
+        self.clf = DeepTruthClassifier.from_config()
+
+        b = cfg.batch_size
+        dummy = {
+            "text_features": jnp.zeros((b, 768)),
+            "audio_features": jnp.zeros((b, 128)),
+            "visual_features": jnp.zeros((b, 512)),
+            "temporal_features": jnp.zeros((b, 256)),
+        }
+        base = jax.random.PRNGKey(cfg.seed)
+
+        def init_member(key):
+            kf, kc = jax.random.split(key)
+            return {
+                "fusion": self.fusion.init(kf, dummy)["params"],
+                "clf": self.clf.init(
+                    kc, jnp.zeros((b, 512)), jnp.zeros((b, 2))
+                )["params"],
+            }
+
+        keys = jax.random.split(base, cfg.ensemble_size)
+        # Stacked pytree: every leaf gains a leading (E,) member axis.
+        self.params = jax.vmap(init_member)(keys)
+
+        chain = []
+        if cfg.grad_clip and cfg.grad_clip > 0:
+            chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+        chain.append(optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
+        self.tx = optax.chain(*chain)
+        self.opt_state = self.tx.init(self.params)
+        self.step_count = 0
+        self._rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        self._train_step = jax.jit(self._make_train_step())
+        self._eval_logits = jax.jit(self._make_eval_logits())
+
+    # ------------------------------------------------------------------
+    def _member_logits(self, member_params, feats, aux, evidence, rng):
+        det = rng is None
+        rngs_f = rngs_c = None
+        if not det:
+            kf, kc = jax.random.split(rng)
+            rngs_f, rngs_c = {"dropout": kf}, {"dropout": kc}
+        fo = self.fusion.apply(
+            {"params": member_params["fusion"]},
+            {
+                "text_features": feats["text"],
+                "audio_features": feats["audio"],
+                "visual_features": feats["visual"],
+                "temporal_features": feats["temporal"],
+                "evidence": evidence,
+            },
+            deterministic=det,
+            rngs=rngs_f,
+        )
+        co = self.clf.apply(
+            {"params": member_params["clf"]},
+            fo["fused"],
+            aux,
+            deterministic=det,
+            rngs=rngs_c,
+        )
+        return co["logits"]
+
+    def _make_train_step(self):
+        cfg = self.cfg
+
+        def member_loss(member_params, feats, aux, evidence, y, lam, perm, rng):
+            mixed = {
+                k: lam * v + (1.0 - lam) * v[perm] for k, v in feats.items()
+            }
+            aux_m = lam * aux + (1.0 - lam) * aux[perm]
+            ev_m = lam * evidence + (1.0 - lam) * evidence[perm]
+            logits = self._member_logits(member_params, mixed, aux_m, ev_m, rng)
+            if cfg.use_focal:
+                la = focal_loss(logits, y, cfg.focal_alpha, cfg.focal_gamma)
+                lb = focal_loss(
+                    logits, y[perm], cfg.focal_alpha, cfg.focal_gamma
+                )
+            else:
+                la = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+                lb = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y[perm]
+                )
+            return (lam * la + (1.0 - lam) * lb).mean()
+
+        def step(params, opt_state, feats, aux, evidence, y, lam, perm, rng):
+            member_keys = jax.random.split(rng, cfg.ensemble_size)
+
+            def one(member_params, key):
+                return jax.value_and_grad(member_loss)(
+                    member_params, feats, aux, evidence, y, lam, perm, key
+                )
+
+            losses, grads = jax.vmap(one)(params, member_keys)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses.mean()
+
+        return step
+
+    def _make_eval_logits(self):
+        def run(params, feats, aux, evidence):
+            logits = jax.vmap(
+                lambda p: self._member_logits(p, feats, aux, evidence, None)
+            )(params)  # (E, B, 2)
+            return logits.mean(axis=0)  # mean-logit ensemble (ref :946-1057)
+
+        return run
+
+    # ------------------------------------------------------------------
+    def train_batch(self, feats: Dict[str, np.ndarray], labels: np.ndarray,
+                    host_rng: np.random.Generator) -> float:
+        cfg = self.cfg
+        lam, perm = mixup_arrays(host_rng, labels.shape[0], cfg.mixup_alpha)
+        self._rng, key = jax.random.split(self._rng)
+        aux = jnp.asarray(feats["aux"])
+        evidence = jnp.asarray(feats["evidence"])
+        f = {
+            k: jnp.asarray(feats[k])
+            for k in ("text", "audio", "visual", "temporal")
+        }
+        self.params, self.opt_state, loss = self._train_step(
+            self.params,
+            self.opt_state,
+            f,
+            aux,
+            evidence,
+            jnp.asarray(labels.astype(np.int32)),
+            jnp.asarray(lam, jnp.float32),
+            jnp.asarray(perm),
+            key,
+        )
+        self.step_count += 1
+        return float(loss)
+
+    def predict_batch(self, feats: Dict[str, np.ndarray]) -> np.ndarray:
+        f = {
+            k: jnp.asarray(feats[k])
+            for k in ("text", "audio", "visual", "temporal")
+        }
+        logits = self._eval_logits(
+            self.params,
+            f,
+            jnp.asarray(feats["aux"]),
+            jnp.asarray(feats["evidence"]),
+        )
+        return np.asarray(jax.nn.softmax(logits, axis=-1))
+
+
+# ----------------------------------------------------------------------
+# Dummy-data fallback (ref :1059-1158)
+# ----------------------------------------------------------------------
+
+def _dummy_feature_batches(
+    n: int, batch_size: int, seed: int
+) -> List[Tuple[Dict[str, np.ndarray], np.ndarray]]:
+    rng = np.random.default_rng(seed)
+    batches = []
+    for s in range(0, n, batch_size):
+        b = min(batch_size, n - s)
+        if b < batch_size:
+            break  # fixed shapes only
+        feats = {
+            "text": rng.standard_normal((b, 768)).astype(np.float32),
+            "audio": rng.standard_normal((b, 128)).astype(np.float32),
+            "visual": rng.standard_normal((b, 512)).astype(np.float32),
+            "temporal": rng.standard_normal((b, 256)).astype(np.float32),
+            "aux": rng.uniform(size=(b, 2)).astype(np.float32),
+            "evidence": rng.uniform(size=(b, 3)).astype(np.float32),
+        }
+        labels = rng.integers(0, 2, size=b).astype(np.int64)
+        batches.append((feats, labels))
+    return batches
+
+
+# ----------------------------------------------------------------------
+# Entry: train_and_evaluate (ref :551-923)
+# ----------------------------------------------------------------------
+
+def train_and_evaluate(
+    data_dir: Optional[str] = None,
+    debug_mode: bool = False,
+    cfg: Optional[V1Config] = None,
+) -> Dict[str, float]:
+    cfg = cfg or V1Config(data_dir=data_dir, debug_mode=debug_mode)
+    host_rng = np.random.default_rng(cfg.seed)
+    trainer = EnsembleTrainer(cfg)
+
+    use_dummy = cfg.debug_mode or not cfg.data_dir
+    extractor = None
+    if not use_dummy:
+        try:
+            dataset = RawMediaDataset(cfg.data_dir)
+            extractor = BatchFeatureExtractor(seed=cfg.seed)
+        except FileNotFoundError:
+            print("⚠️  No dataset found — training with dummy data")
+            use_dummy = True
+
+    if use_dummy:
+        batches = _dummy_feature_batches(
+            cfg.dummy_samples, cfg.batch_size, cfg.seed
+        )
+        k = max(1, int(0.75 * len(batches)))
+        train_batches, val_batches = batches[:k], batches[k:] or batches[:1]
+
+        def epoch_train():
+            losses = [
+                trainer.train_batch(f, y, host_rng) for f, y in train_batches
+            ]
+            return float(np.mean(losses))
+
+        def evaluate():
+            ys, ps = [], []
+            for f, y in val_batches:
+                probs = trainer.predict_batch(f)
+                ys.append(y)
+                ps.append(probs[:, 1])
+            y = np.concatenate(ys)
+            p1 = np.concatenate(ps)
+            acc = float(((p1 >= 0.5).astype(int) == y).mean())
+            return acc, safe_auc(y, p1)
+
+    else:
+        n = len(dataset)
+        order = host_rng.permutation(n)
+        k = max(1, int(0.75 * n))  # 75/25 split (ref :631-639)
+        train_idx, val_idx = order[:k], order[k:]
+        train_ds = AugmentedRawMediaDataset(
+            dataset, augment=cfg.augment, seed=cfg.seed
+        )
+
+        def batch_items(ds, idx_list):
+            for s in range(0, len(idx_list), cfg.batch_size):
+                sel = idx_list[s : s + cfg.batch_size]
+                if len(sel) < cfg.batch_size:
+                    break  # fixed shapes only
+                yield multimodal_collate([ds[int(i)] for i in sel])
+
+        def epoch_train():
+            losses = []
+            for batch in batch_items(train_ds, host_rng.permutation(train_idx)):
+                feats = extractor(batch)
+                losses.append(
+                    trainer.train_batch(feats, batch["label"], host_rng)
+                )
+            return float(np.mean(losses)) if losses else 0.0
+
+        def evaluate():
+            ys, ps = [], []
+            for batch in batch_items(dataset, val_idx):
+                feats = extractor(batch)
+                probs = trainer.predict_batch(feats)
+                ys.append(batch["label"])
+                ps.append(probs[:, 1])
+            if not ys:
+                return 0.0, 0.5
+            y = np.concatenate(ys)
+            p1 = np.concatenate(ps)
+            acc = float(((p1 >= 0.5).astype(int) == y).mean())
+            return acc, safe_auc(y, p1)
+
+    best_acc, best_auc, no_improve = -1.0, 0.5, 0
+    for epoch in range(1, cfg.epochs + 1):
+        loss = epoch_train()
+        line = f"[v1 Epoch {epoch:02d}/{cfg.epochs}] loss={loss:.4f}"
+        if epoch % cfg.eval_every == 0 or epoch == cfg.epochs:
+            acc, auc = evaluate()
+            line += f" | val acc={acc:.3f} auc={auc:.3f}"
+            if acc > best_acc + 1e-6:
+                best_acc, best_auc, no_improve = acc, auc, 0
+            else:
+                no_improve += 1
+        print(line)
+        if no_improve >= cfg.early_stop_patience:
+            print("↳ Early stopping")
+            break
+
+    acc, auc = evaluate()
+    best_acc = max(best_acc, acc)
+    return {
+        "val_acc": acc,
+        "val_auc": auc,
+        "best_val_acc": best_acc,
+        "loss": loss,
+        "ensemble_size": cfg.ensemble_size,
+        "steps": trainer.step_count,
+    }
+
+
+def _main() -> None:
+    """Standalone v1 entry (the reference runs its v1 pipeline the same
+    way: `python src/training/run_train_eval.py`, ref :1283-1324)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="ultrafnd_git_tpu v1 — raw-media ensemble train/eval"
+    )
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="FakeSV root with videos/ (dummy data if omitted)")
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--ensemble_size", type=int, default=2)
+    p.add_argument("--no_mixup", action="store_true")
+    p.add_argument("--no_focal", action="store_true")
+    p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--eval_every", type=int, default=5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--debug", action="store_true",
+                   help="Force the dummy-data path")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = V1Config(
+        data_dir=args.data_dir,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        ensemble_size=args.ensemble_size,
+        mixup_alpha=0.0 if args.no_mixup else 0.2,
+        use_focal=not args.no_focal,
+        augment=not args.no_augment,
+        eval_every=args.eval_every,
+        seed=args.seed,
+        debug_mode=args.debug,
+    )
+    results = train_and_evaluate(cfg=cfg)
+    print("\n==== v1 Final Results ====")
+    for k, v in results.items():
+        print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    _main()
