@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Kernel microbench: Pallas fused attention vs XLA on the current backend.
+
+Validates numerics of the COMPILED kernel (not interpret mode) against the
+XLA reference, then times both at encoder shapes (BERT-base-ish):
+B=32, H=12, S=256, D=64 by default.
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--heads", type=int, default=12)
+    ap.add_argument("--seq", type=int, default=256)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--block_q", type=int, default=128)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ultrafnd_git_tpu.kernels.flash_attention import (
+        flash_attention,
+        padding_bias,
+        reference_attention,
+    )
+    from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    backend = jax.default_backend()
+    b, h, s, d = args.batch, args.heads, args.seq, args.dim
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d), jnp.float32) for kk in ks)
+    mask = jnp.asarray(
+        np.repeat([[1.0] * (s - s // 4) + [0.0] * (s // 4)], b, axis=0)
+    )
+    bias = padding_bias(mask)
+
+    pallas_backend = "pallas" if backend == "tpu" else "interpret"
+    f_pallas = jax.jit(
+        lambda q, k, v: flash_attention(q, k, v, bias=bias,
+                                        backend=pallas_backend)
+    )
+    f_xla = jax.jit(lambda q, k, v: reference_attention(q, k, v, bias=bias))
+
+    # Ground truth at HIGHEST matmul precision (TPU f32 matmuls otherwise
+    # run as multi-pass bf16 on the MXU; both backends sit within that
+    # precision envelope of the true result).
+    with jax.default_matmul_precision("highest"):
+        truth = jax.block_until_ready(
+            jax.jit(lambda q, k, v: reference_attention(q, k, v, bias=bias))(
+                q, k, v
+            )
+        )
+    out_p = jax.block_until_ready(f_pallas(q, k, v))
+    out_x = jax.block_until_ready(f_xla(q, k, v))
+    err_p = float(jnp.max(jnp.abs(out_p - truth)))
+    err_x = float(jnp.max(jnp.abs(out_x - truth)))
+    print(
+        f"backend={backend} pallas={pallas_backend} "
+        f"max|Δ| vs highest-precision truth: pallas={err_p:.2e} xla={err_x:.2e}"
+    )
+    tol = 5e-4 if backend != "tpu" else 1e-2  # bf16-pass envelope on MXU
+    assert err_p < tol, "compiled kernel diverges beyond precision envelope"
+
+    def bench(attn_fn, name):
+        # Chain CHAIN applications inside ONE jit: per-call dispatch (and,
+        # on a tunneled TPU, network round-trips) would otherwise dominate.
+        chain = args.iters
+
+        @jax.jit
+        def run(q):
+            def body(carry, _):
+                out = attn_fn(carry, k, v)
+                return out, ()
+
+            final, _ = jax.lax.scan(body, q, None, length=chain)
+            return final
+
+        jax.block_until_ready(run(q))  # compile + warm
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(q))
+        dt = (time.perf_counter() - t0) / chain
+        flops = 4 * b * h * s * s * d
+        print(f"{name:8s}: {dt*1e6:9.1f} us/call  "
+              f"({flops/dt/1e12:.2f} TFLOP/s)")
+        return dt
+
+    t_p = bench(
+        lambda q, k, v: flash_attention(q, k, v, bias=bias,
+                                        block_q=args.block_q,
+                                        backend=pallas_backend),
+        "pallas",
+    )
+    t_x = bench(
+        lambda q, k, v: reference_attention(q, k, v, bias=bias), "xla"
+    )
+    print(f"speedup vs XLA: {t_x/t_p:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

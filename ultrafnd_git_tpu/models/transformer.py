@@ -1,0 +1,207 @@
+"""On-device transformer text tower (BERT-shaped) over the flash kernel.
+
+The reference's only transformer towers are frozen HF torch models pulled
+at runtime (`src/core_blocks/text_blocks.py:30-106`); offline it degrades
+to a bag-of-words hash embedding. This module adds the tier between those
+rungs: a BERT-shaped Flax encoder that
+  * runs entirely on the TPU (tokenize on host -> one jitted forward for
+    the whole corpus),
+  * uses the Pallas fused attention kernel on TPU (XLA fallback elsewhere),
+  * is trainable (so the text tower can be fine-tuned jointly — something
+    the reference architecture never could),
+  * produces the same contract as `BERTContextEncoder.encode`: mean-pooled
+    masked hidden state, L2-normalized, width `dim` (default 768).
+
+Tokenization is the stable-hash vocabulary (ops/hashing.fnv1a_64 modulo
+vocab) — deterministic across processes, no downloaded vocab files.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ultrafnd_git_tpu.kernels.flash_attention import (
+    flash_attention,
+    padding_bias,
+)
+from ultrafnd_git_tpu.ops.hashing import fnv1a_64
+
+
+def hash_tokenize_batch(
+    texts: Sequence[str],
+    max_len: int = 256,
+    vocab_size: int = 32768,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Whitespace tokens -> stable hash ids. Returns (ids, mask), (N, L)."""
+    ids = np.zeros((len(texts), max_len), dtype=np.int32)
+    mask = np.zeros((len(texts), max_len), dtype=np.float32)
+    for i, text in enumerate(texts):
+        toks = (text or "").split()[:max_len]
+        for j, t in enumerate(toks):
+            # id 0 is reserved for padding
+            ids[i, j] = 1 + (fnv1a_64(t) % (vocab_size - 1))
+        mask[i, : len(toks)] = 1.0
+    return ids, mask
+
+
+class MultiHeadAttention(nn.Module):
+    """Fused-kernel MHA; heads*head_dim == width."""
+
+    width: int
+    heads: int
+    attention_backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        b, s, _ = x.shape
+        d = self.width // self.heads
+        qkv = nn.Dense(3 * self.width, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_first(t):
+            return t.reshape(b, s, self.heads, d).transpose(0, 2, 1, 3)
+
+        out = flash_attention(
+            heads_first(q),
+            heads_first(k),
+            heads_first(v),
+            bias=padding_bias(mask, x.dtype),
+            backend=self.attention_backend,
+        )  # (B, H, S, D)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, self.width)
+        return nn.Dense(self.width, name="out")(out)
+
+
+class EncoderBlock(nn.Module):
+    width: int
+    heads: int
+    mlp_ratio: int = 4
+    dropout: float = 0.1
+    attention_backend: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        h = nn.LayerNorm(name="ln1")(x)
+        h = MultiHeadAttention(
+            self.width, self.heads, self.attention_backend, name="attn"
+        )(h, mask)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = x + h
+
+        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.Dense(self.mlp_ratio * self.width, name="mlp_in")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.width, name="mlp_out")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return x + h
+
+
+class TextTransformer(nn.Module):
+    """BERT-shaped encoder: ids (B, L) -> pooled (B, width), L2-normed."""
+
+    width: int = 768
+    depth: int = 4
+    heads: int = 12
+    vocab_size: int = 32768
+    max_len: int = 256
+    dropout: float = 0.1
+    attention_backend: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        ids: jnp.ndarray,
+        mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        x = nn.Embed(self.vocab_size, self.width, name="tok_embed")(ids)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, self.max_len, self.width),
+        )
+        x = x + pos[:, : ids.shape[1]]
+        x = nn.LayerNorm(name="ln_embed")(x)
+
+        for i in range(self.depth):
+            x = EncoderBlock(
+                self.width,
+                self.heads,
+                dropout=self.dropout,
+                attention_backend=self.attention_backend,
+                name=f"block{i}",
+            )(x, mask, deterministic=deterministic)
+
+        x = nn.LayerNorm(name="ln_final")(x)
+        # mean-pool with mask, L2-normalize (the encode() contract,
+        # reference text_blocks.py:69-106)
+        m = mask[..., None]
+        pooled = (x * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+        return pooled / (
+            jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-9
+        )
+
+
+class DeviceTextEncoder:
+    """Stateful convenience wrapper: corpus-wide jitted encoding.
+
+    Seeded params make the untrained tower a fixed random-feature map
+    (reproducible, like TemporalSyncNet); params are exposed for joint
+    training.
+    """
+
+    def __init__(
+        self,
+        dim: int = 768,
+        depth: int = 4,
+        heads: int = 12,
+        max_len: int = 256,
+        vocab_size: int = 32768,
+        seed: int = 0,
+        attention_backend: str = "auto",
+    ):
+        self.max_len = max_len
+        self.vocab_size = vocab_size
+        self.module = TextTransformer(
+            width=dim,
+            depth=depth,
+            heads=heads,
+            vocab_size=vocab_size,
+            max_len=max_len,
+            attention_backend=attention_backend,
+        )
+        ids = jnp.zeros((1, max_len), jnp.int32)
+        mask = jnp.ones((1, max_len), jnp.float32)
+        self.params = self.module.init(
+            jax.random.PRNGKey(seed), ids, mask, deterministic=True
+        )["params"]
+        self._apply = jax.jit(
+            lambda p, i, m: self.module.apply(
+                {"params": p}, i, m, deterministic=True
+            )
+        )
+
+    def encode_batch(
+        self, texts: Sequence[str], batch_size: int = 512
+    ) -> np.ndarray:
+        out = []
+        for s in range(0, len(texts), batch_size):
+            chunk = list(texts[s : s + batch_size])
+            pad = 0
+            if len(chunk) < batch_size and s > 0:
+                pad = batch_size - len(chunk)
+                chunk = chunk + [""] * pad  # fixed shapes: no recompiles
+            ids, mask = hash_tokenize_batch(
+                chunk, self.max_len, self.vocab_size
+            )
+            enc = np.asarray(
+                self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            )
+            out.append(enc[: len(chunk) - pad] if pad else enc)
+        return np.concatenate(out) if out else np.zeros((0, 768), np.float32)

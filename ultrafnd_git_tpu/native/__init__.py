@@ -1,0 +1,133 @@
+"""Native host-op loader: compiles hashops.cpp once, binds via ctypes.
+
+No pybind11 in this image (see environment notes), so the binding is a
+plain C ABI + ctypes. The shared object is built with g++ -O3 on first use
+into a cache directory keyed by the source hash — rebuilds happen only
+when the .cpp changes; if no toolchain is available everything degrades to
+the pure-Python/numpy path in ops/hashing.py.
+
+Set ULTRAFND_NATIVE=0 to disable the native path (hermetic comparisons).
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent / "hashops.cpp"
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _cache_dir() -> Path:
+    root = os.environ.get("ULTRAFND_NATIVE_CACHE") or os.path.join(
+        tempfile.gettempdir(), "ultrafnd_native"
+    )
+    p = Path(root)
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    if not _SRC.exists():
+        return None
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    so_path = _cache_dir() / f"hashops_{digest}.so"
+    if not so_path.exists():
+        tmp = so_path.with_suffix(f".build{os.getpid()}.so")
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            str(_SRC), "-o", str(tmp),
+        ]
+        try:
+            subprocess.run(
+                cmd, check=True, capture_output=True, timeout=120
+            )
+            os.replace(tmp, so_path)  # atomic: safe under concurrent builds
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(so_path))
+    except OSError:
+        return None
+
+    lib.ufnd_fnv1a64.restype = ctypes.c_uint64
+    lib.ufnd_fnv1a64.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    lib.ufnd_hash_embed_batch.restype = None
+    lib.ufnd_hash_embed_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if os.environ.get("ULTRAFND_NATIVE", "1") == "0":
+        return None
+    if not _TRIED:
+        _TRIED = True
+        _LIB = _build()
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def reset() -> None:  # test hook
+    global _LIB, _TRIED
+    _LIB, _TRIED = None, False
+
+
+# ----------------------------------------------------------------------
+# Bindings
+# ----------------------------------------------------------------------
+
+def fnv1a_64_native(token: str) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = token.encode("utf-8")
+    buf = (ctypes.c_uint8 * max(1, len(data))).from_buffer_copy(
+        data or b"\x00"
+    )
+    return int(lib.ufnd_fnv1a64(buf, len(data)))
+
+
+def hash_embed_batch_native(
+    texts: Sequence[str], dim: int, max_tokens: Optional[int] = None
+) -> Optional[np.ndarray]:
+    """Batched hash embedding in C++; None if the native lib is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    encoded = [(t or "").encode("utf-8") for t in texts]
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    buf = np.frombuffer(b"".join(encoded) or b"\x00", dtype=np.uint8).copy()
+
+    out = np.zeros((len(encoded), dim), dtype=np.float32)
+    lib.ufnd_hash_embed_batch(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(encoded),
+        dim,
+        -1 if max_tokens is None else int(max_tokens),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out

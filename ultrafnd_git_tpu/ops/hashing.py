@@ -83,6 +83,14 @@ def hash_embed_batch(
     single np.add.at call — this is the batched replacement for the
     reference's per-string hot loop (`fakesv_dataset.py:149-197`).
     """
+    # Native C++ fast path (one pass, zero Python-object traffic); the
+    # numpy path below is the reference implementation and the fallback.
+    from ultrafnd_git_tpu import native
+
+    native_out = native.hash_embed_batch_native(texts, dim, max_tokens)
+    if native_out is not None:
+        return native_out
+
     n = len(texts)
     out = np.zeros((n, dim), dtype=np.float32)
 
