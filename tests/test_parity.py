@@ -1,0 +1,227 @@
+"""Logit parity vs the reference implementation (BASELINE.md requirement).
+
+Instantiates the REFERENCE torch models (imported read-only from
+/root/reference — never copied), transfers their randomly-initialized
+weights into our Flax modules, and checks fused/logits/probs agree at
+fp32 tolerance on random inputs. Skipped when the reference tree is not
+mounted.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not (REFERENCE / "src").exists(), reason="reference tree not mounted"
+)
+
+ATOL = 1e-4  # fp32 tolerance per BASELINE.md
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        import torch
+
+        from src.models.fusion.cross_modal_transformer import (
+            CrossModalTransformer as RefFusion,
+        )
+        from src.models.fusion.deep_truth_classifier import (
+            DeepTruthClassifier as RefClassifier,
+        )
+
+        torch.manual_seed(1234)
+        fusion = RefFusion().eval()
+        clf = RefClassifier().eval()
+        yield torch, fusion, clf
+    finally:
+        sys.path.remove(str(REFERENCE))
+
+
+def _t2n(t):
+    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+
+
+def _linear(sd, name):
+    """torch Linear -> flax Dense param dict (kernel is the transpose)."""
+    return {
+        "kernel": _t2n(sd[f"{name}.weight"]).T,
+        "bias": _t2n(sd[f"{name}.bias"]),
+    }
+
+
+def _coattn(sd, name):
+    return {
+        "q": _linear(sd, f"{name}.q"),
+        "k": _linear(sd, f"{name}.k"),
+        "v": _linear(sd, f"{name}.v"),
+        "evidence_in": _linear(sd, f"{name}.evidence_proj.0"),
+        "evidence_out": _linear(sd, f"{name}.evidence_proj.2"),
+    }
+
+
+def fusion_params_from_reference(ref_fusion):
+    sd = ref_fusion.state_dict()
+    return {
+        "text_proj": _linear(sd, "text_proj"),
+        "audio_proj": _linear(sd, "audio_proj"),
+        "visual_proj": _linear(sd, "visual_proj"),
+        "temporal_proj": _linear(sd, "temporal_proj"),
+        "gnn_proj": _linear(sd, "gnn_proj"),
+        "attn_tv": _coattn(sd, "attn_tv"),
+        "attn_ta": _coattn(sd, "attn_ta"),
+        "attn_vu": _coattn(sd, "attn_vu"),
+        "fuse0": _linear(sd, "fuse_mlp.0"),
+        "fuse1": _linear(sd, "fuse_mlp.3"),
+        "head": _linear(sd, "classifier"),
+    }
+
+
+def classifier_params_from_reference(ref_clf):
+    sd = ref_clf.state_dict()
+    trees = len(ref_clf.node.trees)
+    depth = ref_clf.node.trees[0].depth
+    gates = np.stack(
+        [
+            np.stack(
+                [_t2n(sd[f"node.trees.{t}.gates.{k}"]) for k in range(depth)]
+            )
+            for t in range(trees)
+        ]
+    )  # (T, K, F)
+    thresh = np.stack(
+        [
+            np.concatenate(
+                [_t2n(sd[f"node.trees.{t}.thresh.{k}"]) for k in range(depth)]
+            )
+            for t in range(trees)
+        ]
+    )  # (T, K)
+    leaf = np.stack(
+        [_t2n(sd[f"node.trees.{t}.leaf_logits"]) for t in range(trees)]
+    )  # (T, L, C)
+    return {
+        "pre0": _linear(sd, "pre.0"),
+        "pre1": _linear(sd, "pre.3"),
+        "node": {"gates": gates, "thresh": thresh, "leaf_logits": leaf},
+        "bypass": _linear(sd, "bypass"),
+        "temperature": _t2n(sd["temperature"]),
+    }
+
+
+class TestFusionParity:
+    def test_fused_and_logits_match(self, reference_modules):
+        torch, ref_fusion, _ = reference_modules
+        import jax.numpy as jnp
+
+        from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
+
+        rng = np.random.default_rng(0)
+        b = 5
+        feats_np = {
+            "text_features": rng.standard_normal((b, 768)).astype(np.float32),
+            "audio_features": rng.standard_normal((b, 128)).astype(np.float32),
+            "visual_features": rng.standard_normal((b, 512)).astype(np.float32),
+            "temporal_features": rng.standard_normal((b, 256)).astype(
+                np.float32
+            ),
+            "gnn_feat": rng.standard_normal((b, 128)).astype(np.float32),
+        }
+
+        with torch.inference_mode():
+            ref_out = ref_fusion(
+                {k: torch.from_numpy(v) for k, v in feats_np.items()}
+            )
+
+        ours = CrossModalTransformer(hidden=512, use_gnn=True, gnn_dim=128)
+        params = fusion_params_from_reference(ref_fusion)
+        out = ours.apply(
+            {"params": params},
+            {k: jnp.asarray(v) for k, v in feats_np.items()},
+            deterministic=True,
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(out["fused"]), _t2n(ref_out["fused"]), atol=ATOL
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["logits"]), _t2n(ref_out["logits"]), atol=ATOL
+        )
+        for key in ("emotion_intensity", "semantic_conflict", "temporal_delay"):
+            np.testing.assert_allclose(
+                np.asarray(out["forensic"][key]),
+                _t2n(ref_out["forensic"][key]),
+                atol=ATOL,
+            )
+
+
+class TestClassifierParity:
+    def test_logits_probs_temperature_match(self, reference_modules):
+        torch, _, ref_clf = reference_modules
+        import jax.numpy as jnp
+
+        from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
+
+        rng = np.random.default_rng(1)
+        b = 7
+        fused = rng.standard_normal((b, 512)).astype(np.float32)
+        aux = rng.uniform(size=(b, 2)).astype(np.float32)
+
+        with torch.inference_mode():
+            ref_out = ref_clf(torch.from_numpy(fused), torch.from_numpy(aux))
+
+        ours = DeepTruthClassifier(
+            hidden=512,
+            use_aux=True,
+            aux_dim=2,
+            node_trees=len(ref_clf.node.trees),
+            node_depth=ref_clf.node.trees[0].depth,
+            node_tau=float(ref_clf.node.trees[0].tau),
+        )
+        params = classifier_params_from_reference(ref_clf)
+        out = ours.apply(
+            {"params": params},
+            jnp.asarray(fused),
+            jnp.asarray(aux),
+            deterministic=True,
+        )
+
+        np.testing.assert_allclose(
+            np.asarray(out["logits"]), _t2n(ref_out["logits"]), atol=ATOL
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["probs"]), _t2n(ref_out["probs"]), atol=ATOL
+        )
+        assert float(out["temperature"]) == pytest.approx(
+            float(ref_out["temperature"]), abs=1e-6
+        )
+
+
+class TestMetricsParity:
+    def test_metric_functions_match_reference(self, reference_modules):
+        """Same y/p inputs -> identical metric dict (both sklearn-backed)."""
+        sys.path.insert(0, str(REFERENCE))
+        try:
+            from src.training.metrics.forensic_metrics import (
+                aggregate_epoch_metrics as ref_agg,
+            )
+        finally:
+            sys.path.remove(str(REFERENCE))
+        from ultrafnd_git_tpu.training.metrics import aggregate_epoch_metrics
+
+        rng = np.random.default_rng(2)
+        y = rng.integers(0, 2, size=64)
+        p = rng.uniform(size=64)
+        forensic = {
+            "semantic_conflict": rng.uniform(size=64),
+            "temporal_delay": rng.uniform(size=64),
+            "emotion_intensity": rng.uniform(size=64),
+        }
+        ours = aggregate_epoch_metrics(y, p, forensic=forensic, threshold=0.5)
+        theirs = ref_agg(y, p, forensic=forensic, threshold=0.5)
+        for key, val in theirs.items():
+            assert key in ours, f"missing metric {key}"
+            assert ours[key] == pytest.approx(val, abs=1e-9), key
