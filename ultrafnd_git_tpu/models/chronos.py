@@ -99,6 +99,25 @@ class ChronosGuard:
             return None, None
         return cut_scores(gray), self._flow_mags(gray)
 
+    # -- shared-flow path (one flow computation per clip, see
+    #    OpticalFlow3DCNN.flows_for_gray) --------------------------------
+    @staticmethod
+    def flow_mags_from_flows(flows) -> np.ndarray:
+        return np.asarray(
+            [float(np.sqrt((f**2).sum(axis=-1)).mean()) for f in flows],
+            dtype=np.float32,
+        )
+
+    def tamper_score_from_cues(
+        self, cuts: np.ndarray, flows_mag: np.ndarray
+    ) -> float:
+        if cuts is None or cuts.size == 0:
+            return 0.0
+        score = 0.6 * _norm01(float(cuts.mean()), 0.05, 0.5) + 0.4 * _norm01(
+            abs(float(flows_mag.std()) - float(flows_mag.mean())), 0.0, 0.5
+        )
+        return float(np.clip(score, 0.0, 1.0))
+
     # ------------------------------------------------------------------
     def extract_features(self, frames_or_tensor) -> np.ndarray:
         cuts, flows = self._cues(frames_or_tensor)
@@ -133,10 +152,7 @@ class ChronosGuard:
         cuts, flows = self._cues(frames_or_tensor)
         if cuts is None:
             return 0.0
-        score = 0.6 * _norm01(float(cuts.mean()), 0.05, 0.5) + 0.4 * _norm01(
-            abs(float(flows.std()) - float(flows.mean())), 0.0, 0.5
-        )
-        return float(np.clip(score, 0.0, 1.0))
+        return self.tamper_score_from_cues(cuts, flows)
 
     def temporal_tamper_score_batch(self, clips: Sequence) -> np.ndarray:
         return np.asarray(

@@ -39,7 +39,14 @@ def _fit_dim(vec: np.ndarray, dim: int) -> np.ndarray:
 
 
 class BERTContextEncoder:
-    """768-D text encoder: HF BERT (if cached locally) -> stable hash."""
+    """768-D text encoder ladder: HF BERT -> on-device tower -> stable hash.
+
+    The middle rung (opt-in via `use_device_tower=True` or
+    `ULTRAFND_TEXT_DEVICE=1`) is the TPU-resident `TextTransformer` over
+    the Pallas attention kernel — seeded random features when untrained,
+    the joint-training path when its params are learned. Kept opt-in so
+    the default offline behavior matches the reference's hash fallback.
+    """
 
     def __init__(
         self,
@@ -47,10 +54,19 @@ class BERTContextEncoder:
         dim: int = _DIM,
         max_length: int = 256,
         hf_batch_size: int = 64,
+        use_device_tower: Optional[bool] = None,
     ):
+        import os
+
         self.dim = int(dim)
         self.max_length = int(max_length)
         self.hf_batch_size = int(hf_batch_size)
+        if use_device_tower is None:
+            use_device_tower = (
+                os.environ.get("ULTRAFND_TEXT_DEVICE", "0") == "1"
+            )
+        self._device_tower = None
+        self._want_device_tower = bool(use_device_tower)
         from ultrafnd_git_tpu.utils.hf import load_once
 
         def _loader():
@@ -94,6 +110,18 @@ class BERTContextEncoder:
         return (vecs / (norms + 1e-9)).astype(np.float32)
 
     # ------------------------------------------------------------------
+    def _tower(self):
+        if self._device_tower is None and self._want_device_tower:
+            from ultrafnd_git_tpu.models.transformer import DeviceTextEncoder
+
+            self._device_tower = DeviceTextEncoder(
+                dim=self.dim,
+                heads=max(1, self.dim // 64),  # 64-wide heads, dim-divisible
+                max_len=self.max_length,
+                seed=0,
+            )
+        return self._device_tower
+
     def encode(self, text: Optional[str]) -> np.ndarray:
         if not text:
             return np.zeros(self.dim, dtype=np.float32)
@@ -102,6 +130,9 @@ class BERTContextEncoder:
                 return self._hf_encode_batch([text])[0]
             except Exception:
                 pass
+        tower = self._tower()
+        if tower is not None:
+            return tower.encode_batch([text])[0]
         return hash_embed(text, self.dim)
 
     def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
@@ -120,6 +151,15 @@ class BERTContextEncoder:
                 return out
             except Exception:
                 pass
+        tower = self._tower()
+        if tower is not None:
+            nonempty = [i for i, t in enumerate(texts) if t]
+            out = np.zeros((len(texts), self.dim), dtype=np.float32)
+            if nonempty:
+                out[nonempty] = tower.encode_batch(
+                    [texts[i] for i in nonempty]
+                )
+            return out
         return hash_embed_batch(texts, self.dim)
 
     def encode_fields(

@@ -57,6 +57,10 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        if self.width % self.heads:
+            raise ValueError(
+                f"width={self.width} not divisible by heads={self.heads}"
+            )
         b, s, _ = x.shape
         d = self.width // self.heads
         qkv = nn.Dense(3 * self.width, name="qkv")(x)

@@ -174,18 +174,32 @@ class OpticalFlow3DCNN:
 
         return _fit_and_norm(np.asarray(feat, dtype=np.float32), self.dim)
 
+    def flows_for_gray(self, gray: np.ndarray) -> List[np.ndarray]:
+        """(T, H, W) grayscale stack -> T-1 dense flow fields.
+
+        Exposed so ChronosGuard and the feature pipeline can share ONE
+        flow computation per clip — flow dominates host preprocessing
+        (~0.5 s/clip at 30x256^2), and the reference computed it twice.
+        """
+        return [
+            self._flow_pair(gray[i], gray[i + 1])
+            for i in range(gray.shape[0] - 1)
+        ]
+
+    def pool_flows(self, flows: List[np.ndarray]) -> np.ndarray:
+        """Public pooling over precomputed flow fields."""
+        return self._pool_flow(flows)
+
     def extract(self, frames_or_text) -> np.ndarray:
         if isinstance(frames_or_text, str):
             return hash_embed(frames_or_text, self.dim, max_tokens=self.dim)
         frames = frames_from_input(frames_or_text)
         if not frames or len(frames) < 2:
             return np.zeros(self.dim, dtype=np.float32)
-        flows = []
-        for i in range(len(frames) - 1):
-            g0 = ensure_gray(resize(frames[i], (256, 256)))
-            g1 = ensure_gray(resize(frames[i + 1], (256, 256)))
-            flows.append(self._flow_pair(g0, g1))
-        return self._pool_flow(flows)
+        gray = np.stack(
+            [ensure_gray(resize(f, (256, 256))) for f in frames]
+        )
+        return self._pool_flow(self.flows_for_gray(gray))
 
     def extract_text_batch(self, texts: Sequence[str]) -> np.ndarray:
         return hash_embed_batch(texts, self.dim, max_tokens=self.dim)

@@ -128,16 +128,45 @@ class BatchFeatureExtractor:
             [self.audio_enc.extract(w) for w in batch["audio_waveform"]]
         )  # (B, 128)
 
+        # ---- per-clip CV stage: gray + dense flow computed ONCE per clip
+        # and shared between the flow features and the chronos cues (the
+        # reference ran two independent flow passes); clips fan out over a
+        # thread pool — cv2 releases the GIL, so this scales ~linearly.
         frames = batch["video_frames"]  # (B, 30, 256, 256, 3)
-        V = np.stack(
-            [
-                np.concatenate(
-                    [self.flow.extract(clip), self.ela.ela_lbp(clip)]
-                )
-                for clip in frames
-            ]
+
+        def cv_worker(clip):
+            from ultrafnd_git_tpu.models.chronos import cut_scores
+            from ultrafnd_git_tpu.models.visual import (
+                ensure_gray,
+                frames_from_input,
+                resize,
+            )
+
+            fr = frames_from_input(clip)
+            if not fr or len(fr) < 2:
+                zeros = np.zeros(self.flow.dim, np.float32)
+                return zeros, self.ela.ela_lbp(clip), 0.0
+            gray = np.stack(
+                [ensure_gray(resize(f, (256, 256))) for f in fr]
+            )
+            flows = self.flow.flows_for_gray(gray)
+            flow_feat = self.flow.pool_flows(flows)
+            tamper = self.chronos.tamper_score_from_cues(
+                cut_scores(gray),
+                self.chronos.flow_mags_from_flows(flows),
+            )
+            return flow_feat, self.ela.ela_lbp(clip), tamper
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(frames))) as pool:
+            cv_out = list(pool.map(cv_worker, frames))
+        flow_feats, ela_feats, tamper_list = zip(*cv_out)
+        V = np.concatenate(
+            [np.stack(flow_feats), np.stack(ela_feats)], axis=1
         ).astype(np.float32)  # (B, 512)
         V /= np.linalg.norm(V, axis=1, keepdims=True) + 1e-9
+        tamper = np.asarray(tamper_list, dtype=np.float32)
 
         U = self.tsync.align_batch(T, V)  # (B, 256)
         U_tt = self.tsync.align_batch(T, T)
@@ -157,7 +186,7 @@ class BatchFeatureExtractor:
         aff = self.affective.analyze_batch(
             full_text, list(batch["audio_waveform"])
         )
-        tamper = self.chronos.temporal_tamper_score_batch(list(frames))
+        # tamper already computed from the shared per-clip flows above
         sem_gap = self.semantic.gap_magnitude(
             [r["title"] for r in records], [r["ocr"] for r in records]
         )
