@@ -31,8 +31,7 @@ N_NODES = 5376
 BATCH = 512
 VOCAB = 4096
 TOKENS_PER_DOC = 12
-WARMUP = 5
-ITERS = 30
+ITERS = 30  # all steps scanned inside one jit
 
 
 def synthetic_cache(n: int, seed: int = 0) -> dict:
@@ -82,26 +81,39 @@ def main() -> None:
         )
         trainer = ForensicTrainer(cfg, cache=cache)
 
-        rng = np.random.default_rng(0)
-        ones = np.ones(BATCH, np.float32)
-
-        def one_step():
-            idx = rng.integers(0, N_NODES, size=BATCH).astype(np.int32)
-            i, m = trainer._batch_arrays(idx, ones)
-            trainer.state, out = trainer._train_step(trainer.state, i, m)
-            return out
-
-        for _ in range(WARMUP):
-            out = one_step()
         import jax
+        import jax.numpy as jnp
 
-        jax.block_until_ready(out["loss"])
+        rng = np.random.default_rng(0)
+        step_fn = trainer._make_train_step()
+
+        # All ITERS steps run inside ONE jit (lax.scan over pregenerated
+        # index batches): per-step host dispatch — which on a tunneled TPU
+        # is network round-trips — would otherwise dominate the timing.
+        @jax.jit
+        def run_steps(state, idx_all):
+            ones = jnp.ones(BATCH, jnp.float32)
+
+            def body(state, idx):
+                state, out = step_fn(state, idx, ones)
+                return state, out["loss"]
+
+            return jax.lax.scan(body, state, idx_all)
+
+        def idx_batches(n_steps):
+            return jnp.asarray(
+                rng.integers(0, N_NODES, size=(n_steps, BATCH)), jnp.int32
+            )
+
+        # first call compiles + warms; second call is the measurement
+        state, losses = run_steps(trainer.state, idx_batches(ITERS))
+        jax.block_until_ready(losses)
 
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = one_step()
-        jax.block_until_ready(out["loss"])
+        state, losses = run_steps(state, idx_batches(ITERS))
+        jax.block_until_ready(losses)
         dt = (time.perf_counter() - t0) / ITERS
+        assert np.isfinite(float(losses[-1]))
 
         throughput = BATCH / dt
         print(

@@ -48,9 +48,18 @@ class SimpleGCN(nn.Module):
         adj: jnp.ndarray,
         deterministic: bool = True,
         normalize: bool = True,
+        ax: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
+        """ax: optional precomputed (normalized_adj @ x).
+
+        In transductive training both the graph and the node features are
+        constant, so the first propagation a@x never changes — the trainer
+        computes it once and passes it here, removing an (N,N)@(N,F)
+        matmul (the single most expensive op in the train step) from every
+        forward. Exact same math: layer 1 is Dense(a @ x).
+        """
         a = normalize_adjacency(adj) if normalize else adj
-        h = nn.Dense(self.hid, name="lin1")(a @ x)
+        h = nn.Dense(self.hid, name="lin1")(a @ x if ax is None else ax)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.Dense(self.out_dim, name="lin2")(a @ h)

@@ -154,6 +154,8 @@ class ForensicTrainer:
         self.A_NORM = put(
             np.asarray(normalize_adjacency(jnp.asarray(adj)), dtype=np.float32)
         )
+        # Constant first propagation (see SimpleGCN.__call__ ax docstring)
+        self.AX = put(np.asarray(self.A_NORM @ self.XG, dtype=np.float32))
 
         # ---- 4) models ----------------------------------------------------
         self.fusion = CrossModalTransformer.from_config(cfg.fusion_config)
@@ -252,6 +254,7 @@ class ForensicTrainer:
                     self.A_NORM,
                     deterministic=False,
                     normalize=False,
+                    ax=self.AX,
                     rngs={"dropout": key},
                 )
                 pred = jax.nn.sigmoid(z @ head_w)
@@ -292,6 +295,7 @@ class ForensicTrainer:
                 self.A_NORM,
                 deterministic=deterministic,
                 normalize=False,
+                ax=self.AX,
                 rngs=rngs_g,
             )
             feats["gnn_feat"] = z[idx]
