@@ -207,3 +207,32 @@ def test_cos01_range():
     np.testing.assert_allclose(np.asarray(c), 1.0, atol=1e-5)
     c2 = cos01(x, -x)
     np.testing.assert_allclose(np.asarray(c2), 0.0, atol=1e-5)
+
+
+def test_simple_gcn_shortcuts_are_exact():
+    """ax and out_rows are pure batching shortcuts — outputs identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ultrafnd_git_tpu.models.gnn import SimpleGCN, normalize_adjacency
+
+    rng = np.random.default_rng(0)
+    n, f = 24, 16
+    x = jnp.asarray(rng.standard_normal((n, f)), jnp.float32)
+    adj = jnp.asarray((rng.uniform(size=(n, n)) > 0.7), jnp.float32)
+    adj = 0.5 * (adj + adj.T)
+    a = normalize_adjacency(adj)
+
+    gcn = SimpleGCN(hid=8, out_dim=4)
+    params = gcn.init(jax.random.PRNGKey(0), x, a, normalize=False)
+
+    full = gcn.apply(params, x, a, normalize=False)
+    via_ax = gcn.apply(params, x, a, normalize=False, ax=a @ x)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(via_ax), atol=1e-6)
+
+    idx = jnp.asarray([3, 0, 17, 17, 9])
+    rows = gcn.apply(params, x, a, normalize=False, ax=a @ x, out_rows=idx)
+    np.testing.assert_allclose(
+        np.asarray(full)[np.asarray(idx)], np.asarray(rows), atol=1e-6
+    )

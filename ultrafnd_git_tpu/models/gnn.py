@@ -49,20 +49,28 @@ class SimpleGCN(nn.Module):
         deterministic: bool = True,
         normalize: bool = True,
         ax: jnp.ndarray | None = None,
+        out_rows: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
-        """ax: optional precomputed (normalized_adj @ x).
+        """Two exact batching shortcuts for transductive training:
 
-        In transductive training both the graph and the node features are
-        constant, so the first propagation a@x never changes — the trainer
-        computes it once and passes it here, removing an (N,N)@(N,F)
-        matmul (the single most expensive op in the train step) from every
-        forward. Exact same math: layer 1 is Dense(a @ x).
+        ax: precomputed (normalized_adj @ x). Both the graph and the node
+        features are constant, so the first propagation never changes —
+        the trainer computes it once, removing an (N,N)@(N,F) matmul from
+        every forward. Layer 1 is Dense(a @ x), so this is exact.
+
+        out_rows: node indices whose embeddings are needed (the batch).
+        Row i of the second propagation depends only on row i of `a`:
+        z[rows] == Dense(a[rows] @ h), so computing just the batch rows
+        replaces the (N,N)@(N,hid) matmul with (B,N)@(N,hid) — exact, and
+        ~N/B cheaper. Layer 1 still runs over all nodes (the batch's
+        neighbors span the whole graph).
         """
         a = normalize_adjacency(adj) if normalize else adj
         h = nn.Dense(self.hid, name="lin1")(a @ x if ax is None else ax)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.Dense(self.out_dim, name="lin2")(a @ h)
+        a2 = a if out_rows is None else a[out_rows]
+        return nn.Dense(self.out_dim, name="lin2")(a2 @ h)
 
 
 class GNNModel(nn.Module):

@@ -289,16 +289,16 @@ class ForensicTrainer:
         if self.EVID is not None:
             feats["evidence"] = self.EVID[idx]
         if self.cfg.use_gnn:
-            z = self.gnn.apply(
+            feats["gnn_feat"] = self.gnn.apply(
                 {"params": params["gnn"]},
                 self.XG,
                 self.A_NORM,
                 deterministic=deterministic,
                 normalize=False,
                 ax=self.AX,
+                out_rows=idx,  # exact batch-rows shortcut, see SimpleGCN
                 rngs=rngs_g,
             )
-            feats["gnn_feat"] = z[idx]
 
         fo = self.fusion.apply(
             {"params": params["fusion"]},
