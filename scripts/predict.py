@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Score new records with a trained checkpoint (serving CLI).
+
+Usage:
+  python scripts/predict.py --out_dir outputs --input new_records.json
+  python scripts/predict.py --out_dir outputs --input data.json --output preds.jsonl
+
+`--input` takes `data_complete.json` semantics (one JSON array or JSONL of
+records with title/ocr/comments). Output is one JSON object per record:
+{id, prob_fake, label, semantic_conflict, temporal_delay,
+emotion_intensity}.
+"""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def load_records(path: Path) -> list:
+    with open(path, "r", encoding="utf-8") as fh:
+        head = fh.read(1)
+        fh.seek(0)
+        if head == "[":
+            return json.load(fh)
+        return [json.loads(ln) for ln in fh if ln.strip()]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="ultrafnd_git_tpu — predict")
+    ap.add_argument("--out_dir", required=True,
+                    help="Trained output dir (best checkpoint + cache)")
+    ap.add_argument("--input", required=True,
+                    help="JSON array or JSONL of records")
+    ap.add_argument("--output", default=None,
+                    help="Write JSONL here (default: stdout)")
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--checkpoint", default="best", choices=("best", "latest"))
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ultrafnd_git_tpu.serving import Predictor
+
+    predictor = Predictor(
+        args.out_dir,
+        batch_size=args.batch_size,
+        checkpoint_name=args.checkpoint,
+    )
+    results = predictor.predict(load_records(Path(args.input)))
+
+    sink = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
+    try:
+        for r in results:
+            sink.write(json.dumps(r, ensure_ascii=False) + "\n")
+    finally:
+        if args.output:
+            sink.close()
+            print(f"wrote {len(results)} predictions to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Serving: Predictor loads a trained out_dir and scores new records."""
+import numpy as np
+import pytest
+
+from ultrafnd_git_tpu.serving import Predictor
+from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
+
+FAKE_REC = {
+    "video_id": "q_fake",
+    "title": "外星人 入侵 地球 警告 危险",
+    "ocr": "外星 飞船 出现 危险 逃离",
+    "comments": ["太可怕了 赶紧转发"],
+}
+REAL_REC = {
+    "video_id": "q_real",
+    "title": "辟谣 外星人 谣言 不实",
+    "ocr": "专家 辟谣 谣言 证据 科学",
+    "comments": ["官方已经辟谣了"],
+}
+
+
+@pytest.fixture(scope="module")
+def trained_out_dir(fixture_data_root, tmp_path_factory):
+    out = tmp_path_factory.mktemp("serve")
+    cfg = TrainConfig(
+        data_root=fixture_data_root,
+        out_dir=str(out),
+        batch_size=8,
+        epochs=3,
+        seed=0,
+        cache_to_disk=True,
+        log_metrics_jsonl=False,
+    )
+    trainer = ForensicTrainer(cfg)
+    trainer.fit()
+    return str(out)
+
+
+def test_predict_contract_and_discrimination(trained_out_dir):
+    predictor = Predictor(trained_out_dir, batch_size=4)
+    results = predictor.predict([FAKE_REC, REAL_REC])
+    assert [r["id"] for r in results] == ["q_fake", "q_real"]
+    for r in results:
+        assert 0.0 <= r["prob_fake"] <= 1.0
+        assert r["label"] in (0, 1)
+        for k in ("semantic_conflict", "temporal_delay", "emotion_intensity"):
+            assert np.isfinite(r[k])
+    # the model trained to saturation on this vocabulary: the sensational
+    # record must score as more fake than the debunking record
+    assert results[0]["prob_fake"] > results[1]["prob_fake"]
+
+
+def test_predict_batches_pad_without_recompiles(trained_out_dir):
+    predictor = Predictor(trained_out_dir, batch_size=4)
+    many = [dict(FAKE_REC, video_id=f"q{i}") for i in range(7)]  # ragged
+    results = predictor.predict(many)
+    assert len(results) == 7
+    # identical inputs -> identical scores across both sub-batches
+    probs = {r["prob_fake"] for r in results}
+    assert len(probs) == 1
+
+
+def test_predict_empty_and_missing_checkpoint(trained_out_dir, tmp_path):
+    predictor = Predictor(trained_out_dir)
+    assert predictor.predict([]) == []
+    with pytest.raises(FileNotFoundError):
+        Predictor(str(tmp_path))  # no cache/checkpoint there

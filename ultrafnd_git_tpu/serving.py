@@ -1,0 +1,289 @@
+"""Serving: score new records against a trained checkpoint.
+
+The reference stops at `predict/predict_proba` helpers on in-memory
+tensors (`src/models/fusion/deep_truth_classifier.py:176-184`) — there is
+no path from "a trained out_dir" + "new records" to predictions. This
+module provides it:
+
+    predictor = Predictor(out_dir)          # best checkpoint + cache
+    results = predictor.predict(records)    # list of dicts -> probs
+
+Inductive graph extension: the v2 model is transductive (node embeddings
+come from the training graph), so a new record is attached to the corpus
+by its OCR-Jaccard similarities: its adjacency row `a_new` against the
+N training nodes (+ a normalized self-loop) runs through the SAME
+second-propagation path the trainer uses for batch rows
+(`z_new = lin2(a_new @ h)` where `h` is the corpus layer-1 activation) —
+exact GCN semantics for edges into the corpus; the only approximation is
+that new nodes don't see each other.
+
+One jitted scoring function serves fixed-size batches (padded + masked),
+so repeated calls never recompile.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultrafnd_git_tpu.data.cache import load_cache
+from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
+from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
+from ultrafnd_git_tpu.models.gnn import SimpleGCN, normalize_adjacency
+from ultrafnd_git_tpu.ops.jaccard import build_adj_from_ocr, jaccard
+from ultrafnd_git_tpu.training import checkpoint as ckpt
+from ultrafnd_git_tpu.training.state import TrainState, create_train_state
+
+
+class Predictor:
+    """Loads a trained out_dir and scores new FakeSV-style records."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        batch_size: int = 64,
+        checkpoint_name: str = "best",
+    ):
+        self.out_dir = Path(out_dir)
+        self.batch_size = int(batch_size)
+
+        cache_path = self.out_dir / "feature_cache.npz"
+        self.cache = load_cache(str(cache_path))
+        if self.cache is None:
+            raise FileNotFoundError(
+                f"no feature cache at {cache_path} — train first (the "
+                "trainer persists it when cache_to_disk=True)"
+            )
+
+        meta_path = self.out_dir / checkpoint_name / "meta.json"
+        if not meta_path.exists():
+            raise FileNotFoundError(
+                f"no '{checkpoint_name}' checkpoint under {self.out_dir}"
+            )
+        with open(meta_path, "r", encoding="utf-8") as fh:
+            saved_cfg = json.load(fh).get("cfg", {})
+        self.use_gnn = bool(saved_cfg.get("use_gnn", True))
+        self.use_evidence = bool(saved_cfg.get("use_evidence", False))
+        gnn_dim = int(saved_cfg.get("gnn_dim", 128))
+
+        # Rebuild the module set + a state template, then restore weights.
+        self.fusion = CrossModalTransformer.from_config(
+            saved_cfg.get("fusion_config", "configs/model_configs/fusion.yaml")
+        )
+        if not self.use_gnn:
+            self.fusion = self.fusion.clone(use_gnn=False)
+        self.clf = DeepTruthClassifier.from_config(
+            saved_cfg.get(
+                "classifier_config", "configs/model_configs/classifier.yaml"
+            )
+        )
+        self.gnn = SimpleGCN(hid=2 * gnn_dim, out_dim=gnn_dim, dropout=0.2)
+
+        # Device-resident corpus context for the inductive graph extension
+        xg = np.concatenate(
+            [
+                self.cache["text"][:, :192],
+                self.cache["audio"][:, :32],
+                self.cache["visual"][:, :128],
+                self.cache["temporal"][:, :64],
+            ],
+            axis=1,
+        ).astype(np.float32)
+        xg /= np.linalg.norm(xg, axis=1, keepdims=True) + 1e-9
+        self.XG = jnp.asarray(xg)
+        adj = build_adj_from_ocr(
+            self.cache["ocr_sets"],
+            thresh=float(saved_cfg.get("gnn_overlap_thresh", 0.12)),
+        )
+        self.A_NORM = normalize_adjacency(jnp.asarray(adj))
+        self.AX = self.A_NORM @ self.XG
+        self.corpus_deg = np.asarray(
+            adj.sum(axis=1) + 1.0
+        )  # +1 self-loop, matches normalize_adjacency
+        self.thresh = float(saved_cfg.get("gnn_overlap_thresh", 0.12))
+
+        template = self._state_template(gnn_dim, saved_cfg)
+        restored = ckpt.load_checkpoint(str(self.out_dir), checkpoint_name,
+                                        template)
+        if restored is None:
+            raise FileNotFoundError(
+                f"failed to restore '{checkpoint_name}' from {self.out_dir}"
+            )
+        self.params = restored[0].params
+
+        self._score = jax.jit(self._make_score())
+
+        # Featurizer (same encoders/seed the trainer's cache builder used)
+        self._seed = int(saved_cfg.get("seed", 42))
+
+    # ------------------------------------------------------------------
+    def _state_template(self, gnn_dim: int, saved_cfg: Dict) -> TrainState:
+        # The restore target must match the SAVED pytree structure exactly,
+        # including the optimizer chain the trainer built.
+        from ultrafnd_git_tpu.training.state import make_optimizer
+
+        b = 2
+        feats = {
+            "text_features": jnp.zeros((b, self.cache["text"].shape[1])),
+            "audio_features": jnp.zeros((b, self.cache["audio"].shape[1])),
+            "visual_features": jnp.zeros((b, self.cache["visual"].shape[1])),
+            "temporal_features": jnp.zeros(
+                (b, self.cache["temporal"].shape[1])
+            ),
+        }
+        if self.use_gnn:
+            feats["gnn_feat"] = jnp.zeros((b, gnn_dim))
+        key = jax.random.PRNGKey(0)
+        params = {
+            "fusion": self.fusion.init(key, feats)["params"],
+            "clf": self.clf.init(
+                key, jnp.zeros((b, 512)), jnp.zeros((b, 2))
+            )["params"],
+            "gnn": self.gnn.init(
+                key, self.XG, self.A_NORM, normalize=False
+            )["params"],
+        }
+        tx = make_optimizer(
+            float(saved_cfg.get("lr", 2e-4)),
+            float(saved_cfg.get("weight_decay", 1e-4)),
+            float(saved_cfg.get("grad_clip", 5.0)),
+            steps_per_epoch=1,  # schedule state shape is step-count only
+        )
+        return create_train_state(params, tx, key)
+
+    # ------------------------------------------------------------------
+    def _make_score(self):
+        def score(params, feats, aux, a_rows):
+            if self.use_gnn:
+                # SimpleGCN's deterministic math with external propagation
+                # rows: h = gelu(lin1(AX)) over the corpus, then
+                # z_new = lin2(a_rows @ h) — the trainer's out_rows path
+                # with the new nodes' adjacency rows instead of an index.
+                p = params["gnn"]
+                h = jax.nn.gelu(
+                    self.AX @ p["lin1"]["kernel"] + p["lin1"]["bias"],
+                    approximate=False,
+                )
+                z = (a_rows @ h) @ p["lin2"]["kernel"] + p["lin2"]["bias"]
+                feats = {**feats, "gnn_feat": z}
+            fo = self.fusion.apply(
+                {"params": params["fusion"]}, feats, deterministic=True
+            )
+            co = self.clf.apply(
+                {"params": params["clf"]},
+                fo["fused"],
+                aux,
+                deterministic=True,
+            )
+            return co["probs"], fo["forensic"]
+
+        return score
+
+    # ------------------------------------------------------------------
+    def _new_node_rows(self, ocr_sets: Sequence[set]) -> np.ndarray:
+        """Normalized adjacency rows of new nodes against the corpus."""
+        corpus = self.cache["ocr_sets"]
+        n = len(corpus)
+        rows = np.zeros((len(ocr_sets), n), dtype=np.float32)
+        for i, s in enumerate(ocr_sets):
+            if not s:
+                continue
+            for j, c in enumerate(corpus):
+                if c and jaccard(s, c) >= self.thresh:
+                    rows[i, j] = 1.0
+        # D^{-1/2} (A+I) D^{-1/2} extension: new node degree = links + self
+        deg_new = rows.sum(axis=1) + 1.0
+        rows = rows / np.sqrt(deg_new)[:, None] / np.sqrt(self.corpus_deg)[None, :]
+        return rows
+
+    def featurize(self, records: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+        """records with title/ocr/comments -> trainer-contract features."""
+        from ultrafnd_git_tpu.data.cache import build_feature_cache
+
+        class _Raw:  # minimal FakeSVRawDataset-shaped adapter
+            def __init__(self, recs):
+                self._recs = [
+                    {
+                        "id": r.get("video_id") or r.get("id") or f"q_{i}",
+                        "title": r.get("title") or "",
+                        "ocr": r.get("ocr") or "",
+                        "comments": list(r.get("comments") or []),
+                        "label": 0,
+                    }
+                    for i, r in enumerate(recs)
+                ]
+
+            def __len__(self):
+                return len(self._recs)
+
+            def get_item(self, i):
+                return self._recs[i]
+
+        return build_feature_cache(_Raw(records), seed=self._seed)
+
+    # ------------------------------------------------------------------
+    def predict(
+        self, records: Sequence[Dict[str, Any]]
+    ) -> List[Dict[str, Any]]:
+        """Score records; returns [{id, prob_fake, label, forensic...}]."""
+        if not records:
+            return []
+        feats_cache = self.featurize(records)
+        n = len(records)
+        b = self.batch_size
+
+        out: List[Dict[str, Any]] = []
+        for s in range(0, n, b):
+            sel = slice(s, min(s + b, n))
+            count = sel.stop - sel.start
+            pad = b - count
+
+            def take(key):
+                arr = feats_cache[key][sel].astype(np.float32)
+                if pad:
+                    arr = np.concatenate(
+                        [arr, np.repeat(arr[-1:], pad, axis=0)]
+                    )
+                return jnp.asarray(arr)
+
+            feats = {
+                "text_features": take("text"),
+                "audio_features": take("audio"),
+                "visual_features": take("visual"),
+                "temporal_features": take("temporal"),
+            }
+            if self.use_evidence:
+                feats["evidence"] = take("evidence")
+            aux = take("aux")
+
+            ocr_sets = feats_cache["ocr_sets"][sel]
+            a_rows = self._new_node_rows(ocr_sets)
+            if pad:
+                a_rows = np.concatenate(
+                    [a_rows, np.repeat(a_rows[-1:], pad, axis=0)]
+                )
+            probs, forensic = self._score(
+                self.params, feats, aux, jnp.asarray(a_rows)
+            )
+            probs = np.asarray(probs)[:count]
+            forensic = {k: np.asarray(v)[:count] for k, v in forensic.items()}
+            for i in range(count):
+                out.append(
+                    {
+                        "id": str(feats_cache["ids"][s + i]),
+                        "prob_fake": float(probs[i, 1]),
+                        "label": int(probs[i, 1] >= 0.5),
+                        "semantic_conflict": float(
+                            forensic["semantic_conflict"][i]
+                        ),
+                        "temporal_delay": float(forensic["temporal_delay"][i]),
+                        "emotion_intensity": float(
+                            forensic["emotion_intensity"][i]
+                        ),
+                    }
+                )
+        return out
