@@ -101,5 +101,5 @@ class FakeSVRawDataset:
         rng = rng or np.random.default_rng()
         words = text.split()
         if len(words) > 2:
-            words[int(rng.integers(0, len(words) - 1))] = "random"
+            words[int(rng.integers(0, len(words)))] = "random"
         return " ".join(words)

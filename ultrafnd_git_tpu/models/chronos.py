@@ -165,7 +165,7 @@ class ChronosGuard:
         audio_env: np.ndarray,
         mouth_open: np.ndarray,
         sr: float = 16000.0,
-        fps: float = 25.0,
+        fps: "float | None" = None,
         max_lag_s: float = 0.5,
     ) -> float:
         return TemporalSyncNet.estimate_av_lag(

@@ -193,14 +193,17 @@ class GNNSimple:
         G = (P - Y) / (mask.sum() + 1e-9)
         G *= mask[:, None].astype(np.float32)
 
+        # Layer k: pre_k = A H_k W_k, H_{k+1} = relu(pre_k). Gradients:
+        #   dW_k = (A H_k)^T dpre_k
+        #   dH_k = A^T dpre_k W_k^T   <- the A^T factor is part of the math
         Hs = self.cache["H"]
         grads = [None] * len(self.W)
         grads[-1] = (A_norm @ Hs[-1]).T @ G + wd * self.W[-1]
-        Gh = (G @ self.W[-1].T) * (Hs[-1] > 0)
+        Gh = (A_norm.T @ G @ self.W[-1].T) * (Hs[-1] > 0)
         for li in reversed(range(len(self.W) - 1)):
             grads[li] = (A_norm @ Hs[li]).T @ Gh + wd * self.W[li]
             if li > 0:
-                Gh = (Gh @ self.W[li].T) * (Hs[li] > 0)
+                Gh = (A_norm.T @ Gh @ self.W[li].T) * (Hs[li] > 0)
         for i, g in enumerate(grads):
             self.W[i] -= lr * g
 

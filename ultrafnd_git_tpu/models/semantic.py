@@ -107,6 +107,7 @@ class SemanticForgeryAnalyzer:
                 proj_dim=int(raw.get("dim", raw.get("proj_dim", 512))),
                 dropout=float(raw.get("dropout", 0.3)),
                 max_length=int(raw.get("max_length", 64)),
+                zeros_fallback=bool(raw.get("zeros_fallback", False)),
             ),
             seed=seed,
         )

@@ -12,7 +12,7 @@ Parity target: reference `src/core_blocks/temporal_blocks.py`:
 """
 from __future__ import annotations
 
-from typing import Union
+from typing import Union, Optional
 
 import jax
 import jax.numpy as jnp
@@ -167,12 +167,23 @@ class TemporalSyncNet:
         audio_envelope: np.ndarray,
         mouth_open: np.ndarray,
         sr: float = 16000.0,
-        fps: float = 25.0,
+        fps: Optional[float] = None,
         max_lag_s: float = 0.5,
     ) -> float:
-        """FFT cross-correlation A/V lag in seconds (positive = audio leads)."""
+        """FFT cross-correlation A/V lag in seconds (positive = audio leads).
+
+        `fps`: sample rate of `mouth_open` when it is a per-frame video
+        signal; it is resampled to `sr` before correlating. None means
+        both signals already share rate `sr`. (The reference accepts fps
+        but never uses it and silently correlates mismatched rates,
+        chronos_guard.py:176-196 — implemented as intended here.)
+        """
         a = np.asarray(audio_envelope, dtype=np.float32).ravel()
         m = np.asarray(mouth_open, dtype=np.float32).ravel()
+        if fps is not None and fps > 0 and fps != sr and m.size > 1:
+            t_m = np.arange(m.size) / float(fps)
+            t_target = np.arange(int(t_m[-1] * sr) + 1) / float(sr)
+            m = np.interp(t_target, t_m, m).astype(np.float32)
         L = min(len(a), len(m))
         if L < 4:
             return 0.0

@@ -172,6 +172,7 @@ class DeviceTextEncoder:
     ):
         self.max_len = max_len
         self.vocab_size = vocab_size
+        self.dim = int(dim)
         self.module = TextTransformer(
             width=dim,
             depth=depth,
@@ -208,4 +209,8 @@ class DeviceTextEncoder:
                 self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
             )
             out.append(enc[: len(chunk) - pad] if pad else enc)
-        return np.concatenate(out) if out else np.zeros((0, 768), np.float32)
+        return (
+            np.concatenate(out)
+            if out
+            else np.zeros((0, self.dim), np.float32)
+        )

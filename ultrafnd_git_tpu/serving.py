@@ -34,7 +34,7 @@ from ultrafnd_git_tpu.data.cache import load_cache
 from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
 from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
 from ultrafnd_git_tpu.models.gnn import SimpleGCN, normalize_adjacency
-from ultrafnd_git_tpu.ops.jaccard import build_adj_from_ocr, jaccard
+from ultrafnd_git_tpu.ops.jaccard import build_adj_from_ocr
 from ultrafnd_git_tpu.training import checkpoint as ckpt
 from ultrafnd_git_tpu.training.state import TrainState, create_train_state
 
@@ -106,6 +106,21 @@ class Predictor:
         )  # +1 self-loop, matches normalize_adjacency
         self.thresh = float(saved_cfg.get("gnn_overlap_thresh", 0.12))
 
+        # Inverted index token -> corpus doc ids: new-node Jaccard rows
+        # become a handful of posting-list accumulations per record
+        # instead of an O(B*N) Python set loop.
+        postings: Dict[str, list] = {}
+        for j, s in enumerate(self.cache["ocr_sets"]):
+            for tok in s:
+                postings.setdefault(tok, []).append(j)
+        self._postings = {
+            tok: np.asarray(js, dtype=np.int64)
+            for tok, js in postings.items()
+        }
+        self._corpus_sizes = np.asarray(
+            [len(s) for s in self.cache["ocr_sets"]], dtype=np.float32
+        )
+
         template = self._state_template(gnn_dim, saved_cfg)
         restored = ckpt.load_checkpoint(str(self.out_dir), checkpoint_name,
                                         template)
@@ -141,7 +156,7 @@ class Predictor:
         params = {
             "fusion": self.fusion.init(key, feats)["params"],
             "clf": self.clf.init(
-                key, jnp.zeros((b, 512)), jnp.zeros((b, 2))
+                key, jnp.zeros((b, self.fusion.hidden)), jnp.zeros((b, 2))
             )["params"],
             "gnn": self.gnn.init(
                 key, self.XG, self.A_NORM, normalize=False
@@ -185,16 +200,25 @@ class Predictor:
 
     # ------------------------------------------------------------------
     def _new_node_rows(self, ocr_sets: Sequence[set]) -> np.ndarray:
-        """Normalized adjacency rows of new nodes against the corpus."""
-        corpus = self.cache["ocr_sets"]
-        n = len(corpus)
+        """Normalized adjacency rows of new nodes against the corpus.
+
+        inter[j] accumulates over the new doc's tokens via the inverted
+        index; jaccard = inter / (|s| + |corpus_j| - inter + eps) with the
+        same epsilon/threshold semantics as ops.jaccard.build_adj_from_ocr.
+        """
+        n = len(self._corpus_sizes)
         rows = np.zeros((len(ocr_sets), n), dtype=np.float32)
         for i, s in enumerate(ocr_sets):
             if not s:
                 continue
-            for j, c in enumerate(corpus):
-                if c and jaccard(s, c) >= self.thresh:
-                    rows[i, j] = 1.0
+            inter = np.zeros(n, dtype=np.float32)
+            for tok in s:
+                js = self._postings.get(tok)
+                if js is not None:
+                    inter[js] += 1.0
+            union = len(s) + self._corpus_sizes - inter
+            jac = inter / (union + 1e-9)
+            rows[i] = (jac >= self.thresh).astype(np.float32)
         # D^{-1/2} (A+I) D^{-1/2} extension: new node degree = links + self
         deg_new = rows.sum(axis=1) + 1.0
         rows = rows / np.sqrt(deg_new)[:, None] / np.sqrt(self.corpus_deg)[None, :]

@@ -103,9 +103,14 @@ class BatchFeatureExtractor:
     """Raw collated batch -> fixed-width feature dict + evidence scalars."""
 
     def __init__(self, seed: int = 42):
+        import threading
+
         self.text_enc = BERTContextEncoder(dim=768)
         self.audio_enc = SpectralForensics(dim=128)
         self.flow = OpticalFlow3DCNN(dim=256)
+        # cv2 algorithm objects (TV-L1 solvers) are stateful and not safe
+        # for concurrent calc() — each pool thread gets its own instance.
+        self._tls = threading.local()
         self.ela = DeepForgeryDetector(dim=256)
         self.tsync = TemporalSyncNet(in_dim=768, out_dim=256, seed=seed)
         self.affective = AffectiveForensics.from_config()
@@ -134,6 +139,13 @@ class BatchFeatureExtractor:
         # thread pool — cv2 releases the GIL, so this scales ~linearly.
         frames = batch["video_frames"]  # (B, 30, 256, 256, 3)
 
+        def thread_flow() -> OpticalFlow3DCNN:
+            inst = getattr(self._tls, "flow", None)
+            if inst is None:
+                inst = OpticalFlow3DCNN(dim=self.flow.dim)
+                self._tls.flow = inst
+            return inst
+
         def cv_worker(clip):
             from ultrafnd_git_tpu.models.chronos import cut_scores
             from ultrafnd_git_tpu.models.visual import (
@@ -142,15 +154,16 @@ class BatchFeatureExtractor:
                 resize,
             )
 
+            flow_enc = thread_flow()
             fr = frames_from_input(clip)
             if not fr or len(fr) < 2:
-                zeros = np.zeros(self.flow.dim, np.float32)
+                zeros = np.zeros(flow_enc.dim, np.float32)
                 return zeros, self.ela.ela_lbp(clip), 0.0
             gray = np.stack(
                 [ensure_gray(resize(f, (256, 256))) for f in fr]
             )
-            flows = self.flow.flows_for_gray(gray)
-            flow_feat = self.flow.pool_flows(flows)
+            flows = flow_enc.flows_for_gray(gray)
+            flow_feat = flow_enc.pool_flows(flows)
             tamper = self.chronos.tamper_score_from_cues(
                 cut_scores(gray),
                 self.chronos.flow_mags_from_flows(flows),
@@ -229,7 +242,7 @@ class EnsembleTrainer:
             return {
                 "fusion": self.fusion.init(kf, dummy)["params"],
                 "clf": self.clf.init(
-                    kc, jnp.zeros((b, 512)), jnp.zeros((b, 2))
+                    kc, jnp.zeros((b, self.fusion.hidden)), jnp.zeros((b, 2))
                 )["params"],
             }
 

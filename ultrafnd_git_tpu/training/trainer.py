@@ -179,7 +179,7 @@ class ForensicTrainer:
         params = {
             "fusion": self.fusion.init(k_f, dummy_feats)["params"],
             "clf": self.clf.init(
-                k_c, jnp.zeros((B, 512)), jnp.zeros((B, 2))
+                k_c, jnp.zeros((B, self.fusion.hidden)), jnp.zeros((B, 2))
             )["params"],
             "gnn": self.gnn.init(k_g, self.XG, self.A_NORM, normalize=False)[
                 "params"
@@ -208,6 +208,14 @@ class ForensicTrainer:
             restored = ckpt.load_checkpoint(cfg.out_dir, "latest", self.state)
             if restored is not None:
                 self.state, meta = restored
+                if self.mesh is not None:
+                    # restore returns host-placed arrays — re-apply the
+                    # mesh shardings or resumed training silently loses TP
+                    self.state = self.state.replace(
+                        params=meshlib.shard_params(
+                            self.state.params, self.mesh
+                        )
+                    )
                 self.start_epoch = int(meta.get("epoch", 0)) + 1
                 self.best_val_auc = float(meta.get("best_val_auc", -1.0))
                 self.no_improve = int(meta.get("no_improve", 0))
@@ -453,15 +461,20 @@ class ForensicTrainer:
                     "no_improve": self.no_improve,
                     "cfg": asdict(cfg),
                 }
-                if val_auc > self.best_val_auc + 1e-4 and cfg.save_best:
+                # Improvement accounting is independent of save_best —
+                # only the checkpoint WRITE is gated by it.
+                if val_auc > self.best_val_auc + 1e-4:
                     self.best_val_auc = val_auc
                     self.no_improve = 0
                     meta["best_val_auc"] = val_auc
-                    ckpt.save_checkpoint(cfg.out_dir, "best", self.state, meta)
-                    print(
-                        f"  ↳ saved best checkpoint to {cfg.out_dir}/best "
-                        f"(val_auc={val_auc:.3f})"
-                    )
+                    if cfg.save_best:
+                        ckpt.save_checkpoint(
+                            cfg.out_dir, "best", self.state, meta
+                        )
+                        print(
+                            f"  ↳ saved best checkpoint to {cfg.out_dir}/best "
+                            f"(val_auc={val_auc:.3f})"
+                        )
                 else:
                     self.no_improve += 1
 

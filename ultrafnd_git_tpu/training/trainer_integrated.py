@@ -184,7 +184,7 @@ class IntegratedForensicTrainer:
         params = {
             "fusion": self.fusion.init(k_f, dummy_feats)["params"],
             "clf": self.clf.init(
-                k_c, jnp.zeros((b, 512)), jnp.zeros((b, 2))
+                k_c, jnp.zeros((b, self.fusion.hidden)), jnp.zeros((b, 2))
             )["params"],
         }
         if cfg.use_gnn:
@@ -385,23 +385,26 @@ class IntegratedForensicTrainer:
                 f"auc={val_auc:.3f} | thr={thr:.3f}"
             )
 
-            if val_auc > self.best_score + 1e-4 and cfg.save_best:
+            # Improvement accounting independent of save_best — only the
+            # checkpoint write is gated by it.
+            if val_auc > self.best_score + 1e-4:
                 self.best_score = val_auc
                 self.no_improve = 0
-                ckpt.save_checkpoint(
-                    cfg.out_dir,
-                    "best",
-                    self.state,
-                    {
-                        "epoch": epoch,
-                        "best_val_auc": self.best_score,
-                        "cfg": asdict(cfg),
-                    },
-                )
-                print(
-                    f"  ↳ saved best checkpoint to {cfg.out_dir}/best "
-                    f"(score={self.best_score:.3f})"
-                )
+                if cfg.save_best:
+                    ckpt.save_checkpoint(
+                        cfg.out_dir,
+                        "best",
+                        self.state,
+                        {
+                            "epoch": epoch,
+                            "best_val_auc": self.best_score,
+                            "cfg": asdict(cfg),
+                        },
+                    )
+                    print(
+                        f"  ↳ saved best checkpoint to {cfg.out_dir}/best "
+                        f"(score={self.best_score:.3f})"
+                    )
             else:
                 self.no_improve += 1
                 if self.no_improve >= cfg.early_stop_patience:
