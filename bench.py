@@ -105,14 +105,19 @@ def main() -> None:
                 rng.integers(0, N_NODES, size=(n_steps, BATCH)), jnp.int32
             )
 
-        # first call compiles + warms; second call is the measurement
+        # first call compiles + warms; median of 3 timed calls smooths
+        # run-to-run variance on a shared/tunneled chip
         state, losses = run_steps(trainer.state, idx_batches(ITERS))
         jax.block_until_ready(losses)
 
-        t0 = time.perf_counter()
-        state, losses = run_steps(state, idx_batches(ITERS))
-        jax.block_until_ready(losses)
-        dt = (time.perf_counter() - t0) / ITERS
+        times = []
+        for _ in range(3):
+            idx_all = idx_batches(ITERS)
+            t0 = time.perf_counter()
+            state, losses = run_steps(state, idx_all)
+            jax.block_until_ready(losses)
+            times.append((time.perf_counter() - t0) / ITERS)
+        dt = float(np.median(times))
         assert np.isfinite(float(losses[-1]))
 
         throughput = BATCH / dt
