@@ -402,6 +402,38 @@ def _dummy_feature_batches(
     return batches
 
 
+def prefetched(iterator, depth: int = 2):
+    """Run `iterator` in a background thread, keeping `depth` items ready.
+
+    The v1 pipeline is host-bound (decode + CV features); prefetching
+    overlaps the next batch's host work with the current batch's device
+    step — the reference trains strictly serially. Exceptions in the
+    producer are re-raised at the consumer.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as exc:  # surfaced on the consumer side
+            q.put(exc)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 # ----------------------------------------------------------------------
 # Entry: train_and_evaluate (ref :551-923)
 # ----------------------------------------------------------------------
@@ -465,21 +497,23 @@ def train_and_evaluate(
                     break  # fixed shapes only
                 yield multimodal_collate([ds[int(i)] for i in sel])
 
+        def featurized(ds, idx_list):
+            for batch in batch_items(ds, idx_list):
+                yield extractor(batch), batch["label"]
+
         def epoch_train():
             losses = []
-            for batch in batch_items(train_ds, host_rng.permutation(train_idx)):
-                feats = extractor(batch)
-                losses.append(
-                    trainer.train_batch(feats, batch["label"], host_rng)
-                )
+            for feats, labels in prefetched(
+                featurized(train_ds, host_rng.permutation(train_idx))
+            ):
+                losses.append(trainer.train_batch(feats, labels, host_rng))
             return float(np.mean(losses)) if losses else 0.0
 
         def evaluate():
             ys, ps = [], []
-            for batch in batch_items(dataset, val_idx):
-                feats = extractor(batch)
+            for feats, labels in prefetched(featurized(dataset, val_idx)):
                 probs = trainer.predict_batch(feats)
-                ys.append(batch["label"])
+                ys.append(labels)
                 ps.append(probs[:, 1])
             if not ys:
                 return 0.0, 0.5
