@@ -111,6 +111,7 @@ def main():
             gnn_overlap_thresh=args.gnn_overlap_thresh,
             seed=args.seed,
             use_gnn=(not args.no_gnn),
+            profile_dir=args.profile_dir,
         )
         itrainer = IntegratedForensicTrainer(icfg)
         results = (

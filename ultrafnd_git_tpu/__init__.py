@@ -20,15 +20,19 @@ Design differences from the reference (deliberate, TPU-first):
     across processes (the reference uses Python's randomized `hash`).
 
 Package layout:
-  utils/     config loading (YAML -> dict, same schema as reference configs)
-  ops/       pure jnp ops + Pallas TPU kernels (hashing, jaccard, NODE trees,
-             GCN, flash attention, STFT, image ops)
+  utils/     config loading (YAML -> dict, same schema as reference
+             configs), device presets, HF gating, jax cache
+  ops/       pure host/jnp ops (stable hashing, jaccard graphs, NODE trees)
+  kernels/   Pallas TPU kernels (fused flash attention)
+  native/    C++ host ops (ctypes-bound hash embeddings)
   data/      host pipeline: JSONL parse, feature cache, splits, OCR graphs,
              raw-media decode, augmentation
   models/    Flax modules: fusion, classifier, GNN, per-modality encoders,
-             forensic evidence scorers
+             forensic evidence scorers, on-device text transformer
   parallel/  device mesh + sharding rules
-  training/  trainer, train state, metrics, checkpointing
+  training/  trainers (v2 / integrated / v1 raw-media), train state,
+             metrics, checkpointing, interpretability
+  serving.py Predictor: score new records against a trained checkpoint
 """
 
 __version__ = "0.1.0"

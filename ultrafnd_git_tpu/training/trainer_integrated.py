@@ -84,6 +84,8 @@ class IntegratedTrainConfig:
     # TPU-native extras
     cache_to_disk: bool = True
     early_stop_patience: int = 3
+    log_metrics_jsonl: bool = True
+    profile_dir: Optional[str] = None
     fusion_config: str = "configs/model_configs/fusion.yaml"
     classifier_config: str = "configs/model_configs/classifier.yaml"
 
@@ -363,8 +365,30 @@ class IntegratedForensicTrainer:
         return float(np.mean(losses)), acc, auc
 
     # ------------------------------------------------------------------
+    def _log_jsonl(self, record: Dict[str, Any]) -> None:
+        if not self.cfg.log_metrics_jsonl:
+            return
+        import json
+
+        with open(
+            os.path.join(self.cfg.out_dir, "metrics.jsonl"),
+            "a",
+            encoding="utf-8",
+        ) as fh:
+            fh.write(json.dumps(record, ensure_ascii=False) + "\n")
+
     def train(self) -> Dict[str, float]:
         print("\n>>> Training (integrated variant)...")
+        cfg = self.cfg
+        if cfg.profile_dir:
+            jax.profiler.start_trace(cfg.profile_dir)
+        try:
+            return self._train_loop()
+        finally:
+            if cfg.profile_dir:
+                jax.profiler.stop_trace()
+
+    def _train_loop(self) -> Dict[str, float]:
         cfg = self.cfg
         for epoch in range(1, cfg.epochs + 1):
             thr = self._annealed_thresh(epoch - 1)
@@ -383,6 +407,18 @@ class IntegratedForensicTrainer:
                 f"acc={tr_acc:.3f} auc={tr_auc:.3f} | "
                 f"val: loss={val_loss:.4f} acc={val_acc:.3f} "
                 f"auc={val_auc:.3f} | thr={thr:.3f}"
+            )
+            self._log_jsonl(
+                {
+                    "epoch": epoch,
+                    "thr": thr,
+                    "train_loss": tr_loss,
+                    "train_acc": tr_acc,
+                    "train_auc": tr_auc,
+                    "val_loss": val_loss,
+                    "val_acc": val_acc,
+                    "val_auc": val_auc,
+                }
             )
 
             # Improvement accounting independent of save_best — only the
