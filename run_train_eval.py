@@ -52,6 +52,10 @@ def parse_args():
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh size (default: no mesh)")
     p.add_argument("--tp", type=int, default=1, help="Tensor-parallel mesh size")
+    p.add_argument("--shard_corpus", action="store_true",
+                   help="Shard the HBM-resident feature corpus rows over "
+                        "the 'data' mesh axis (for corpora beyond one "
+                        "chip's HBM; see docs/SCALING.md)")
     p.add_argument("--resume", action="store_true",
                    help="Resume from the latest checkpoint in out_dir")
     p.add_argument("--profile_dir", type=str, default=None,
@@ -138,6 +142,7 @@ def main():
         save_best=True,
         dp=args.dp,
         tp=args.tp,
+        shard_corpus=args.shard_corpus,
         resume=args.resume,
         profile_dir=args.profile_dir,
     )

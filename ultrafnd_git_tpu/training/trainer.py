@@ -77,6 +77,7 @@ class TrainConfig:
     resume: bool = False  # restart from the `latest` checkpoint if present
     dp: Optional[int] = None  # data-parallel mesh size (None = no mesh)
     tp: int = 1  # tensor-parallel mesh size
+    shard_corpus: bool = False  # shard (N, D) corpus rows over 'data'
     mesh_backend: Optional[str] = None  # e.g. "cpu" to mesh over host devices
     profile_dir: Optional[str] = None  # jax.profiler trace output
     debug_nans: bool = False
@@ -125,7 +126,15 @@ class ForensicTrainer:
             self.mesh = meshlib.make_mesh(dp=cfg.dp, tp=cfg.tp, devices=devices)
 
         # ---- 3) device-resident corpus + graph ---------------------------
-        put = self._put_replicated
+        # shard_corpus distributes the (N, D) feature rows over the 'data'
+        # axis (the SCALING.md growth path for corpora beyond one chip's
+        # HBM); XLA turns the per-step gathers into collectives. Default
+        # off: at FakeSV scale replication avoids the gather traffic.
+        put = (
+            self._put_row_sharded
+            if (cfg.shard_corpus and self.mesh is not None)
+            else self._put_replicated
+        )
         self.TEXT = put(self.cache["text"])
         self.AUD = put(self.cache["audio"])
         self.VIS = put(self.cache["visual"])
@@ -150,12 +159,15 @@ class ForensicTrainer:
         adj = build_adj_from_ocr(
             self.cache["ocr_sets"], thresh=cfg.gnn_overlap_thresh
         )
-        self.XG = put(xg)
-        self.A_NORM = put(
+        # Graph arrays stay replicated even under shard_corpus: the GCN's
+        # propagation contracts over the full node axis every step.
+        rep = self._put_replicated
+        self.XG = rep(xg)
+        self.A_NORM = rep(
             np.asarray(normalize_adjacency(jnp.asarray(adj)), dtype=np.float32)
         )
         # Constant first propagation (see SimpleGCN.__call__ ax docstring)
-        self.AX = put(np.asarray(self.A_NORM @ self.XG, dtype=np.float32))
+        self.AX = rep(np.asarray(self.A_NORM @ self.XG, dtype=np.float32))
 
         # ---- 4) models ----------------------------------------------------
         self.fusion = CrossModalTransformer.from_config(cfg.fusion_config)
@@ -229,6 +241,14 @@ class ForensicTrainer:
         if self.mesh is not None:
             return jax.device_put(arr, meshlib.replicated(self.mesh))
         return jax.device_put(arr)
+
+    def _put_row_sharded(self, x: np.ndarray) -> jax.Array:
+        """Shard leading (node) axis over 'data'; replicate if not divisible."""
+        arr = jnp.asarray(x)
+        dp = self.mesh.shape[meshlib.DATA_AXIS]
+        if arr.shape[0] % dp:
+            return self._put_replicated(arr)
+        return jax.device_put(arr, meshlib.batch_sharding(self.mesh))
 
     def _batch_arrays(self, idx: np.ndarray, mask: np.ndarray):
         i = jnp.asarray(idx, jnp.int32)
