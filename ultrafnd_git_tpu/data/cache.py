@@ -62,6 +62,35 @@ def _fit_dim_rows(x: np.ndarray, dim: int) -> np.ndarray:
     return out
 
 
+def make_encoders(
+    text_dim: int = 768,
+    audio_dim: int = 128,
+    visual_dim: int = 512,
+    temporal_dim: int = 256,
+    seed: int = 42,
+) -> Dict[str, Any]:
+    """Encoder set for the cache contract, built once and reusable.
+
+    The serving Predictor featurizes every request batch; constructing
+    encoders (and their jitted lambdas) per call would re-trace — build
+    once, pass to build_feature_cache(encoders=...).
+    """
+    from ultrafnd_git_tpu.models.affective import AffectiveForensics
+    from ultrafnd_git_tpu.models.semantic import SemanticForgeryAnalyzer
+
+    return {
+        "text": BERTContextEncoder(dim=text_dim),
+        "audio": SpectralForensics(dim=audio_dim),
+        "flow": OpticalFlow3DCNN(dim=visual_dim // 2),
+        "ela": DeepForgeryDetector(dim=visual_dim // 2),
+        "tsync": TemporalSyncNet(
+            in_dim=text_dim, out_dim=temporal_dim, seed=seed
+        ),
+        "affective": AffectiveForensics.from_config(),
+        "semantic": SemanticForgeryAnalyzer.from_config(seed=seed),
+    }
+
+
 def build_feature_cache(
     raw: FakeSVRawDataset,
     ocr_phrase_pkl: Optional[str] = None,
@@ -70,21 +99,25 @@ def build_feature_cache(
     visual_dim: int = 512,
     temporal_dim: int = 256,
     seed: int = 42,
+    encoders: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """Build the full tensor cache for the trainer + GNN in batched passes."""
     rng = np.random.default_rng(seed)
     n = len(raw)
+    enc = encoders or make_encoders(
+        text_dim, audio_dim, visual_dim, temporal_dim, seed
+    )
 
     records = [raw.get_item(i) for i in range(n)]
     ids = np.array([r["id"] for r in records], dtype=object)
     labels = np.array([r["label"] for r in records], dtype=np.int64)
 
     # ---- text: corpus-wide field encoding ----------------------------------
-    text_enc = BERTContextEncoder(dim=text_dim)
+    text_enc = enc["text"]
     T = text_enc.encode_fields_batch(records)  # (N, 768)
 
     # ---- audio: text-proxy batch -------------------------------------------
-    aud_enc = SpectralForensics(dim=audio_dim)
+    aud_enc = enc["audio"]
     audio_proxies = [
         (r["title"] or "")
         + " "
@@ -95,12 +128,12 @@ def build_feature_cache(
 
     # ---- visual: flow-proxy ++ ELA-proxy, fit to visual_dim, L2 ------------
     vis_proxies = [r["ocr"] or r["title"] or "" for r in records]
-    flow = OpticalFlow3DCNN(dim=visual_dim // 2).extract_text_batch(vis_proxies)
-    ela = DeepForgeryDetector(dim=visual_dim // 2).ela_lbp_text_batch(vis_proxies)
+    flow = enc["flow"].extract_text_batch(vis_proxies)
+    ela = enc["ela"].ela_lbp_text_batch(vis_proxies)
     V = _l2n_rows(_fit_dim_rows(np.concatenate([flow, ela], axis=1), visual_dim))
 
     # ---- temporal: one jitted corpus-wide alignment pass -------------------
-    tsync = TemporalSyncNet(in_dim=text_dim, out_dim=temporal_dim, seed=seed)
+    tsync = enc["tsync"]
     U = tsync.align_batch(T, V)  # (N, 256)
     U_tt = tsync.align_batch(T, T)  # reference alignment of text to itself
 
@@ -130,20 +163,13 @@ def build_feature_cache(
     # ---- evidence: real scorer outputs (the wiring the reference intended
     # but never completed, SURVEY §2.1) — (N, 3) ordered
     # [semantic_conflict, emotion_intensity, temporal_delay] ----------------
-    from ultrafnd_git_tpu.models.affective import AffectiveForensics
-    from ultrafnd_git_tpu.models.semantic import SemanticForgeryAnalyzer
-
     titles = [r["title"] or "" for r in records]
     ocrs = [r["ocr"] or "" for r in records]
     texts_full = [
         (r["title"] or "") + " " + (r["ocr"] or "") for r in records
     ]
-    sem_gap = SemanticForgeryAnalyzer.from_config(seed=seed).gap_magnitude(
-        titles, ocrs
-    )
-    emo_int = AffectiveForensics.from_config().analyze_batch(texts_full)[
-        "intensity"
-    ]
+    sem_gap = enc["semantic"].gap_magnitude(titles, ocrs)
+    emo_int = enc["affective"].analyze_batch(texts_full)["intensity"]
     evidence = np.stack(
         [sem_gap, emo_int, delay.astype(np.float32)], axis=1
     ).astype(np.float32)

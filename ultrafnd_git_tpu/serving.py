@@ -10,12 +10,12 @@ module provides it:
 
 Inductive graph extension: the v2 model is transductive (node embeddings
 come from the training graph), so a new record is attached to the corpus
-by its OCR-Jaccard similarities: its adjacency row `a_new` against the
-N training nodes (+ a normalized self-loop) runs through the SAME
-second-propagation path the trainer uses for batch rows
-(`z_new = lin2(a_new @ h)` where `h` is the corpus layer-1 activation) —
-exact GCN semantics for edges into the corpus; the only approximation is
-that new nodes don't see each other.
+by its OCR-Jaccard adjacency row `a_new` against the N training nodes,
+with the self-loop handled exactly as training does (A_hat self weight 2,
+see _new_node_rows): layer 1 gets `a_new @ X + self_w * x_new`, layer 2
+propagates `a_new @ h_corpus + self_w * h_new`. This matches training-node
+GCN semantics exactly for edges into the corpus; the only approximation
+is that new nodes don't see each other.
 
 One jitted scoring function serves fixed-size batches (padded + masked),
 so repeated calls never recompile.
@@ -30,11 +30,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ultrafnd_git_tpu.data.cache import load_cache
+from ultrafnd_git_tpu.data.cache import load_cache, make_encoders
 from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
 from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
-from ultrafnd_git_tpu.models.gnn import SimpleGCN, normalize_adjacency
-from ultrafnd_git_tpu.ops.jaccard import build_adj_from_ocr
+from ultrafnd_git_tpu.models.gnn import SimpleGCN
+from ultrafnd_git_tpu.ops.graphctx import build_graph_context, compact_node_features
 from ultrafnd_git_tpu.training import checkpoint as ckpt
 from ultrafnd_git_tpu.training.state import TrainState, create_train_state
 
@@ -84,27 +84,13 @@ class Predictor:
         self.gnn = SimpleGCN(hid=2 * gnn_dim, out_dim=gnn_dim, dropout=0.2)
 
         # Device-resident corpus context for the inductive graph extension
-        xg = np.concatenate(
-            [
-                self.cache["text"][:, :192],
-                self.cache["audio"][:, :32],
-                self.cache["visual"][:, :128],
-                self.cache["temporal"][:, :64],
-            ],
-            axis=1,
-        ).astype(np.float32)
-        xg /= np.linalg.norm(xg, axis=1, keepdims=True) + 1e-9
-        self.XG = jnp.asarray(xg)
-        adj = build_adj_from_ocr(
-            self.cache["ocr_sets"],
-            thresh=float(saved_cfg.get("gnn_overlap_thresh", 0.12)),
-        )
-        self.A_NORM = normalize_adjacency(jnp.asarray(adj))
-        self.AX = self.A_NORM @ self.XG
-        self.corpus_deg = np.asarray(
-            adj.sum(axis=1) + 1.0
-        )  # +1 self-loop, matches normalize_adjacency
+        # (SAME construction as the trainer's graph — shared helper).
         self.thresh = float(saved_cfg.get("gnn_overlap_thresh", 0.12))
+        gctx = build_graph_context(self.cache, self.thresh)
+        self.XG = jnp.asarray(gctx.xg)
+        self.A_NORM = jnp.asarray(gctx.a_norm)
+        self.AX = jnp.asarray(gctx.ax)
+        self.corpus_deg = gctx.deg
 
         # Inverted index token -> corpus doc ids: new-node Jaccard rows
         # become a handful of posting-list accumulations per record
@@ -128,12 +114,29 @@ class Predictor:
             raise FileNotFoundError(
                 f"failed to restore '{checkpoint_name}' from {self.out_dir}"
             )
-        self.params = restored[0].params
+        # Checkpoint restore yields host arrays — put weights on device
+        # once so _score calls don't re-upload them per batch.
+        self.params = jax.device_put(
+            jax.tree.map(jnp.asarray, restored[0].params)
+        )
+
+        # Corpus layer-1 activation is fixed at serving time (params and
+        # AX are constant) — compute it once.
+        if self.use_gnn:
+            p = self.params["gnn"]
+            self.H_CORPUS = jax.nn.gelu(
+                self.AX @ p["lin1"]["kernel"] + p["lin1"]["bias"],
+                approximate=False,
+            )
+        else:
+            self.H_CORPUS = None
 
         self._score = jax.jit(self._make_score())
 
-        # Featurizer (same encoders/seed the trainer's cache builder used)
+        # Featurizer built ONCE (encoder objects carry jitted lambdas that
+        # would re-trace per construction).
         self._seed = int(saved_cfg.get("seed", 42))
+        self._encoders = make_encoders(seed=self._seed)
 
     # ------------------------------------------------------------------
     def _state_template(self, gnn_dim: int, saved_cfg: Dict) -> TrainState:
@@ -172,18 +175,22 @@ class Predictor:
 
     # ------------------------------------------------------------------
     def _make_score(self):
-        def score(params, feats, aux, a_rows):
+        def score(params, feats, aux, a_rows, self_w, xg_new):
             if self.use_gnn:
-                # SimpleGCN's deterministic math with external propagation
-                # rows: h = gelu(lin1(AX)) over the corpus, then
-                # z_new = lin2(a_rows @ h) — the trainer's out_rows path
-                # with the new nodes' adjacency rows instead of an index.
+                # Exact GCN extension for new nodes. A training node i has
+                #   z_i = lin2( sum_j A_hat_ij * gelu(lin1((A_hat x)_j)) )
+                # with A_hat including a self-loop of weight 2/deg. For a
+                # new node: its layer-1 input is a_rows @ XG + self_w *
+                # x_new (self term!), and its layer-2 propagation is
+                # a_rows @ h_corpus + self_w * h_new.
                 p = params["gnn"]
-                h = jax.nn.gelu(
-                    self.AX @ p["lin1"]["kernel"] + p["lin1"]["bias"],
+                ax_new = a_rows @ self.XG + self_w[:, None] * xg_new
+                h_new = jax.nn.gelu(
+                    ax_new @ p["lin1"]["kernel"] + p["lin1"]["bias"],
                     approximate=False,
                 )
-                z = (a_rows @ h) @ p["lin2"]["kernel"] + p["lin2"]["bias"]
+                prop = a_rows @ self.H_CORPUS + self_w[:, None] * h_new
+                z = prop @ p["lin2"]["kernel"] + p["lin2"]["bias"]
                 feats = {**feats, "gnn_feat": z}
             fo = self.fusion.apply(
                 {"params": params["fusion"]}, feats, deterministic=True
@@ -219,10 +226,16 @@ class Predictor:
             union = len(s) + self._corpus_sizes - inter
             jac = inter / (union + 1e-9)
             rows[i] = (jac >= self.thresh).astype(np.float32)
-        # D^{-1/2} (A+I) D^{-1/2} extension: new node degree = links + self
-        deg_new = rows.sum(axis=1) + 1.0
-        rows = rows / np.sqrt(deg_new)[:, None] / np.sqrt(self.corpus_deg)[None, :]
-        return rows
+        # D^{-1/2} (A+I) D^{-1/2} extension. A corpus node's self weight in
+        # A_hat is 2 (adjacency diag 1 from build_adj_from_ocr PLUS the I
+        # added by normalize_adjacency), so the new node mirrors that:
+        # degree = links + 2, self coefficient = 2 / deg_new.
+        deg_new = rows.sum(axis=1) + 2.0
+        self_w = (2.0 / deg_new).astype(np.float32)
+        rows = (
+            rows / np.sqrt(deg_new)[:, None] / np.sqrt(self.corpus_deg)[None, :]
+        )
+        return rows, self_w
 
     def featurize(self, records: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
         """records with title/ocr/comments -> trainer-contract features."""
@@ -247,7 +260,9 @@ class Predictor:
             def get_item(self, i):
                 return self._recs[i]
 
-        return build_feature_cache(_Raw(records), seed=self._seed)
+        return build_feature_cache(
+            _Raw(records), seed=self._seed, encoders=self._encoders
+        )
 
     # ------------------------------------------------------------------
     def predict(
@@ -285,13 +300,28 @@ class Predictor:
             aux = take("aux")
 
             ocr_sets = feats_cache["ocr_sets"][sel]
-            a_rows = self._new_node_rows(ocr_sets)
+            a_rows, self_w = self._new_node_rows(ocr_sets)
+            xg_new = compact_node_features(
+                {k: feats_cache[k][sel] for k, _ in
+                 (("text", 0), ("audio", 0), ("visual", 0), ("temporal", 0))}
+            )
             if pad:
                 a_rows = np.concatenate(
                     [a_rows, np.repeat(a_rows[-1:], pad, axis=0)]
                 )
+                self_w = np.concatenate(
+                    [self_w, np.repeat(self_w[-1:], pad, axis=0)]
+                )
+                xg_new = np.concatenate(
+                    [xg_new, np.repeat(xg_new[-1:], pad, axis=0)]
+                )
             probs, forensic = self._score(
-                self.params, feats, aux, jnp.asarray(a_rows)
+                self.params,
+                feats,
+                aux,
+                jnp.asarray(a_rows),
+                jnp.asarray(self_w),
+                jnp.asarray(xg_new),
             )
             probs = np.asarray(probs)[:count]
             forensic = {k: np.asarray(v)[:count] for k, v in forensic.items()}

@@ -28,7 +28,6 @@ TPU-first design:
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -250,11 +249,11 @@ class EnsembleTrainer:
         # Stacked pytree: every leaf gains a leading (E,) member axis.
         self.params = jax.vmap(init_member)(keys)
 
-        chain = []
-        if cfg.grad_clip and cfg.grad_clip > 0:
-            chain.append(optax.clip_by_global_norm(cfg.grad_clip))
-        chain.append(optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
-        self.tx = optax.chain(*chain)
+        # NOTE: clipping happens per ensemble member inside the step (a
+        # chained clip_by_global_norm here would compute one JOINT norm
+        # over the stacked pytree, coupling the supposedly independent
+        # members through the optimizer).
+        self.tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
         self.opt_state = self.tx.init(self.params)
         self.step_count = 0
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
@@ -321,6 +320,15 @@ class EnsembleTrainer:
                 )
 
             losses, grads = jax.vmap(one)(params, member_keys)
+            if cfg.grad_clip and cfg.grad_clip > 0:
+                def clip_member(g):
+                    norm = optax.global_norm(g)
+                    scale = jnp.minimum(
+                        1.0, cfg.grad_clip / (norm + 1e-9)
+                    )
+                    return jax.tree.map(lambda x: x * scale, g)
+
+                grads = jax.vmap(clip_member)(grads)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, losses.mean()
@@ -490,20 +498,28 @@ def train_and_evaluate(
             dataset, augment=cfg.augment, seed=cfg.seed
         )
 
-        def batch_items(ds, idx_list):
+        def batch_items(ds, idx_list, pad_last=False):
             for s in range(0, len(idx_list), cfg.batch_size):
-                sel = idx_list[s : s + cfg.batch_size]
-                if len(sel) < cfg.batch_size:
-                    break  # fixed shapes only
-                yield multimodal_collate([ds[int(i)] for i in sel])
+                sel = list(idx_list[s : s + cfg.batch_size])
+                valid = len(sel)
+                if valid < cfg.batch_size:
+                    if not pad_last:
+                        if valid:
+                            print(
+                                f"  (dropping trailing {valid}-sample train "
+                                "batch; fixed shapes)"
+                            )
+                        break
+                    sel = sel + [sel[-1]] * (cfg.batch_size - valid)
+                yield multimodal_collate([ds[int(i)] for i in sel]), valid
 
-        def featurized(ds, idx_list):
-            for batch in batch_items(ds, idx_list):
-                yield extractor(batch), batch["label"]
+        def featurized(ds, idx_list, pad_last=False):
+            for batch, valid in batch_items(ds, idx_list, pad_last=pad_last):
+                yield (extractor(batch), batch["label"]), valid
 
         def epoch_train():
             losses = []
-            for feats, labels in prefetched(
+            for (feats, labels), _valid in prefetched(
                 featurized(train_ds, host_rng.permutation(train_idx))
             ):
                 losses.append(trainer.train_batch(feats, labels, host_rng))
@@ -511,10 +527,12 @@ def train_and_evaluate(
 
         def evaluate():
             ys, ps = [], []
-            for feats, labels in prefetched(featurized(dataset, val_idx)):
+            for (feats, labels), valid in prefetched(
+                featurized(dataset, val_idx, pad_last=True)
+            ):
                 probs = trainer.predict_batch(feats)
-                ys.append(labels)
-                ps.append(probs[:, 1])
+                ys.append(labels[:valid])
+                ps.append(probs[:valid, 1])
             if not ys:
                 return 0.0, 0.5
             y = np.concatenate(ys)
@@ -523,6 +541,7 @@ def train_and_evaluate(
             return acc, safe_auc(y, p1)
 
     best_acc, best_auc, no_improve = -1.0, 0.5, 0
+    loss = 0.0  # stays 0.0 when epochs == 0 (eval-only call)
     for epoch in range(1, cfg.epochs + 1):
         loss = epoch_train()
         line = f"[v1 Epoch {epoch:02d}/{cfg.epochs}] loss={loss:.4f}"

@@ -43,8 +43,7 @@ from ultrafnd_git_tpu.data.cache import build_feature_cache, load_cache, save_ca
 from ultrafnd_git_tpu.data.dataset import FakeSVRawDataset
 from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
 from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
-from ultrafnd_git_tpu.models.gnn import SimpleGCN, normalize_adjacency
-from ultrafnd_git_tpu.ops.jaccard import build_adj_from_ocr
+from ultrafnd_git_tpu.models.gnn import SimpleGCN
 from ultrafnd_git_tpu.parallel import mesh as meshlib
 from ultrafnd_git_tpu.training import checkpoint as ckpt
 from ultrafnd_git_tpu.training.metrics import aggregate_epoch_metrics, pretty_print
@@ -145,29 +144,18 @@ class ForensicTrainer:
         if cfg.use_evidence and "evidence" in self.cache:
             self.EVID = put(self.cache["evidence"].astype(np.float32))
 
-        # graph node features: compact modality slices, row-L2-normalized
-        xg = np.concatenate(
-            [
-                self.cache["text"][:, :192],
-                self.cache["audio"][:, :32],
-                self.cache["visual"][:, :128],
-                self.cache["temporal"][:, :64],
-            ],
-            axis=1,
-        ).astype(np.float32)
-        xg /= np.linalg.norm(xg, axis=1, keepdims=True) + 1e-9
-        adj = build_adj_from_ocr(
-            self.cache["ocr_sets"], thresh=cfg.gnn_overlap_thresh
-        )
-        # Graph arrays stay replicated even under shard_corpus: the GCN's
-        # propagation contracts over the full node axis every step.
+        # Graph context (compact node features + normalized adjacency +
+        # constant first propagation) — shared with serving so both build
+        # the identical graph (ops/graphctx.py). Graph arrays stay
+        # replicated even under shard_corpus: the GCN's propagation
+        # contracts over the full node axis every step.
+        from ultrafnd_git_tpu.ops.graphctx import build_graph_context
+
+        gctx = build_graph_context(self.cache, cfg.gnn_overlap_thresh)
         rep = self._put_replicated
-        self.XG = rep(xg)
-        self.A_NORM = rep(
-            np.asarray(normalize_adjacency(jnp.asarray(adj)), dtype=np.float32)
-        )
-        # Constant first propagation (see SimpleGCN.__call__ ax docstring)
-        self.AX = rep(np.asarray(self.A_NORM @ self.XG, dtype=np.float32))
+        self.XG = rep(gctx.xg)
+        self.A_NORM = rep(gctx.a_norm)
+        self.AX = rep(gctx.ax)
 
         # ---- 4) models ----------------------------------------------------
         self.fusion = CrossModalTransformer.from_config(cfg.fusion_config)
@@ -418,12 +406,19 @@ class ForensicTrainer:
                     params if params is not None else self.state.params, i, m
                 )
 
-            losses.append(float(out["loss"]))
-            p1_all.append(np.asarray(out["p1"])[:valid])
+            # Keep device arrays (async futures) — converting here would
+            # block the host on every step and serialize batch prep
+            # against device compute. One sync at epoch end instead.
+            losses.append(out["loss"])
+            p1_all.append((out["p1"], valid))
             y_all.append(self.cache["labels"][chunk[:valid]])
-            f_buf.append(np.asarray(out["forensic"])[:, :valid])
+            f_buf.append((out["forensic"], valid))
 
-        loss_mean = float(np.mean(losses)) if losses else 0.0
+        loss_mean = (
+            float(np.mean([np.asarray(l) for l in losses])) if losses else 0.0
+        )
+        p1_all = [np.asarray(p)[:v] for p, v in p1_all]
+        f_buf = [np.asarray(f)[:, :v] for f, v in f_buf]
         y = np.concatenate(y_all) if y_all else np.array([], dtype=int)
         p1 = np.concatenate(p1_all) if p1_all else np.array([], dtype=float)
         forensic = None
