@@ -27,6 +27,7 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--block_q", type=int, default=128)
+    ap.add_argument("--block_h", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -103,6 +104,7 @@ def main() -> None:
     t_p = bench(
         lambda q, k, v: flash_attention(q, k, v, bias=bias,
                                         block_q=args.block_q,
+                                        block_h=args.block_h,
                                         backend=pallas_backend),
         "pallas",
     )

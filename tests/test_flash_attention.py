@@ -164,3 +164,18 @@ class TestTextTransformer:
             atol=2e-2,
             rtol=2e-2,
         )
+
+
+class TestHeadsBatching:
+    def test_block_h_equivalence(self):
+        q, k, v = _qkv(7)
+        base = flash_attention(q, k, v, backend="interpret",
+                               mm_dtype=jnp.float32)
+        batched = flash_attention(q, k, v, backend="interpret",
+                                  mm_dtype=jnp.float32, block_h=4)
+        np.testing.assert_allclose(base, batched, atol=2e-5, rtol=2e-5)
+
+    def test_block_h_must_divide_heads(self):
+        q, k, v = _qkv(8)
+        with pytest.raises(ValueError, match="multiple of block_h"):
+            flash_attention(q, k, v, backend="interpret", block_h=3)

@@ -66,23 +66,30 @@ def _make_fwd_kernel(mm_dtype):
     """
 
     def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-        q = q_ref[0].astype(mm_dtype)  # (BQ, D)
-        k = k_ref[0].astype(mm_dtype)  # (S, D)
-        v = v_ref[0].astype(mm_dtype)  # (S, D)
-        b = bias_ref[0]  # (1, S)
+        q = q_ref[...].astype(mm_dtype)  # (HB, BQ, D)
+        k = k_ref[...].astype(mm_dtype)  # (HB, S, D)
+        v = v_ref[...].astype(mm_dtype)  # (HB, S, D)
+        b = bias_ref[0]  # (1, S), broadcast over heads
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
         s = (
-            jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-            + b.astype(jnp.float32)
-        )  # (BQ, S)
+            jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + b.astype(jnp.float32)[None]
+        )  # (HB, BQ, S)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(
-            p.astype(mm_dtype), v, preferred_element_type=jnp.float32
-        )
-        o_ref[0] = (o / denom).astype(o_ref.dtype)
+        o = jax.lax.dot_general(
+            p.astype(mm_dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (HB, BQ, D)
+        o_ref[...] = (o / denom).astype(o_ref.dtype)
 
     return _fwd_kernel
 
@@ -95,12 +102,31 @@ def _pallas_forward(
     block_q: int,
     interpret: bool,
     mm_dtype=jnp.bfloat16,
+    block_h: int = 1,
 ) -> jnp.ndarray:
     batch, heads, seq, dim = q.shape
     bh = batch * heads
     bq = min(block_q, seq)
     if seq % bq:
         raise ValueError(f"seq={seq} must be a multiple of block_q={bq}")
+    if block_h == 0:
+        # AUTO heads batching: amortize per-program overhead at small S
+        # (measured: S=256 goes 0.77x -> ~1.0x of XLA) while keeping each
+        # program's q/k/v blocks within a VMEM budget. Largest divisor of
+        # `heads` with 3 * hb * S * D * 4B <= 4 MB.
+        budget = 4 * 1024 * 1024
+        hb = 1
+        for cand in range(heads, 0, -1):
+            if heads % cand == 0 and 3 * cand * seq * dim * 4 <= budget:
+                hb = cand
+                break
+    else:
+        hb = min(block_h, heads)
+    if heads % hb:
+        raise ValueError(
+            f"heads={heads} must be a multiple of block_h={hb} (a heads "
+            "block must not straddle batch elements)"
+        )
 
     qf = q.reshape(bh, seq, dim)
     kf = k.reshape(bh, seq, dim)
@@ -108,30 +134,33 @@ def _pallas_forward(
     # (B, 1, 1, S) -> (B, 1, S); kernel indexes it by bh // heads
     bf = bias.reshape(batch, 1, seq)
 
-    grid = (bh, seq // bq)
+    grid = (bh // hb, seq // bq)
+    heads_blocks = heads // hb  # head-blocks per batch element
     out = pl.pallas_call(
         _make_fwd_kernel(mm_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, bq, dim),
+                (hb, bq, dim),
                 lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, seq, dim), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+                (hb, seq, dim), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, seq, dim), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+                (hb, seq, dim), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, seq),
-                lambda i, j, h=heads: (i // h, 0, 0),
+                lambda i, j, hbk=heads_blocks: (i // hbk, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, bq, dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (hb, bq, dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bh, seq, dim), q.dtype),
         cost_estimate=pl.CostEstimate(
@@ -144,17 +173,21 @@ def _pallas_forward(
     return out.reshape(batch, heads, seq, dim)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, bias, block_q, interpret, mm_dtype):
-    return _pallas_forward(q, k, v, bias, block_q, interpret, mm_dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, bias, block_q, interpret, mm_dtype, block_h):
+    return _pallas_forward(
+        q, k, v, bias, block_q, interpret, mm_dtype, block_h
+    )
 
 
-def _flash_fwd(q, k, v, bias, block_q, interpret, mm_dtype):
-    out = _pallas_forward(q, k, v, bias, block_q, interpret, mm_dtype)
+def _flash_fwd(q, k, v, bias, block_q, interpret, mm_dtype, block_h):
+    out = _pallas_forward(
+        q, k, v, bias, block_q, interpret, mm_dtype, block_h
+    )
     return out, (q, k, v, bias)
 
 
-def _flash_bwd(block_q, interpret, mm_dtype, residuals, g):
+def _flash_bwd(block_q, interpret, mm_dtype, block_h, residuals, g):
     q, k, v, bias = residuals
     scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale + bias
@@ -179,12 +212,15 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     backend: str = "auto",
     mm_dtype=jnp.bfloat16,
+    block_h: int = 0,
 ) -> jnp.ndarray:
     """Fused multi-head attention. q,k,v: (B, H, S, D); bias: (B,1,1,S).
 
     backend: "auto" | "pallas" | "interpret" | "xla".
     mm_dtype: matmul input dtype inside the kernel (bfloat16 = fast MXU
     path, float32 = exact; softmax is always f32).
+    block_h: heads per program (0 = auto VMEM-bounded divisor; with it
+    the kernel matches XLA at S=256 and wins 2.24x at S=2048).
 
     "auto" picks the measured-fastest path (scripts/bench_kernels.py on
     TPU v5 lite): at S>=512 the fused kernel wins because XLA spills the
@@ -199,7 +235,9 @@ def flash_attention(
         backend = "pallas" if (on_tpu and q.shape[2] >= 512) else "xla"
     if backend == "xla":
         return reference_attention(q, k, v, bias)
-    return _flash(q, k, v, bias, block_q, backend == "interpret", mm_dtype)
+    return _flash(
+        q, k, v, bias, block_q, backend == "interpret", mm_dtype, block_h
+    )
 
 
 def padding_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
