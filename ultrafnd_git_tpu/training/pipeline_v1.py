@@ -41,15 +41,10 @@ from ultrafnd_git_tpu.data.media import (
     RawMediaDataset,
     multimodal_collate,
 )
-from ultrafnd_git_tpu.models.affective import AffectiveForensics
-from ultrafnd_git_tpu.models.audio import SpectralForensics
 from ultrafnd_git_tpu.models.chronos import ChronosGuard
 from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
 from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
-from ultrafnd_git_tpu.models.semantic import SemanticForgeryAnalyzer
-from ultrafnd_git_tpu.models.temporal import TemporalSyncNet
-from ultrafnd_git_tpu.models.text import BERTContextEncoder
-from ultrafnd_git_tpu.models.visual import DeepForgeryDetector, OpticalFlow3DCNN
+from ultrafnd_git_tpu.models.visual import OpticalFlow3DCNN
 from ultrafnd_git_tpu.training.metrics import safe_auc
 
 
@@ -104,17 +99,20 @@ class BatchFeatureExtractor:
     def __init__(self, seed: int = 42):
         import threading
 
-        self.text_enc = BERTContextEncoder(dim=768)
-        self.audio_enc = SpectralForensics(dim=128)
-        self.flow = OpticalFlow3DCNN(dim=256)
+        from ultrafnd_git_tpu.data.cache import make_encoders
+
+        enc = make_encoders(seed=seed)
+        self.text_enc = enc["text"]
+        self.audio_enc = enc["audio"]
+        self.flow = enc["flow"]
         # cv2 algorithm objects (TV-L1 solvers) are stateful and not safe
         # for concurrent calc() — each pool thread gets its own instance.
         self._tls = threading.local()
-        self.ela = DeepForgeryDetector(dim=256)
-        self.tsync = TemporalSyncNet(in_dim=768, out_dim=256, seed=seed)
-        self.affective = AffectiveForensics.from_config()
+        self.ela = enc["ela"]
+        self.tsync = enc["tsync"]
+        self.affective = enc["affective"]
         self.chronos = ChronosGuard.from_config()
-        self.semantic = SemanticForgeryAnalyzer.from_config(seed=seed)
+        self.semantic = enc["semantic"]
 
     def __call__(self, batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
         texts: List[Dict[str, Any]] = batch["text_data"]
