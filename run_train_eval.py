@@ -115,6 +115,7 @@ def main():
             gnn_overlap_thresh=args.gnn_overlap_thresh,
             seed=args.seed,
             use_gnn=(not args.no_gnn),
+            use_evidence=args.use_evidence,
             profile_dir=args.profile_dir,
         )
         itrainer = IntegratedForensicTrainer(icfg)

@@ -67,6 +67,7 @@ class IntegratedTrainConfig:
     seed: int = 42
     # GNN
     use_gnn: bool = True
+    use_evidence: bool = False  # real evidence scorers feed fusion gates
     gnn_dim: int = 128
     gnn_overlap_thresh: float = 0.12
     # Checkpointing
@@ -140,18 +141,16 @@ class IntegratedForensicTrainer:
         self.TEMP = jnp.asarray(self.cache["temporal"])
         self.AUX = jnp.asarray(self.cache["aux"])
         self.LABELS = jnp.asarray(labels.astype(np.int32))
-        # compact 416-d node features (see module docstring re ref :214 bug)
-        xg = np.concatenate(
-            [
-                self.cache["text"][:, :192],
-                self.cache["audio"][:, :32],
-                self.cache["visual"][:, :128],
-                self.cache["temporal"][:, :64],
-            ],
-            axis=1,
-        ).astype(np.float32)
-        xg /= np.linalg.norm(xg, axis=1, keepdims=True) + 1e-9
-        self.XG = jnp.asarray(xg)
+        self.EVID = None
+        if cfg.use_evidence and "evidence" in self.cache:
+            self.EVID = jnp.asarray(
+                self.cache["evidence"].astype(np.float32)
+            )
+        # compact 416-d node features (see module docstring re ref :214
+        # bug); shared definition with trainer/serving (ops/graphctx)
+        from ultrafnd_git_tpu.ops.graphctx import compact_node_features
+
+        self.XG = jnp.asarray(compact_node_features(self.cache))
         self.JAC = jnp.asarray(pairwise_jaccard(self.cache["ocr_sets"]))
 
         # ---- class weights (ref :159-169) -----------------------------------
@@ -247,6 +246,8 @@ class IntegratedForensicTrainer:
             "visual_features": self.VIS[idx],
             "temporal_features": self.TEMP[idx],
         }
+        if self.EVID is not None:
+            feats["evidence"] = self.EVID[idx]
         if self.cfg.use_gnn:
             # (B, B) weighted sub-graph, annealed threshold applied on device
             # Diagonal stays 0 — the GNN's sym-normalization adds the
