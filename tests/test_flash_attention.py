@@ -79,10 +79,14 @@ class TestKernelNumerics:
         ref = reference_attention(q, k, v)
         np.testing.assert_allclose(fast, ref, atol=2e-2, rtol=2e-2)
 
-    def test_rejects_non_divisible_block(self):
+    def test_non_divisible_block_auto_shrinks(self):
+        # block_q that doesn't divide S auto-shrinks to a divisor instead
+        # of crashing (towers may use any max_len)
         q, k, v = _qkv(4)
-        with pytest.raises(ValueError, match="multiple of"):
-            flash_attention(q, k, v, block_q=100, backend="interpret")
+        out = flash_attention(q, k, v, block_q=100, backend="interpret",
+                              mm_dtype=jnp.float32)
+        ref = reference_attention(q, k, v)
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
 
 class TestKernelGradients:

@@ -108,7 +108,9 @@ def _pallas_forward(
     bh = batch * heads
     bq = min(block_q, seq)
     if seq % bq:
-        raise ValueError(f"seq={seq} must be a multiple of block_q={bq}")
+        # shrink to the largest divisor of seq <= block_q so any sequence
+        # length works (a non-divisor block would mis-tile the grid)
+        bq = next(c for c in range(bq, 0, -1) if seq % c == 0)
     if block_h == 0:
         # AUTO heads batching: amortize per-program overhead at small S
         # (measured: S=256 goes 0.77x -> ~1.0x of XLA) while keeping each
@@ -198,7 +200,12 @@ def _flash_bwd(block_q, interpret, mm_dtype, block_h, residuals, g):
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
     dbias = jnp.sum(ds, axis=(1, 2), keepdims=True)  # (B, 1, 1, K)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        dbias.astype(bias.dtype),  # custom_vjp requires the primal dtype
+    )
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

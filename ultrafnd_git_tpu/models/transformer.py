@@ -195,13 +195,21 @@ class DeviceTextEncoder:
     def encode_batch(
         self, texts: Sequence[str], batch_size: int = 512
     ) -> np.ndarray:
+        def bucket(n: int) -> int:
+            # pad every chunk (including the first) up to a power-of-two
+            # bucket so novel request sizes reuse a handful of compiled
+            # shapes instead of tracing the tower per size
+            b = 8
+            while b < n:
+                b *= 2
+            return min(b, batch_size)
+
         out = []
         for s in range(0, len(texts), batch_size):
             chunk = list(texts[s : s + batch_size])
-            pad = 0
-            if len(chunk) < batch_size and s > 0:
-                pad = batch_size - len(chunk)
-                chunk = chunk + [""] * pad  # fixed shapes: no recompiles
+            pad = bucket(len(chunk)) - len(chunk)
+            if pad:
+                chunk = chunk + [""] * pad
             ids, mask = hash_tokenize_batch(
                 chunk, self.max_len, self.vocab_size
             )

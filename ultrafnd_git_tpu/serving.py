@@ -65,7 +65,17 @@ class Predictor:
                 f"no '{checkpoint_name}' checkpoint under {self.out_dir}"
             )
         with open(meta_path, "r", encoding="utf-8") as fh:
-            saved_cfg = json.load(fh).get("cfg", {})
+            meta = json.load(fh)
+        saved_cfg = meta.get("cfg", {})
+        trainer_kind = meta.get("trainer", "v2")
+        if trainer_kind != "v2":
+            # GNNModel (integrated) and SimpleGCN (v2) checkpoints have
+            # coincidentally identical param shapes at default gnn_dim —
+            # restoring across trainer kinds silently serves wrong scores.
+            raise ValueError(
+                f"checkpoint was written by the '{trainer_kind}' trainer; "
+                "Predictor serves v2 checkpoints only"
+            )
         self.use_gnn = bool(saved_cfg.get("use_gnn", True))
         self.use_evidence = bool(saved_cfg.get("use_evidence", False))
         gnn_dim = int(saved_cfg.get("gnn_dim", 128))

@@ -471,6 +471,7 @@ class ForensicTrainer:
 
                 val_auc = float(va_metrics.get("auc", 0.5))
                 meta = {
+                    "trainer": "v2",
                     "epoch": epoch,
                     "best_val_auc": self.best_val_auc,
                     "no_improve": self.no_improve,

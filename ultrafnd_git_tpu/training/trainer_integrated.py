@@ -227,10 +227,13 @@ class IntegratedForensicTrainer:
         onehot = jax.nn.one_hot(y, c)
         soft = onehot * (1.0 - eps) + eps / c
         logp = jax.nn.log_softmax(logits, axis=-1)
-        per = -(soft * logp).sum(axis=-1) * self.class_w[y]
-        return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        w = self.class_w[y] * mask
+        per = -(soft * logp).sum(axis=-1)
+        # torch CrossEntropyLoss(weight=...) semantics: normalize by the
+        # SUM OF WEIGHTS, not the sample count (ref criterion :169)
+        return (per * w).sum() / jnp.maximum(w.sum(), 1e-9)
 
-    def _forward(self, params, idx, thr, deterministic, rng=None):
+    def _forward(self, params, idx, thr, mask, deterministic, rng=None):
         rngs_f = rngs_c = rngs_g = None
         if not deterministic:
             k_g, k_f, k_c = jax.random.split(rng, 3)
@@ -251,12 +254,17 @@ class IntegratedForensicTrainer:
         if self.cfg.use_gnn:
             # (B, B) weighted sub-graph, annealed threshold applied on device
             # Diagonal stays 0 — the GNN's sym-normalization adds the
-            # self-loops (the reference's comment at ref :97-98).
+            # self-loops (the reference's comment at ref :97-98). Padded
+            # rows (ragged last batch repeats the final index) are masked
+            # OUT of the graph: a padded duplicate would otherwise add a
+            # jaccard-1.0 edge to its original and inflate every real
+            # sample's degree normalization.
             jb = self.JAC[idx][:, idx]
             b = idx.shape[0]
             adj = jnp.where(
                 (jb >= thr) & ~jnp.eye(b, dtype=bool), jb, 0.0
             )
+            adj = adj * mask[:, None] * mask[None, :]
             z = self.gnn.apply(
                 {"params": params["gnn"]},
                 self.XG[idx],
@@ -289,7 +297,7 @@ class IntegratedForensicTrainer:
 
                 def loss_fn(params):
                     logits, probs = self._forward(
-                        params, idx, thr, deterministic=False, rng=rng
+                        params, idx, thr, mask, deterministic=False, rng=rng
                     )
                     loss = self._loss_from_logits(
                         logits, self.LABELS[idx], mask
@@ -305,7 +313,9 @@ class IntegratedForensicTrainer:
             return step
 
         def step(params, idx, mask, thr):
-            logits, probs = self._forward(params, idx, thr, deterministic=True)
+            logits, probs = self._forward(
+                params, idx, thr, mask, deterministic=True
+            )
             loss = self._loss_from_logits(logits, self.LABELS[idx], mask)
             return {"loss": loss, "p1": probs[:, 1]}
 
@@ -352,14 +362,16 @@ class IntegratedForensicTrainer:
                     m,
                     thr_dev,
                 )
-            losses.append(float(out["loss"]))
-            p1_all.append(np.asarray(out["p1"])[:valid])
+            # keep device arrays (async) — one sync after the loop
+            losses.append(out["loss"])
+            p1_all.append((out["p1"], valid))
             y_all.append(self.cache["labels"][chunk[:valid]])
 
         if not losses:
             return 0.0, 0.0, 0.5
+        losses = [float(np.asarray(l)) for l in losses]
         y = np.concatenate(y_all)
-        p1 = np.concatenate(p1_all)
+        p1 = np.concatenate([np.asarray(p)[:v] for p, v in p1_all])
         preds = (p1 >= 0.5).astype(int)
         acc = float((preds == y).mean()) if y.size else 0.0
         auc = safe_auc(y, p1)
@@ -433,6 +445,7 @@ class IntegratedForensicTrainer:
                         "best",
                         self.state,
                         {
+                            "trainer": "integrated",
                             "epoch": epoch,
                             "best_val_auc": self.best_score,
                             "cfg": asdict(cfg),
