@@ -196,6 +196,31 @@ def build_feature_cache(
 build_gnn_cache_from_raw_dataset = build_feature_cache
 
 
+def bootstrap_cache(
+    data_root: str,
+    out_dir: str,
+    ocr_phrase_pkl: Optional[str] = None,
+    seed: int = 42,
+    cache_to_disk: bool = True,
+    cache: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Trainer cache ladder: injected > on-disk (out_dir) > rebuilt.
+
+    Shared by both trainers so their bootstrap behavior cannot drift.
+    """
+    cache_path = str(Path(out_dir) / "feature_cache.npz")
+    if cache is None and cache_to_disk:
+        cache = load_cache(cache_path)
+    if cache is None:
+        raw = FakeSVRawDataset(data_root)
+        cache = build_feature_cache(
+            raw, ocr_phrase_pkl=ocr_phrase_pkl, seed=seed
+        )
+        if cache_to_disk:
+            save_cache(cache, cache_path)
+    return cache
+
+
 # ----------------------------------------------------------------------
 # Persistence: one .npz so eval-only runs don't rebuild (SURVEY §3.2 gap)
 # ----------------------------------------------------------------------

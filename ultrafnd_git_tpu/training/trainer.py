@@ -39,8 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ultrafnd_git_tpu.data.cache import build_feature_cache, load_cache, save_cache
-from ultrafnd_git_tpu.data.dataset import FakeSVRawDataset
+from ultrafnd_git_tpu.data.cache import bootstrap_cache
 from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
 from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
 from ultrafnd_git_tpu.models.gnn import SimpleGCN
@@ -98,19 +97,14 @@ class ForensicTrainer:
         np.random.seed(cfg.seed)
 
         # ---- 1) feature cache (injected > on-disk > rebuilt) --------------
-        cache_path = str(Path(cfg.out_dir) / "feature_cache.npz")
-        self.cache = cache
-        if self.cache is None and cfg.cache_to_disk:
-            self.cache = load_cache(cache_path)
-        if self.cache is None:
-            raw = FakeSVRawDataset(cfg.data_root)
-            self.cache = build_feature_cache(
-                raw,
-                ocr_phrase_pkl=cfg.ocr_phrase_pkl,
-                seed=cfg.seed,
-            )
-            if cfg.cache_to_disk:
-                save_cache(self.cache, cache_path)
+        self.cache = bootstrap_cache(
+            cfg.data_root,
+            cfg.out_dir,
+            ocr_phrase_pkl=cfg.ocr_phrase_pkl,
+            seed=cfg.seed,
+            cache_to_disk=cfg.cache_to_disk,
+            cache=cache,
+        )
         self.tr_idx, self.va_idx, self.te_idx = (
             np.asarray(s) for s in self.cache["split"]
         )
@@ -512,9 +506,19 @@ class ForensicTrainer:
         params = self.state.params
         restored = ckpt.load_checkpoint(self.cfg.out_dir, "best", self.state)
         if restored is not None:
-            params = restored[0].params
-            if self.mesh is not None:
-                params = meshlib.shard_params(params, self.mesh)
+            kind = restored[1].get("trainer", "v2")
+            if kind != "v2":
+                # GNNModel/SimpleGCN param shapes coincide at default dims:
+                # cross-kind restore would evaluate silently wrong weights.
+                print(
+                    f"⚠️  best checkpoint in {self.cfg.out_dir} was written "
+                    f"by the '{kind}' trainer — ignoring it and testing "
+                    "current params"
+                )
+            else:
+                params = restored[0].params
+                if self.mesh is not None:
+                    params = meshlib.shard_params(params, self.mesh)
 
         ts_loss, ts_metrics = self._epoch_loop(self.te_idx, "test", params=params)
         print(f"[Test] loss={ts_loss:.4f} | ", end="")

@@ -44,8 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ultrafnd_git_tpu.data.cache import build_feature_cache, load_cache, save_cache
-from ultrafnd_git_tpu.data.dataset import FakeSVRawDataset
+from ultrafnd_git_tpu.data.cache import bootstrap_cache
 from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
 from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
 from ultrafnd_git_tpu.models.gnn import GNNModel
@@ -102,18 +101,15 @@ class IntegratedForensicTrainer:
         np.random.seed(cfg.seed)
         self.rng = jax.random.PRNGKey(cfg.seed)
 
-        # ---- cache ---------------------------------------------------------
-        cache_path = os.path.join(cfg.out_dir, "feature_cache.npz")
-        self.cache = cache
-        if self.cache is None and cfg.cache_to_disk:
-            self.cache = load_cache(cache_path)
-        if self.cache is None:
-            raw = FakeSVRawDataset(cfg.data_root)
-            self.cache = build_feature_cache(
-                raw, ocr_phrase_pkl=cfg.ocr_phrase_pkl, seed=cfg.seed
-            )
-            if cfg.cache_to_disk:
-                save_cache(self.cache, cache_path)
+        # ---- cache (shared ladder with the v2 trainer) ----------------------
+        self.cache = bootstrap_cache(
+            cfg.data_root,
+            cfg.out_dir,
+            ocr_phrase_pkl=cfg.ocr_phrase_pkl,
+            seed=cfg.seed,
+            cache_to_disk=cfg.cache_to_disk,
+            cache=cache,
+        )
         self.train_idx, self.val_idx, self.test_idx = (
             np.asarray(s) for s in self.cache["split"]
         )
@@ -471,8 +467,16 @@ class IntegratedForensicTrainer:
         restored = ckpt.load_checkpoint(self.cfg.out_dir, "best", self.state)
         epoch = self.cfg.epochs
         if restored is not None:
-            params = restored[0].params
-            epoch = int(restored[1].get("epoch", epoch))
+            kind = restored[1].get("trainer", "v2")
+            if kind != "integrated":
+                print(
+                    f"⚠️  best checkpoint in {self.cfg.out_dir} was written "
+                    f"by the '{kind}' trainer — ignoring it and testing "
+                    "current params"
+                )
+            else:
+                params = restored[0].params
+                epoch = int(restored[1].get("epoch", epoch))
         thr = self._annealed_thresh(max(0, epoch - 1))
         loss, acc, auc = self._run_split(
             self.test_idx, thr, train=False, params=params
