@@ -77,6 +77,23 @@ def test_trainer_resume(fixture_root, tmp_path):
     assert int(t2.state.step) > step1
 
 
+def test_trainer_resume_rejects_cross_kind_latest(fixture_root, tmp_path):
+    """A 'latest' slot written by another trainer kind must not be resumed
+    (param shapes coincide at default dims, so it would silently load
+    wrong weights)."""
+    import json
+
+    t1 = ForensicTrainer(_cfg(fixture_root, tmp_path, epochs=1))
+    t1.fit()
+    meta_path = tmp_path / "latest" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["trainer"] = "integrated"
+    meta_path.write_text(json.dumps(meta))
+    t2 = ForensicTrainer(_cfg(fixture_root, tmp_path, epochs=1, resume=True))
+    assert t2.start_epoch == 1  # started fresh, foreign checkpoint ignored
+    assert int(t2.state.step) == 0
+
+
 def test_trainer_mesh_dp_tp(fixture_root, tmp_path):
     """Full train step over a (4 data x 2 model) mesh of virtual devices."""
     t = ForensicTrainer(

@@ -44,7 +44,10 @@ def load_checkpoint(
         with open(meta_path, "r", encoding="utf-8") as fh:
             meta = json.load(fh)
         return state, meta
-    except Exception:
+    except Exception as exc:  # corrupt/partial checkpoint, pytree mismatch
+        # Distinguishable from the absent-slot None above: a corrupt slot
+        # would otherwise silently restart training / eval current params.
+        print(f"⚠️  failed to restore checkpoint {root}: {exc!r}")
         return None
 
 

@@ -200,6 +200,16 @@ class ForensicTrainer:
         self.no_improve = 0
         if cfg.resume:
             restored = ckpt.load_checkpoint(cfg.out_dir, "latest", self.state)
+            if restored is not None and restored[1].get("trainer", "v2") != "v2":
+                # Same cross-kind hazard as test(): GNNModel/SimpleGCN param
+                # shapes coincide at default dims, so a foreign 'latest'
+                # would resume silently wrong weights.
+                print(
+                    f"⚠️  latest checkpoint in {cfg.out_dir} was written by "
+                    f"the '{restored[1].get('trainer')}' trainer — ignoring "
+                    "it and starting fresh"
+                )
+                restored = None
             if restored is not None:
                 self.state, meta = restored
                 if self.mesh is not None:

@@ -467,6 +467,10 @@ class IntegratedForensicTrainer:
         restored = ckpt.load_checkpoint(self.cfg.out_dir, "best", self.state)
         epoch = self.cfg.epochs
         if restored is not None:
+            # Untagged meta (pre-tagging checkpoints) defaults to "v2" — a
+            # deliberately conservative choice: an old integrated-trainer
+            # checkpoint is rejected here rather than risk accepting a v2
+            # one; retrain or resave to regain it.
             kind = restored[1].get("trainer", "v2")
             if kind != "integrated":
                 print(
