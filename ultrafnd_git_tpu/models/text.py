@@ -12,6 +12,10 @@ TPU-first differences:
   * every API has a *_batch variant — the cache builder encodes the whole
     corpus in a handful of forwards instead of one forward per string
     (kills reference hot loop #1, SURVEY §3.1).
+  * the HF rung itself runs ON the accelerator by default: pretrained
+    torch weights are transferred once into the Flax tower in
+    models/bert_flax.py (Pallas attention on TPU), with the host torch
+    forward kept as the fallback (`ULTRAFND_BERT_DEVICE=0` forces it).
   * the hash fallback uses a stable FNV-1a hash (reproducible).
   * HF weights load with local_files_only=True: cached weights are used,
     a cold cache falls back instantly instead of hitting the network.
@@ -86,9 +90,51 @@ class BERTContextEncoder:
             self.tok = None
             self.model = None
             self.use_hf = False
+        # Device-resident pretrained rung (VERDICT r1 item 2): the same HF
+        # weights transferred once into the Flax tower; lazily built at
+        # first encode, opt-out via ULTRAFND_BERT_DEVICE=0. BERT-shaped
+        # checkpoints only — RoBERTa/XLM-R keep the host-torch rung.
+        self._device_bert = None
+        self._device_bert_tried = not (
+            self.use_hf
+            and os.environ.get("ULTRAFND_BERT_DEVICE", "1") == "1"
+            and getattr(self.model.config, "model_type", "") == "bert"
+        )
 
     # ------------------------------------------------------------------
+    def _device_bert_rung(self):
+        if not self._device_bert_tried:
+            self._device_bert_tried = True
+            try:
+                from ultrafnd_git_tpu.models.bert_flax import (
+                    DeviceBertEncoder,
+                )
+
+                self._device_bert = DeviceBertEncoder(
+                    self.model,
+                    self.tok,
+                    dim=self.dim,
+                    max_length=self.max_length,
+                )
+            except Exception as exc:  # broken accelerator/tunnel etc.
+                print(
+                    f"⚠️  device BERT rung unavailable ({exc!r}); "
+                    "using host torch forward"
+                )
+                self._device_bert = None
+        return self._device_bert
+
     def _hf_encode_batch(self, texts: Sequence[str]) -> np.ndarray:
+        device_bert = self._device_bert_rung()
+        if device_bert is not None:
+            try:
+                return device_bert.encode_batch(texts)
+            except Exception as exc:
+                print(
+                    f"⚠️  device BERT forward failed ({exc!r}); "
+                    "falling back to host torch"
+                )
+                self._device_bert = None
         torch = self._torch
         outs: List[np.ndarray] = []
         with torch.inference_mode():
