@@ -56,6 +56,11 @@ def parse_args():
                    help="Shard the HBM-resident feature corpus rows over "
                         "the 'data' mesh axis (for corpora beyond one "
                         "chip's HBM; see docs/SCALING.md)")
+    p.add_argument("--multihost", action="store_true",
+                   help="Call jax.distributed.initialize() before any "
+                        "device use (reads JAX_COORDINATOR_ADDRESS / "
+                        "JAX_NUM_PROCESSES / JAX_PROCESS_ID; no-op when "
+                        "unset or single-process)")
     p.add_argument("--resume", action="store_true",
                    help="Resume from the latest checkpoint in out_dir")
     p.add_argument("--profile_dir", type=str, default=None,
@@ -75,6 +80,19 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.multihost:
+        from ultrafnd_git_tpu.parallel.mesh import (
+            maybe_initialize_distributed,
+        )
+
+        if maybe_initialize_distributed():
+            print(
+                f"multi-host: process {jax.process_index()} of "
+                f"{jax.process_count()}"
+            )
+        else:
+            print("multi-host: no coordinator configured — single process")
 
     from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
     from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache

@@ -21,7 +21,8 @@ os.environ.setdefault("ULTRAFND_DISABLE_HF", "1")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -82,14 +83,29 @@ def bench_feature_stage(repeats=3):
 
     ds = RawMediaDataset(str(FIXTURE), filter_existing=True)
     batch = multimodal_collate([ds[i] for i in range(len(ds))])
-    ext = BatchFeatureExtractor(seed=0)
-    ext(batch)  # warm (jit compiles)
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        ext(batch)
-    dt = (time.perf_counter() - t0) / repeats
     n = len(ds)
-    print(f"feature stage  : {n/dt:8.1f} samples/s  ({dt/n*1e3:.1f} ms/sample)")
+
+    results = {}
+    for label, device_cv in (("device-CV", True), ("host-CV", False)):
+        ext = BatchFeatureExtractor(seed=0, use_device_cv=device_cv)
+        if device_cv and ext._device_cv is None:
+            continue
+        ext(batch)  # warm (jit compiles)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            ext(batch)
+        dt = (time.perf_counter() - t0) / repeats
+        results[label] = dt / n
+        print(
+            f"feature stage ({label:9s}): {n/dt:8.1f} samples/s  "
+            f"({dt/n*1e3:.1f} ms/sample)"
+        )
+    if len(results) == 2:
+        print(
+            "device-CV speedup over host-CV: "
+            f"{results['host-CV']/results['device-CV']:.2f}x"
+        )
+    return results
 
 
 def bench_cache_build(repeats=3):

@@ -1,0 +1,130 @@
+"""Device CV preprocessing stage: flow sanity, cue parity, pipeline wiring."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ultrafnd_git_tpu.kernels.preprocess import (
+    DeviceCVStage,
+    cut_scores_device,
+    density_histograms,
+    flow_stats,
+    lucas_kanade,
+)
+
+
+@pytest.fixture(scope="module")
+def clip_batch(request):
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 256, (2, 6, 64, 64, 3), dtype=np.uint8)
+
+
+def test_lucas_kanade_recovers_translation():
+    rng = np.random.default_rng(1)
+    base = rng.uniform(0, 255, (300, 300)).astype(np.float32)
+    g0 = base[20:276, 20:276]
+    g1 = base[23:279, 22:278]  # content shifted: v=-3, u=-2
+    u, v = lucas_kanade(jnp.asarray(g0), jnp.asarray(g1))
+    inner = (slice(32, -32), slice(32, -32))
+    assert abs(float(jnp.median(v[inner])) + 3.0) < 0.2
+    assert abs(float(jnp.median(u[inner])) + 2.0) < 0.2
+
+
+def test_static_clip_zero_flow_zero_cuts():
+    rng = np.random.default_rng(2)
+    frame = rng.integers(0, 256, (1, 1, 64, 64, 3), dtype=np.uint8)
+    clip = np.tile(frame, (1, 5, 1, 1, 1))
+    out = DeviceCVStage()(clip)
+    assert float(out["flow_mags"].max()) < 1e-5
+    assert float(out["cuts"].max()) < 1e-6
+    assert float(out["tamper"][0]) == 0.0
+
+
+def test_density_histogram_matches_numpy():
+    rng = np.random.default_rng(3)
+    gray = rng.uniform(0, 255, (4, 32, 32)).astype(np.float32)
+    got = np.asarray(density_histograms(jnp.asarray(gray)))
+    for t in range(4):
+        ref, _ = np.histogram(gray[t], bins=32, range=(0, 255), density=True)
+        np.testing.assert_allclose(got[t], ref, atol=1e-6)
+
+
+def test_cut_scores_match_host_chronos():
+    from ultrafnd_git_tpu.models.chronos import cut_scores
+
+    rng = np.random.default_rng(4)
+    gray = rng.uniform(0, 255, (6, 64, 64)).astype(np.float32)
+    got = np.asarray(cut_scores_device(jnp.asarray(gray)))
+    ref = cut_scores(gray)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_flow_stats_layout_matches_host_pool():
+    """Same flow fields through the device pooling and the host
+    OpticalFlow3DCNN._pool_flow must agree (identical stat layout)."""
+    from ultrafnd_git_tpu.models.visual import OpticalFlow3DCNN
+
+    rng = np.random.default_rng(5)
+    flows = [
+        rng.standard_normal((64, 64, 2)).astype(np.float32)
+        for _ in range(5)
+    ]
+    host = OpticalFlow3DCNN(dim=256, use_tvl1=False).pool_flows(flows)
+
+    fx = np.stack([f[..., 0] for f in flows])
+    fy = np.stack([f[..., 1] for f in flows])
+    mag = np.sqrt(fx * fx + fy * fy)
+    ang = (np.arctan2(fy, fx) + np.pi) / (2 * np.pi)
+    dev = np.asarray(flow_stats(jnp.asarray(mag), jnp.asarray(ang)))
+    np.testing.assert_allclose(dev, host, atol=2e-4, rtol=2e-4)
+
+
+def test_stage_shapes_and_finiteness(clip_batch):
+    out = DeviceCVStage(flow_dim=256)(clip_batch)
+    assert out["flow_feat"].shape == (2, 256)
+    assert out["cuts"].shape == (2, 5)
+    assert out["flow_mags"].shape == (2, 5)
+    assert out["tamper"].shape == (2,)
+    for v in out.values():
+        assert np.isfinite(v).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(out["flow_feat"], axis=1), np.ones(2), atol=1e-5
+    )
+    assert ((out["tamper"] >= 0) & (out["tamper"] <= 1)).all()
+
+
+def test_extractor_uses_device_stage(monkeypatch):
+    """BatchFeatureExtractor routes the CV block through the device stage
+    by default and falls back to the host ladder when disabled."""
+    from ultrafnd_git_tpu.training.pipeline_v1 import BatchFeatureExtractor
+
+    rng = np.random.default_rng(6)
+    batch = {
+        "text_data": [
+            {"title": "a b", "ocr": "c", "comments": ["d"]},
+            {"title": "e", "ocr": "", "comments": []},
+        ],
+        "audio_waveform": [
+            rng.standard_normal(8000).astype(np.float32) for _ in range(2)
+        ],
+        "video_frames": rng.integers(
+            0, 256, (2, 6, 64, 64, 3), dtype=np.uint8
+        ),
+        "label": np.array([0, 1]),
+    }
+
+    monkeypatch.setenv("ULTRAFND_DEVICE_CV", "1")
+    ext = BatchFeatureExtractor(seed=0)
+    assert ext._device_cv is not None
+    feats = ext(batch)
+    assert feats["visual"].shape == (2, 512)
+    assert np.isfinite(feats["visual"]).all()
+
+    monkeypatch.setenv("ULTRAFND_DEVICE_CV", "0")
+    ext_host = BatchFeatureExtractor(seed=0)
+    assert ext_host._device_cv is None
+    feats_host = ext_host(batch)
+    assert feats_host["visual"].shape == (2, 512)
+    # text/audio/aux stages are CV-independent and must agree exactly
+    np.testing.assert_allclose(feats["text"], feats_host["text"])
+    np.testing.assert_allclose(feats["audio"], feats_host["audio"])

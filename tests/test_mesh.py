@@ -1,0 +1,72 @@
+"""Mesh construction, axis-spec hook, and multi-host helpers (8 CPU devs)."""
+import jax
+import numpy as np
+import pytest
+
+from ultrafnd_git_tpu.parallel import mesh as meshlib
+
+
+def test_make_mesh_default_axes():
+    m = meshlib.make_mesh(dp=4, tp=2, devices=jax.devices("cpu"))
+    assert m.axis_names == ("data", "model")
+    assert m.shape == {"data": 4, "model": 2}
+
+
+def test_make_mesh_extra_axis_size_one():
+    """SURVEY §2.9 PP hook: a named extra axis is a config change only."""
+    m = meshlib.make_mesh(
+        dp=4, tp=2, devices=jax.devices("cpu"), extra_axes=(("pipe", 1),)
+    )
+    assert m.axis_names == ("data", "model", "pipe")
+    assert m.shape == {"data": 4, "model": 2, "pipe": 1}
+    # sharding rules address axes by name — unaffected by the extra axis
+    params = {"fuse0": {"kernel": np.zeros((8, 8))}}
+    sh = meshlib.param_shardings(params, m)
+    assert sh["fuse0"]["kernel"].spec == jax.sharding.PartitionSpec(
+        None, "model"
+    )
+
+
+def test_make_mesh_extra_axis_populated():
+    m = meshlib.make_mesh(
+        dp=2, tp=2, devices=jax.devices("cpu"), extra_axes=(("sequence", 2),)
+    )
+    assert m.shape == {"data": 2, "model": 2, "sequence": 2}
+
+
+def test_make_mesh_infers_dp_with_extra_axes():
+    m = meshlib.make_mesh(
+        tp=2, devices=jax.devices("cpu"), extra_axes=(("pipe", 2),)
+    )
+    assert m.shape["data"] == 2  # 8 // (2*2)
+
+
+def test_maybe_initialize_distributed_noop(monkeypatch):
+    """No coordinator configured -> graceful single-process no-op."""
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    assert meshlib.maybe_initialize_distributed() is False
+    # explicit single-process args are also a no-op
+    assert (
+        meshlib.maybe_initialize_distributed(
+            coordinator="localhost:1234", num_processes=1, process_id=0
+        )
+        is False
+    )
+
+
+def test_put_global_batch_single_process():
+    m = meshlib.make_mesh(dp=4, tp=2, devices=jax.devices("cpu"))
+    arr = np.arange(16, dtype=np.int32)
+    out = meshlib.put_global_batch(arr, m)
+    np.testing.assert_array_equal(np.asarray(out), arr)
+    assert out.sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_put_replicated_global_single_process():
+    m = meshlib.make_mesh(dp=4, tp=2, devices=jax.devices("cpu"))
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    out = meshlib.put_replicated_global(arr, m)
+    np.testing.assert_array_equal(np.asarray(out), arr)
+    assert out.sharding.spec == jax.sharding.PartitionSpec()

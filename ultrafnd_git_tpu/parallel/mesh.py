@@ -12,7 +12,8 @@ TPU-native scaling story: a 2-D `Mesh(('data', 'model'))` over which
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -23,17 +24,66 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host hook (SURVEY §5.8): `jax.distributed.initialize()`.
+
+    Reads the standard env contract when args are omitted
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, the
+    names `jax.distributed` itself documents). A single-process run — no
+    coordinator configured, or num_processes <= 1 — is a graceful no-op
+    returning False, so the same entrypoint works on one chip and on a
+    multi-host slice. Must run before first device use.
+    """
+    coord = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    n_str = os.environ.get("JAX_NUM_PROCESSES", "")
+    n = num_processes if num_processes is not None else (
+        int(n_str) if n_str.isdigit() else 0
+    )
+    pid_str = os.environ.get("JAX_PROCESS_ID", "")
+    pid = process_id if process_id is not None else (
+        int(pid_str) if pid_str.isdigit() else None
+    )
+    if not coord or n <= 1 or pid is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=n, process_id=pid
+    )
+    return True
+
+
 def make_mesh(
-    dp: Optional[int] = None, tp: int = 1, devices=None
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices=None,
+    extra_axes: Sequence[Tuple[str, int]] = (),
 ) -> Mesh:
-    """Build a (dp, tp) mesh over available (or given) devices."""
+    """Build a (dp, tp, *extra) mesh over available (or given) devices.
+
+    `extra_axes` is the SURVEY §2.9 PP/SP config hook: additional named
+    axes (e.g. `(("pipe", 1),)` or `(("sequence", 1),)`) appended after
+    ('data', 'model'). They default to empty — populating one later is a
+    config change, not a code change; all sharding rules below address
+    axes by NAME so size-1 extra axes don't disturb them.
+    """
     devices = list(devices if devices is not None else jax.devices())
+    extra = [(str(name), int(size)) for name, size in extra_axes]
+    extra_total = int(np.prod([s for _, s in extra])) if extra else 1
     if dp is None:
-        if len(devices) % tp != 0:
-            raise ValueError(f"{len(devices)} devices not divisible by tp={tp}")
-        dp = len(devices) // tp
-    grid = mesh_utils.create_device_mesh((dp, tp), devices=devices[: dp * tp])
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+        if len(devices) % (tp * extra_total) != 0:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by "
+                f"tp*extra={tp * extra_total}"
+            )
+        dp = len(devices) // (tp * extra_total)
+    shape = (dp, tp, *[s for _, s in extra])
+    names = (DATA_AXIS, MODEL_AXIS, *[n for n, _ in extra])
+    n_used = int(np.prod(shape))
+    grid = mesh_utils.create_device_mesh(shape, devices=devices[:n_used])
+    return Mesh(grid, names)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -75,6 +125,46 @@ def shard_params(params, mesh: Mesh):
     return jax.tree.map(
         lambda x, s: jax.device_put(x, s), params, param_shardings(params, mesh)
     )
+
+
+def put_global_batch(
+    arr: np.ndarray, mesh: Mesh, sharding: Optional[NamedSharding] = None
+):
+    """Place a host batch onto the mesh, multi-host aware.
+
+    Single-process: a plain sharded device_put. Multi-host (after
+    `maybe_initialize_distributed`): every process computes the same
+    global batch from the same seeded index stream, and this constructs
+    the global jax.Array from each process's LOCAL rows via
+    `jax.make_array_from_process_local_data` — the per-host input sharding
+    SURVEY §2.9 prescribes (hosts never materialize remote shards on
+    device).
+    """
+    sharding = sharding or batch_sharding(mesh)
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_process_local_data(
+        sharding, _local_rows(arr, sharding), arr.shape
+    )
+
+
+def _local_rows(arr: np.ndarray, sharding: NamedSharding) -> np.ndarray:
+    """Rows of the (globally identical) host batch owned by this process."""
+    per = arr.shape[0] // jax.process_count()
+    start = jax.process_index() * per
+    return arr[start : start + per]
+
+
+def put_replicated_global(arr, mesh: Mesh):
+    """Replicate a host array over the mesh, multi-host aware."""
+    sharding = replicated(mesh)
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    # every process holds the full array; the "local data" of a fully
+    # replicated sharding is the array itself
+    return jax.make_array_from_process_local_data(sharding, arr, arr.shape)
 
 
 def pad_to_multiple(idx: np.ndarray, multiple: int) -> np.ndarray:

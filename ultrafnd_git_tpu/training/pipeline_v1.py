@@ -22,9 +22,10 @@ TPU-first design:
     MXU instead of the reference's sequential Python loop over models;
   * mixup runs inside the compiled step (lam + permutation are step
     inputs); focal loss is a closed-form jnp expression;
-  * decode + non-differentiable CV feature extraction stay on host
-    (SURVEY §7 hard parts), producing fixed-shape blocks fed to HBM once
-    per batch.
+  * only codec decode (and ELA's JPEG re-encode) stays on host; dense
+    flow + chronos cues run as one jitted device program
+    (`kernels/preprocess.py`), with the host cv2 ladder kept as the
+    fallback rung (`ULTRAFND_DEVICE_CV=0`).
 """
 from __future__ import annotations
 
@@ -96,7 +97,8 @@ def mixup_arrays(
 class BatchFeatureExtractor:
     """Raw collated batch -> fixed-width feature dict + evidence scalars."""
 
-    def __init__(self, seed: int = 42):
+    def __init__(self, seed: int = 42, use_device_cv: Optional[bool] = None):
+        import os
         import threading
 
         from ultrafnd_git_tpu.data.cache import make_encoders
@@ -113,6 +115,32 @@ class BatchFeatureExtractor:
         self.affective = enc["affective"]
         self.chronos = ChronosGuard.from_config()
         self.semantic = enc["semantic"]
+        # Device CV stage (flow + chronos cues on the accelerator); the
+        # host cv2 ladder below remains the fallback rung.
+        if use_device_cv is None:
+            use_device_cv = os.environ.get("ULTRAFND_DEVICE_CV", "1") == "1"
+        self._device_cv = None
+        if use_device_cv:
+            from ultrafnd_git_tpu.kernels.preprocess import DeviceCVStage
+
+            self._device_cv = DeviceCVStage(flow_dim=self.flow.dim)
+
+    def _device_cv_block(self, frames) -> Optional[tuple]:
+        """Try the accelerator CV stage; None routes to the host ladder."""
+        if self._device_cv is None:
+            return None
+        arr = np.asarray(frames)
+        if arr.ndim != 5 or arr.shape[1] < 2 or arr.shape[-1] != 3:
+            return None
+        try:
+            out = self._device_cv(arr)
+        except Exception as exc:
+            print(f"⚠️  device CV stage failed ({exc!r}); host cv2 ladder")
+            self._device_cv = None
+            return None
+        # ELA needs a JPEG codec — host-side on the middle frame only
+        ela_feats = np.stack([self.ela.ela_lbp(clip) for clip in arr])
+        return out["flow_feat"], ela_feats, out["tamper"]
 
     def __call__(self, batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
         texts: List[Dict[str, Any]] = batch["text_data"]
@@ -167,11 +195,17 @@ class BatchFeatureExtractor:
             )
             return flow_feat, self.ela.ela_lbp(clip), tamper
 
-        from concurrent.futures import ThreadPoolExecutor
+        device_out = self._device_cv_block(frames)
+        if device_out is not None:
+            flow_feats, ela_feats, tamper_list = device_out
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(8, len(frames))) as pool:
-            cv_out = list(pool.map(cv_worker, frames))
-        flow_feats, ela_feats, tamper_list = zip(*cv_out)
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(frames))
+            ) as pool:
+                cv_out = list(pool.map(cv_worker, frames))
+            flow_feats, ela_feats, tamper_list = zip(*cv_out)
         V = np.concatenate(
             [np.stack(flow_feats), np.stack(ela_feats)], axis=1
         ).astype(np.float32)  # (B, 512)

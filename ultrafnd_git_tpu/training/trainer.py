@@ -243,13 +243,17 @@ class ForensicTrainer:
         return jax.device_put(arr, meshlib.batch_sharding(self.mesh))
 
     def _batch_arrays(self, idx: np.ndarray, mask: np.ndarray):
-        i = jnp.asarray(idx, jnp.int32)
-        m = jnp.asarray(mask, jnp.float32)
         if self.mesh is not None:
-            sh = meshlib.batch_sharding(self.mesh)
-            i = jax.device_put(i, sh)
-            m = jax.device_put(m, sh)
-        return i, m
+            # multi-host aware: per-host local rows assembled into the
+            # global batch array (single-process = plain sharded put)
+            i = meshlib.put_global_batch(
+                np.asarray(idx, np.int32), self.mesh
+            )
+            m = meshlib.put_global_batch(
+                np.asarray(mask, np.float32), self.mesh
+            )
+            return i, m
+        return jnp.asarray(idx, jnp.int32), jnp.asarray(mask, jnp.float32)
 
     # ------------------------------------------------------------------
     def _pretrain_gnn(self, gnn_params, epochs: int = 2):
