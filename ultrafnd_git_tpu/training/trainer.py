@@ -26,12 +26,10 @@ TPU-first design (the reasons this is not a port):
 """
 from __future__ import annotations
 
-import json
 import math
 import os
 import time
-from dataclasses import asdict, dataclass, field
-from pathlib import Path
+from dataclasses import asdict, dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -45,6 +43,13 @@ from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
 from ultrafnd_git_tpu.models.gnn import SimpleGCN
 from ultrafnd_git_tpu.parallel import mesh as meshlib
 from ultrafnd_git_tpu.training import checkpoint as ckpt
+from ultrafnd_git_tpu.training.loop import (
+    ImprovementTracker,
+    iter_padded_batches,
+    load_checkpoint_guarded,
+    log_jsonl,
+    profiler_trace,
+)
 from ultrafnd_git_tpu.training.metrics import aggregate_epoch_metrics, pretty_print
 from ultrafnd_git_tpu.training.state import (
     TrainState,
@@ -199,17 +204,9 @@ class ForensicTrainer:
         self.best_val_auc = -1.0
         self.no_improve = 0
         if cfg.resume:
-            restored = ckpt.load_checkpoint(cfg.out_dir, "latest", self.state)
-            if restored is not None and restored[1].get("trainer", "v2") != "v2":
-                # Same cross-kind hazard as test(): GNNModel/SimpleGCN param
-                # shapes coincide at default dims, so a foreign 'latest'
-                # would resume silently wrong weights.
-                print(
-                    f"⚠️  latest checkpoint in {cfg.out_dir} was written by "
-                    f"the '{restored[1].get('trainer')}' trainer — ignoring "
-                    "it and starting fresh"
-                )
-                restored = None
+            restored = load_checkpoint_guarded(
+                cfg.out_dir, "latest", self.state, "v2", "starting fresh"
+            )
             if restored is not None:
                 self.state, meta = restored
                 if self.mesh is not None:
@@ -390,21 +387,11 @@ class ForensicTrainer:
         is_train = split == "train"
         B = cfg.batch_size
 
-        order = np.array(split_idx, dtype=np.int32)
-        if is_train:
-            np.random.shuffle(order)
-
         losses, y_all, p1_all = [], [], []
         f_buf = []
-        for s in range(0, len(order), B):
-            chunk = order[s : s + B]
-            valid = len(chunk)
-            if valid < B:
-                chunk = np.concatenate(
-                    [chunk, np.full(B - valid, chunk[-1], chunk.dtype)]
-                )
-            mask = np.zeros(B, np.float32)
-            mask[:valid] = 1.0
+        for chunk, mask, valid in iter_padded_batches(
+            split_idx, B, shuffle=is_train
+        ):
             i, m = self._batch_arrays(chunk, mask)
 
             if is_train:
@@ -442,20 +429,17 @@ class ForensicTrainer:
         )
         return loss_mean, metrics
 
-    # ------------------------------------------------------------------
-    def _log_jsonl(self, record: Dict[str, Any]) -> None:
-        if not self.cfg.log_metrics_jsonl:
-            return
-        with open(
-            Path(self.cfg.out_dir) / "metrics.jsonl", "a", encoding="utf-8"
-        ) as fh:
-            fh.write(json.dumps(record, ensure_ascii=False) + "\n")
-
     def fit(self) -> float:
         cfg = self.cfg
-        if cfg.profile_dir:
-            jax.profiler.start_trace(cfg.profile_dir)
-        try:
+        tracker = ImprovementTracker(
+            cfg.out_dir,
+            "v2",
+            cfg.save_best,
+            cfg.early_stop_patience,
+            best=self.best_val_auc,
+            no_improve=self.no_improve,
+        )
+        with profiler_trace(cfg.profile_dir):
             for epoch in range(self.start_epoch, cfg.epochs + 1):
                 t0 = time.time()
                 tr_loss, tr_metrics = self._epoch_loop(self.tr_idx, "train")
@@ -466,7 +450,9 @@ class ForensicTrainer:
                 pretty_print("train", tr_metrics)
                 print(f"           val_loss={va_loss:.4f} | ", end="")
                 pretty_print("val", va_metrics)
-                self._log_jsonl(
+                log_jsonl(
+                    cfg.out_dir,
+                    cfg.log_metrics_jsonl,
                     {
                         "epoch": epoch,
                         "seconds": dt,
@@ -474,65 +460,38 @@ class ForensicTrainer:
                         "val_loss": va_loss,
                         **{f"train_{k}": v for k, v in tr_metrics.items()},
                         **{f"val_{k}": v for k, v in va_metrics.items()},
-                    }
+                    },
                 )
 
-                val_auc = float(va_metrics.get("auc", 0.5))
-                meta = {
-                    "trainer": "v2",
-                    "epoch": epoch,
-                    "best_val_auc": self.best_val_auc,
-                    "no_improve": self.no_improve,
-                    "cfg": asdict(cfg),
-                }
-                # Improvement accounting is independent of save_best —
-                # only the checkpoint WRITE is gated by it.
-                if val_auc > self.best_val_auc + 1e-4:
-                    self.best_val_auc = val_auc
-                    self.no_improve = 0
-                    meta["best_val_auc"] = val_auc
-                    if cfg.save_best:
-                        ckpt.save_checkpoint(
-                            cfg.out_dir, "best", self.state, meta
-                        )
-                        print(
-                            f"  ↳ saved best checkpoint to {cfg.out_dir}/best "
-                            f"(val_auc={val_auc:.3f})"
-                        )
-                else:
-                    self.no_improve += 1
+                tracker.update(
+                    float(va_metrics.get("auc", 0.5)),
+                    self.state,
+                    epoch,
+                    asdict(cfg),
+                )
+                self.best_val_auc = tracker.best
+                self.no_improve = tracker.no_improve
+                # `latest` every epoch: restart-from-latest fault recovery
+                ckpt.save_checkpoint(
+                    cfg.out_dir, "latest", self.state,
+                    tracker.meta(epoch, asdict(cfg)),
+                )
 
-                meta["no_improve"] = self.no_improve
-                ckpt.save_checkpoint(cfg.out_dir, "latest", self.state, meta)
-
-                if self.no_improve >= cfg.early_stop_patience:
-                    print(
-                        "↳ Early stopping (no val AUC improvement for "
-                        f"{cfg.early_stop_patience} epochs)"
-                    )
+                if tracker.should_stop:
+                    tracker.announce_stop()
                     break
-        finally:
-            if cfg.profile_dir:
-                jax.profiler.stop_trace()
         return self.best_val_auc
 
     def test(self) -> Dict[str, float]:
         params = self.state.params
-        restored = ckpt.load_checkpoint(self.cfg.out_dir, "best", self.state)
+        restored = load_checkpoint_guarded(
+            self.cfg.out_dir, "best", self.state, "v2",
+            "testing current params",
+        )
         if restored is not None:
-            kind = restored[1].get("trainer", "v2")
-            if kind != "v2":
-                # GNNModel/SimpleGCN param shapes coincide at default dims:
-                # cross-kind restore would evaluate silently wrong weights.
-                print(
-                    f"⚠️  best checkpoint in {self.cfg.out_dir} was written "
-                    f"by the '{kind}' trainer — ignoring it and testing "
-                    "current params"
-                )
-            else:
-                params = restored[0].params
-                if self.mesh is not None:
-                    params = meshlib.shard_params(params, self.mesh)
+            params = restored[0].params
+            if self.mesh is not None:
+                params = meshlib.shard_params(params, self.mesh)
 
         ts_loss, ts_metrics = self._epoch_loop(self.te_idx, "test", params=params)
         print(f"[Test] loss={ts_loss:.4f} | ", end="")

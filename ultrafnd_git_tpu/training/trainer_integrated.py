@@ -49,7 +49,14 @@ from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
 from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
 from ultrafnd_git_tpu.models.gnn import GNNModel
 from ultrafnd_git_tpu.ops.jaccard import pairwise_jaccard
-from ultrafnd_git_tpu.training import checkpoint as ckpt
+from ultrafnd_git_tpu.training import checkpoint as ckpt  # noqa: F401 (tests patch via this module)
+from ultrafnd_git_tpu.training.loop import (
+    ImprovementTracker,
+    iter_padded_batches,
+    load_checkpoint_guarded,
+    log_jsonl,
+    profiler_trace,
+)
 from ultrafnd_git_tpu.training.metrics import safe_auc
 from ultrafnd_git_tpu.training.state import TrainState, create_train_state
 
@@ -331,21 +338,9 @@ class IntegratedForensicTrainer:
         params=None,
     ) -> Tuple[float, float, float]:
         b = self.cfg.batch_size
-        order = np.array(idx, dtype=np.int32)
-        if train:
-            np.random.shuffle(order)
-
         losses, y_all, p1_all = [], [], []
         thr_dev = jnp.asarray(thr, jnp.float32)
-        for s in range(0, len(order), b):
-            chunk = order[s : s + b]
-            valid = len(chunk)
-            if valid < b:
-                chunk = np.concatenate(
-                    [chunk, np.full(b - valid, chunk[-1], chunk.dtype)]
-                )
-            mask = np.zeros(b, np.float32)
-            mask[:valid] = 1.0
+        for chunk, mask, valid in iter_padded_batches(idx, b, shuffle=train):
             i = jnp.asarray(chunk, jnp.int32)
             m = jnp.asarray(mask)
 
@@ -373,32 +368,21 @@ class IntegratedForensicTrainer:
         auc = safe_auc(y, p1)
         return float(np.mean(losses)), acc, auc
 
-    # ------------------------------------------------------------------
-    def _log_jsonl(self, record: Dict[str, Any]) -> None:
-        if not self.cfg.log_metrics_jsonl:
-            return
-        import json
-
-        with open(
-            os.path.join(self.cfg.out_dir, "metrics.jsonl"),
-            "a",
-            encoding="utf-8",
-        ) as fh:
-            fh.write(json.dumps(record, ensure_ascii=False) + "\n")
-
     def train(self) -> Dict[str, float]:
         print("\n>>> Training (integrated variant)...")
-        cfg = self.cfg
-        if cfg.profile_dir:
-            jax.profiler.start_trace(cfg.profile_dir)
-        try:
+        with profiler_trace(self.cfg.profile_dir):
             return self._train_loop()
-        finally:
-            if cfg.profile_dir:
-                jax.profiler.stop_trace()
 
     def _train_loop(self) -> Dict[str, float]:
         cfg = self.cfg
+        tracker = ImprovementTracker(
+            cfg.out_dir,
+            "integrated",
+            cfg.save_best,
+            cfg.early_stop_patience,
+            best=self.best_score,
+            no_improve=self.no_improve,
+        )
         for epoch in range(1, cfg.epochs + 1):
             thr = self._annealed_thresh(epoch - 1)
             if self._frozen and epoch > cfg.freeze_epochs:
@@ -417,7 +401,9 @@ class IntegratedForensicTrainer:
                 f"val: loss={val_loss:.4f} acc={val_acc:.3f} "
                 f"auc={val_auc:.3f} | thr={thr:.3f}"
             )
-            self._log_jsonl(
+            log_jsonl(
+                cfg.out_dir,
+                cfg.log_metrics_jsonl,
                 {
                     "epoch": epoch,
                     "thr": thr,
@@ -427,60 +413,32 @@ class IntegratedForensicTrainer:
                     "val_loss": val_loss,
                     "val_acc": val_acc,
                     "val_auc": val_auc,
-                }
+                },
             )
 
-            # Improvement accounting independent of save_best — only the
-            # checkpoint write is gated by it.
-            if val_auc > self.best_score + 1e-4:
-                self.best_score = val_auc
-                self.no_improve = 0
-                if cfg.save_best:
-                    ckpt.save_checkpoint(
-                        cfg.out_dir,
-                        "best",
-                        self.state,
-                        {
-                            "trainer": "integrated",
-                            "epoch": epoch,
-                            "best_val_auc": self.best_score,
-                            "cfg": asdict(cfg),
-                        },
-                    )
-                    print(
-                        f"  ↳ saved best checkpoint to {cfg.out_dir}/best "
-                        f"(score={self.best_score:.3f})"
-                    )
-            else:
-                self.no_improve += 1
-                if self.no_improve >= cfg.early_stop_patience:
-                    print(
-                        "↳ Early stopping (no val AUC improvement "
-                        f"{cfg.early_stop_patience} epochs)"
-                    )
-                    break
+            tracker.update(val_auc, self.state, epoch, asdict(cfg))
+            self.best_score = tracker.best
+            self.no_improve = tracker.no_improve
+            if tracker.should_stop:
+                tracker.announce_stop()
+                break
         return self.test()
 
     def test(self) -> Dict[str, float]:
         print("\n>>> Testing best checkpoint...")
         params = self.state.params
-        restored = ckpt.load_checkpoint(self.cfg.out_dir, "best", self.state)
         epoch = self.cfg.epochs
+        # NOTE: untagged meta defaults to 'v2' inside the guard — a
+        # deliberately conservative choice for pre-tagging checkpoints
+        # (an old integrated checkpoint is rejected rather than risk
+        # accepting a v2 one; retrain or resave to regain it).
+        restored = load_checkpoint_guarded(
+            self.cfg.out_dir, "best", self.state, "integrated",
+            "testing current params",
+        )
         if restored is not None:
-            # Untagged meta (pre-tagging checkpoints) defaults to "v2" — a
-            # deliberately conservative choice: an old integrated-trainer
-            # checkpoint is rejected here rather than risk accepting a v2
-            # one; retrain or resave to regain it.
-            kind = restored[1].get("trainer", "v2")
-            if kind != "integrated":
-                print(
-                    f"⚠️  best checkpoint in {self.cfg.out_dir} was written "
-                    f"by the '{kind}' trainer — ignoring it and testing "
-                    "current params"
-                )
-            else:
-                params = restored[0].params
-                epoch = int(restored[1].get("epoch", epoch))
+            params = restored[0].params
+            epoch = int(restored[1].get("epoch", epoch))
         thr = self._annealed_thresh(max(0, epoch - 1))
         loss, acc, auc = self._run_split(
             self.test_idx, thr, train=False, params=params
