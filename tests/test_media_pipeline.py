@@ -46,6 +46,45 @@ class TestDecoders:
         assert np.abs(wave[:16000]).max() > 0.1
         assert np.all(wave[16000:] == 0.0)
 
+    def test_audio_ffmpeg_rung_with_stub_binary(self, tmp_path, monkeypatch):
+        """A container with no WAV sidecar must route through the ffmpeg
+        subprocess rung when an ffmpeg binary exists (reference ladder
+        `run_train_eval.py:391-421`); exercised with a stub that emits
+        s16le PCM on stdout."""
+        import stat
+
+        sr = 16000
+        stub = tmp_path / "bin" / "ffmpeg"
+        stub.parent.mkdir()
+        # 1 s of a constant half-scale square wave, little-endian int16
+        stub.write_text(
+            "#!/bin/sh\n"
+            "python3 -c \"import sys,numpy as np; "
+            "sys.stdout.buffer.write("
+            f"(np.ones({sr},np.int16)*16384).tobytes())\"\n"
+        )
+        stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv(
+            "PATH", f"{stub.parent}:{__import__('os').environ['PATH']}"
+        )
+
+        clip = tmp_path / "clip.mp4"
+        clip.write_bytes(b"\x00" * 64)  # container exists, no sidecar
+        wave = load_audio_waveform(clip, sr=sr)
+        assert wave.shape[0] >= sr * 5  # padded to min length
+        # the stub's samples survive the ladder (16384/32767 ~ 0.5)
+        assert abs(float(wave[:sr].mean()) - 0.5) < 0.01
+        assert float(np.abs(wave[sr * 2 :]).max()) == 0.0  # zero-padded
+
+    def test_audio_ffmpeg_rung_absent_binary_falls_to_silence(
+        self, tmp_path, monkeypatch
+    ):
+        monkeypatch.setenv("PATH", str(tmp_path / "empty"))
+        clip = tmp_path / "clip.mp4"
+        clip.write_bytes(b"\x00" * 64)
+        wave = load_audio_waveform(clip)
+        assert float(np.abs(wave).max()) == 0.0
+
     def test_audio_silence_fallback(self):
         wave = load_audio_waveform("/nonexistent/clip.mp4")
         assert wave.shape == (AUDIO_LEN,) and np.all(wave == 0.0)

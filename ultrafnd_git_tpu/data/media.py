@@ -105,12 +105,30 @@ def load_audio_waveform(
 ) -> np.ndarray:
     """Mono waveform at `sr`, zero-padded to >= min_s, truncated to max_s.
 
-    Ladder: the file itself if it is a WAV, else a `<stem>.wav` sidecar,
-    else silence (this image has no container-audio demuxer; ref :391-421
-    falls through to silence the same way when ffmpeg is absent).
+    Ladder (reference `src/training/run_train_eval.py:353-421`, whose
+    order is torchaudio -> ffmpeg subprocess -> silence):
+      1. the file itself if it is a WAV, else a `<stem>.wav` sidecar
+         (direct parse, no demuxer needed),
+      2. ffmpeg-subprocess demux of the container's audio track, gated on
+         `shutil.which("ffmpeg")` — restores the reference's middle rung,
+      3. silence.
     """
     silence = np.zeros(sr * min_s, dtype=np.float32)
     p = Path(media_path)
+
+    def _finalize(wave: np.ndarray, sr_in: int) -> np.ndarray:
+        if wave.ndim == 2:  # stereo -> mono
+            wave = wave.mean(axis=1)
+        if np.issubdtype(wave.dtype, np.integer):
+            wave = wave.astype(np.float32) / float(np.iinfo(wave.dtype).max)
+        wave = _resample_poly(wave.astype(np.float32), int(sr_in), sr)
+        wave = wave[: sr * max_s]
+        if wave.size < sr * min_s:
+            wave = np.concatenate(
+                [wave, np.zeros(sr * min_s - wave.size, np.float32)]
+            )
+        return wave.astype(np.float32)
+
     candidates = [p] if p.suffix.lower() == ".wav" else []
     candidates.append(p.with_suffix(".wav"))
     for cand in candidates:
@@ -120,23 +138,42 @@ def load_audio_waveform(
             from scipy.io import wavfile
 
             sr_in, wave = wavfile.read(str(cand))
-            wave = np.asarray(wave)
-            if wave.ndim == 2:  # stereo -> mono
-                wave = wave.mean(axis=1)
-            if np.issubdtype(wave.dtype, np.integer):
-                wave = wave.astype(np.float32) / float(
-                    np.iinfo(wave.dtype).max
-                )
-            wave = _resample_poly(wave.astype(np.float32), int(sr_in), sr)
-            wave = wave[: sr * max_s]
-            if wave.size < sr * min_s:
-                wave = np.concatenate(
-                    [wave, np.zeros(sr * min_s - wave.size, np.float32)]
-                )
-            return wave.astype(np.float32)
+            return _finalize(np.asarray(wave), sr_in)
         except Exception:
             continue
+
+    wave = _ffmpeg_decode_audio(p, sr)
+    if wave is not None and wave.size:
+        return _finalize(wave, sr)
     return silence
+
+
+def _ffmpeg_decode_audio(path: Path, sr: int) -> "np.ndarray | None":
+    """ffmpeg-subprocess rung (reference `run_train_eval.py:391-421`):
+    demux + decode the audio track to mono 16-bit PCM on stdout. Returns
+    None when ffmpeg is absent or decoding fails (ladder falls through
+    to silence)."""
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None or not path.exists():
+        return None
+    try:
+        proc = subprocess.run(
+            [
+                ffmpeg, "-v", "error", "-i", str(path),
+                "-f", "s16le", "-acodec", "pcm_s16le",
+                "-ac", "1", "-ar", str(sr), "pipe:1",
+            ],
+            capture_output=True,
+            timeout=60,
+        )
+        if proc.returncode != 0 or not proc.stdout:
+            return None
+        return np.frombuffer(proc.stdout, dtype=np.int16)
+    except Exception:
+        return None
 
 
 def load_comments(comment_path: Path | str) -> List[str]:
