@@ -43,12 +43,17 @@ def _fit_dim(vec: np.ndarray, dim: int) -> np.ndarray:
 
 
 class BERTContextEncoder:
-    """768-D text encoder ladder: HF BERT -> on-device tower -> stable hash.
+    """768-D text encoder ladder: HF BERT (on-device) -> tower -> hash.
+
+    The HF rung itself runs on the accelerator with REAL pretrained
+    weights via models/bert_flax.py (host torch fallback).
 
     The middle rung (opt-in via `use_device_tower=True` or
-    `ULTRAFND_TEXT_DEVICE=1`) is the TPU-resident `TextTransformer` over
-    the Pallas attention kernel — seeded random features when untrained,
-    the joint-training path when its params are learned. Kept opt-in so
+    `ULTRAFND_TEXT_DEVICE=1`) is EXPERIMENTAL: the hash-vocab
+    `TextTransformer` over the Pallas kernel emits seeded RANDOM features
+    until its params are trained by a joint fine-tune (no trainer wires
+    them today) — structurally a fixed random-feature map, not a
+    pretrained encoding. It warns when engaged untrained; kept opt-in so
     the default offline behavior matches the reference's hash fallback.
     """
 

@@ -155,9 +155,12 @@ class TextTransformer(nn.Module):
 class DeviceTextEncoder:
     """Stateful convenience wrapper: corpus-wide jitted encoding.
 
-    Seeded params make the untrained tower a fixed random-feature map
-    (reproducible, like TemporalSyncNet); params are exposed for joint
-    training.
+    EXPERIMENTAL as an *encoder*: seeded params make the untrained tower
+    a fixed random-feature map (reproducible, like TemporalSyncNet) — it
+    is NOT a pretrained encoding until `load_params()` installs trained
+    weights, and it warns once when used untrained. For pretrained
+    on-device text encoding use `models/bert_flax.DeviceBertEncoder`
+    (real HF weights), which the default ladder already routes through.
     """
 
     def __init__(
@@ -186,15 +189,29 @@ class DeviceTextEncoder:
         self.params = self.module.init(
             jax.random.PRNGKey(seed), ids, mask, deterministic=True
         )["params"]
+        self.trained = False
+        self._warned = False
         self._apply = jax.jit(
             lambda p, i, m: self.module.apply(
                 {"params": p}, i, m, deterministic=True
             )
         )
 
+    def load_params(self, params) -> None:
+        """Install trained tower params (joint fine-tune output)."""
+        self.params = params
+        self.trained = True
+
     def encode_batch(
         self, texts: Sequence[str], batch_size: int = 512
     ) -> np.ndarray:
+        if not self.trained and not self._warned:
+            self._warned = True
+            print(
+                "⚠️  DeviceTextEncoder is serving UNTRAINED (seeded random) "
+                "features — experimental rung; use the pretrained device "
+                "BERT (default HF rung) or load_params() trained weights"
+            )
         def bucket(n: int) -> int:
             # pad every chunk (including the first) up to a power-of-two
             # bucket so novel request sizes reuse a handful of compiled
