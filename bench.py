@@ -78,19 +78,30 @@ def _analytic_step_flops(batch: int) -> float:
     return (26e9 * batch / 512.0) + 1e9
 
 
-def _compiled_flops(run_steps, state, idx_all) -> float:
-    """Per-STEP flops from XLA's cost analysis of the whole scan."""
+def _compiled_flops(trainer, batch: int) -> float:
+    """Per-step flops from XLA's cost analysis of ONE un-scanned step.
+
+    (Cost analysis of the scanned executable counts the While body once,
+    not trip-count times — measured 1.5 GF/step vs the ~26 GF analytic
+    number — so the single step is lowered separately here.)
+    """
+    import jax
+    import jax.numpy as jnp
+
     try:
-        compiled = run_steps.lower(state, idx_all).compile()
+        step_fn = jax.jit(trainer._make_train_step())
+        idx = jnp.zeros((batch,), jnp.int32)
+        ones = jnp.ones((batch,), jnp.float32)
+        compiled = step_fn.lower(trainer.state, idx, ones).compile()
         analysis = compiled.cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
         flops = float(analysis.get("flops", 0.0))
         if flops > 0:
-            return flops / ITERS
+            return flops
     except Exception:
         pass
-    return _analytic_step_flops(BATCH)
+    return _analytic_step_flops(batch)
 
 
 def _time_scan(run_steps, state, idx_batches, n_runs):
@@ -159,7 +170,7 @@ def main() -> None:
         run_steps, idx_batches = make_runner(BATCH)
         state, losses = run_steps(trainer.state, idx_batches(ITERS))
         jax.block_until_ready(losses)
-        step_flops = _compiled_flops(run_steps, trainer.state, idx_batches(ITERS))
+        step_flops = _compiled_flops(trainer, BATCH)
 
         state, per_step, losses = _time_scan(
             run_steps, state, idx_batches, RUNS
@@ -185,6 +196,50 @@ def main() -> None:
                 scaling[str(big)] = round(big / float(np.median(times_b)), 1)
             except Exception:
                 scaling[str(big)] = None
+
+        # ---- bf16-compute lever (f32 master params) -----------------------
+        try:
+            cfg_bf16 = TrainConfig(
+                data_root="<synthetic>",
+                out_dir=tmp,
+                batch_size=BATCH,
+                epochs=0,
+                seed=0,
+                bf16_compute=True,
+                cache_to_disk=False,
+                save_best=False,
+                log_metrics_jsonl=False,
+            )
+            tr16 = ForensicTrainer(cfg_bf16, cache=cache)
+
+            def make_runner16(batch: int):
+                step_fn = tr16._make_train_step()
+
+                @jax.jit
+                def run_steps16(state, idx_all):
+                    ones = jnp.ones(batch, jnp.float32)
+
+                    def body(state, idx):
+                        state, out = step_fn(state, idx, ones)
+                        return state, out["loss"]
+
+                    return jax.lax.scan(body, state, idx_all)
+
+                return run_steps16
+
+            for b16 in (BATCH, 8192):
+                runner = make_runner16(b16)
+                batches16 = lambda n: jnp.asarray(
+                    rng.integers(0, N_NODES, size=(n, b16)), jnp.int32
+                )
+                s, ls = runner(tr16.state, batches16(ITERS))
+                jax.block_until_ready(ls)
+                _, times16, ls = _time_scan(runner, s, batches16, 2)
+                scaling[f"bf16_{b16}"] = round(
+                    b16 / float(np.median(times16)), 1
+                )
+        except Exception:
+            scaling["bf16_512"] = None
 
         print(
             json.dumps(

@@ -52,6 +52,10 @@ def parse_args():
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh size (default: no mesh)")
     p.add_argument("--tp", type=int, default=1, help="Tensor-parallel mesh size")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 matmul activations with f32 master params "
+                        "(single MXU pass; numerics within the bf16 "
+                        "envelope)")
     p.add_argument("--shard_corpus", action="store_true",
                    help="Shard the HBM-resident feature corpus rows over "
                         "the 'data' mesh axis (for corpora beyond one "
@@ -162,6 +166,7 @@ def main():
         dp=args.dp,
         tp=args.tp,
         shard_corpus=args.shard_corpus,
+        bf16_compute=args.bf16,
         resume=args.resume,
         profile_dir=args.profile_dir,
     )

@@ -6,10 +6,10 @@ import jax.numpy as jnp
 
 from ultrafnd_git_tpu.kernels.preprocess import (
     DeviceCVStage,
+    block_match_flow,
     cut_scores_device,
     density_histograms,
     flow_stats,
-    lucas_kanade,
 )
 
 
@@ -19,15 +19,25 @@ def clip_batch(request):
     return rng.integers(0, 256, (2, 6, 64, 64, 3), dtype=np.uint8)
 
 
-def test_lucas_kanade_recovers_translation():
+def test_block_match_recovers_translation():
     rng = np.random.default_rng(1)
     base = rng.uniform(0, 255, (300, 300)).astype(np.float32)
-    g0 = base[20:276, 20:276]
-    g1 = base[23:279, 22:278]  # content shifted: v=-3, u=-2
-    u, v = lucas_kanade(jnp.asarray(g0), jnp.asarray(g1))
-    inner = (slice(32, -32), slice(32, -32))
-    assert abs(float(jnp.median(v[inner])) + 3.0) < 0.2
-    assert abs(float(jnp.median(u[inner])) + 2.0) < 0.2
+    g0 = base[20:148, 20:148][None]
+    g1 = base[23:151, 22:150][None]  # content shifted: v=-3, u=-2
+    u, v = block_match_flow(jnp.asarray(g0), jnp.asarray(g1))
+    inner = (0, slice(2, -2), slice(2, -2))
+    assert abs(float(jnp.median(v[inner])) + 3.0) < 0.3
+    assert abs(float(jnp.median(u[inner])) + 2.0) < 0.3
+
+
+def test_block_match_subpixel_and_static():
+    """Static pair -> exactly zero flow (SAD tie resolves to zero
+    displacement, not the search corner)."""
+    rng = np.random.default_rng(7)
+    g = rng.uniform(0, 255, (1, 64, 64)).astype(np.float32)
+    u, v = block_match_flow(jnp.asarray(g), jnp.asarray(g))
+    assert float(jnp.abs(u).max()) == 0.0
+    assert float(jnp.abs(v).max()) == 0.0
 
 
 def test_static_clip_zero_flow_zero_cuts():

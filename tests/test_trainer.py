@@ -77,6 +77,20 @@ def test_trainer_resume(fixture_root, tmp_path):
     assert int(t2.state.step) > step1
 
 
+def test_trainer_bf16_compute(fixture_root, tmp_path):
+    """bf16-compute/f32-master: trains, params stay f32, metrics sane."""
+    import jax.numpy as jnp
+
+    t = ForensicTrainer(
+        _cfg(fixture_root, tmp_path, epochs=1, bf16_compute=True)
+    )
+    best = t.fit()
+    assert best > 0.5
+    # master params are still float32 (bf16 is activations-only)
+    leaves = [x.dtype for x in __import__("jax").tree.leaves(t.state.params)]
+    assert all(d == jnp.float32 for d in leaves)
+
+
 def test_trainer_resume_rejects_cross_kind_latest(fixture_root, tmp_path):
     """A 'latest' slot written by another trainer kind must not be resumed
     (param shapes coincide at default dims, so it would silently load

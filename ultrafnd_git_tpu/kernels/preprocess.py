@@ -8,14 +8,23 @@ runs as ONE jitted program on the accelerator, consuming decoded uint8
 frame stacks and producing HBM-resident feature blocks:
 
   * bilinear resize to the model raster + RGB->grayscale,
-  * dense optical flow via coarse-to-fine pyramidal Lucas-Kanade — box
-    sums (`lax.reduce_window`), central differences and bilinear warps:
-    dense VPU-friendly ops, no OpenCV, fully batched over (clip, pair),
+  * dense optical flow via half-resolution BLOCK MATCHING with subpixel
+    refinement — every candidate displacement is a static shifted slice,
+    SAD pooling is `lax.reduce_window`, the winner a small argmin: zero
+    per-pixel gathers (a pyramidal Lucas-Kanade with bilinear warps was
+    measured 27 ms/pair on v5e because TPUs execute scattered gathers
+    scalar-ish; block matching is pure VPU/MXU dataflow),
   * the OpticalFlow3DCNN temporal-pyramid statistics (mean/std/max
     magnitude + 8-bin orientation histogram per segment, tiled to dim and
     L2-normalized — same layout as `models/visual.py:_pool_flow`),
   * the ChronosGuard cues: 32-bin density-histogram L1 diffs (scene-cut
     proxy) and per-pair mean flow magnitude (`models/chronos.py:52-94`).
+
+Layout note: a channels-last minor dimension of 3 tiles to (8, 128) TPU
+lanes at ~2% occupancy, so the jitted program's FIRST op relayouts
+channels-last input to planar (B, T, 3, H, W) in one HBM pass and every
+subsequent op runs W-minor. (Transposing on the host instead was
+measured at 1.5 s/batch on a 1-core host — don't.)
 
 Host keeps codec decode and the JPEG re-encode inside ELA (SURVEY §7
 "hard parts": no Pallas ports of codecs). The host cv2 ladder remains the
@@ -40,9 +49,19 @@ RASTER = 256  # model raster (reference resizes every frame to 256x256)
 # ----------------------------------------------------------------------
 
 def gray_resize(frames: jnp.ndarray, size: int = RASTER) -> jnp.ndarray:
-    """(B, T, H, W, 3) uint8/float -> (B, T, size, size) float32 grayscale."""
+    """(B, T, 3, H, W) planar OR (B, T, H, W, 3) uint8/float ->
+    (B, T, size, size) f32 grayscale.
+
+    Channels-last input is relayouted to planar ON DEVICE first — one HBM
+    pass; doing this transpose on the host was measured at 1.5 s/batch on
+    a 1-core host vs ~10 ms here.
+    """
+    if frames.shape[-1] == 3 and frames.ndim == 5:
+        frames = jnp.transpose(frames, (0, 1, 4, 2, 3))
     f = frames.astype(jnp.float32)
-    g = 0.2989 * f[..., 0] + 0.5870 * f[..., 1] + 0.1140 * f[..., 2]
+    g = (
+        0.2989 * f[:, :, 0] + 0.5870 * f[:, :, 1] + 0.1140 * f[:, :, 2]
+    )  # (B, T, H, W), W-minor throughout
     b, t = g.shape[:2]
     if g.shape[2] != size or g.shape[3] != size:
         g = jax.image.resize(g, (b, t, size, size), method="bilinear")
@@ -50,104 +69,87 @@ def gray_resize(frames: jnp.ndarray, size: int = RASTER) -> jnp.ndarray:
 
 
 # ----------------------------------------------------------------------
-# Pyramidal Lucas-Kanade dense flow
+# Block-matching dense flow (no gathers)
 # ----------------------------------------------------------------------
 
 def _pyr_down(x: jnp.ndarray) -> jnp.ndarray:
-    """2x average-pool downsample of (H, W)."""
+    """2x average-pool downsample over the last two dims."""
+    ones = (1,) * (x.ndim - 2)
     return (
-        lax.reduce_window(x, 0.0, lax.add, (2, 2), (2, 2), "VALID") * 0.25
+        lax.reduce_window(
+            x, 0.0, lax.add, ones + (2, 2), ones + (2, 2), "VALID"
+        )
+        * 0.25
     )
 
 
-def _box(x: jnp.ndarray, r: int) -> jnp.ndarray:
-    """(2r+1)^2 box sum, SAME padding."""
-    w = 2 * r + 1
-    return lax.reduce_window(x, 0.0, lax.add, (w, w), (1, 1), "SAME")
-
-
-def _bilinear(img: jnp.ndarray, yy: jnp.ndarray, xx: jnp.ndarray):
-    """Sample (H, W) image at float coords (clamped to the border)."""
-    h, w = img.shape
-    y0f = jnp.floor(yy)
-    x0f = jnp.floor(xx)
-    wy = yy - y0f
-    wx = xx - x0f
-    y0 = jnp.clip(y0f, 0, h - 1).astype(jnp.int32)
-    x0 = jnp.clip(x0f, 0, w - 1).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    ia = img[y0, x0]
-    ib = img[y0, x1]
-    ic = img[y1, x0]
-    id_ = img[y1, x1]
-    return (
-        ia * (1 - wy) * (1 - wx)
-        + ib * (1 - wy) * wx
-        + ic * wy * (1 - wx)
-        + id_ * wy * wx
-    )
-
-
-def _lk_refine(
+def block_match_flow(
     g0: jnp.ndarray,
     g1: jnp.ndarray,
-    u: jnp.ndarray,
-    v: jnp.ndarray,
-    r: int,
-    iters: int,
+    radius: int = 7,
+    block: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Iterative LK update at one pyramid level.
+    """Per-block integer+subpixel flow: (P, H, W) -> u, v (P, H/b, W/b).
 
-    Solves the windowed 2x2 normal equations
-    [Sxx Sxy; Sxy Syy] [du dv]^T = -[Sxt Syt]^T per pixel.
+    Video-codec-style motion search: for each of the (2r+1)^2 candidate
+    displacements, the shifted image is a STATIC slice of an edge-padded
+    copy, the per-block SAD a `reduce_window` sum; the winning
+    displacement an argmin over the candidate axis, refined to subpixel
+    by a 1-D parabola fit through the SAD neighbors. Everything is dense
+    elementwise/windowed work — the TPU-native formulation of dense flow
+    (per-pixel warps would gather).
     """
-    h, w = g0.shape
-    yy, xx = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32),
-        jnp.arange(w, dtype=jnp.float32),
-        indexing="ij",
-    )
-    ix = (jnp.roll(g0, -1, axis=1) - jnp.roll(g0, 1, axis=1)) * 0.5
-    iy = (jnp.roll(g0, -1, axis=0) - jnp.roll(g0, 1, axis=0)) * 0.5
-    sxx = _box(ix * ix, r)
-    sxy = _box(ix * iy, r)
-    syy = _box(iy * iy, r)
-    det = sxx * syy - sxy * sxy
-    ok = det > 1e-3
-    safe_det = jnp.maximum(det, 1e-3)
+    p, h, w = g0.shape
+    n = 2 * radius + 1
+    pad = [(0, 0), (radius, radius), (radius, radius)]
+    g1p = jnp.pad(g1, pad, mode="edge")
 
-    for _ in range(iters):
-        g1w = _bilinear(g1, yy + v, xx + u)
-        it = g1w - g0
-        sxt = _box(ix * it, r)
-        syt = _box(iy * it, r)
-        du = jnp.where(ok, -(syy * sxt - sxy * syt) / safe_det, 0.0)
-        dv = jnp.where(ok, -(sxx * syt - sxy * sxt) / safe_det, 0.0)
-        u = u + du
-        v = v + dv
-    return u, v
+    sads = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            shifted = lax.slice(
+                g1p,
+                (0, radius + dy, radius + dx),
+                (p, radius + dy + h, radius + dx + w),
+            )
+            diff = jnp.abs(g0 - shifted)
+            sad = lax.reduce_window(
+                diff, 0.0, lax.add, (1, block, block), (1, block, block),
+                "VALID",
+            )  # (P, H/b, W/b)
+            # tiny distance penalty: exact SAD ties (static scenes) must
+            # resolve to the SMALLEST displacement, not argmin's first
+            sads.append(sad + 1e-3 * (abs(dy) + abs(dx)))
+    vol = jnp.stack(sads)  # (n*n, P, H/b, W/b)
 
+    best = jnp.argmin(vol, axis=0)  # (P, H/b, W/b) flat displacement idx
+    by = best // n - radius  # integer dy
+    bx = best % n - radius  # integer dx
 
-def lucas_kanade(
-    g0: jnp.ndarray,
-    g1: jnp.ndarray,
-    levels: int = 3,
-    win_radius: int = 3,
-    iters: int = 2,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dense coarse-to-fine flow for one frame pair: (H, W) -> u, v."""
-    p0, p1 = [g0], [g1]
-    for _ in range(levels - 1):
-        p0.append(_pyr_down(p0[-1]))
-        p1.append(_pyr_down(p1[-1]))
-    u = jnp.zeros_like(p0[-1])
-    v = jnp.zeros_like(p0[-1])
-    for lvl in range(levels - 1, -1, -1):
-        if lvl < levels - 1:
-            u = 2.0 * jax.image.resize(u, p0[lvl].shape, method="bilinear")
-            v = 2.0 * jax.image.resize(v, p0[lvl].shape, method="bilinear")
-        u, v = _lk_refine(p0[lvl], p1[lvl], u, v, win_radius, iters)
+    def _subpixel(axis_idx, stride):
+        """Parabola fit through SAD at (best - stride, best, best + stride)
+        along one displacement axis; clamped to the search border."""
+        lo = jnp.take_along_axis(
+            vol, jnp.maximum(best - stride, 0)[None], axis=0
+        )[0]
+        hi = jnp.take_along_axis(
+            vol, jnp.minimum(best + stride, n * n - 1)[None], axis=0
+        )[0]
+        mid = jnp.take_along_axis(vol, best[None], axis=0)[0]
+        denom = lo - 2.0 * mid + hi
+        frac = jnp.where(
+            denom > 1e-6, 0.5 * (lo - hi) / jnp.maximum(denom, 1e-6), 0.0
+        )
+        # an (near-)exact match at the integer minimum needs no subpixel
+        # correction — the parabola fit would otherwise pull the vertex
+        # toward whichever neighbor is smaller (spurious flow on static
+        # content)
+        frac = jnp.where(mid <= 1e-3, 0.0, frac)
+        on_border = (axis_idx <= -radius) | (axis_idx >= radius)
+        return jnp.where(on_border, 0.0, jnp.clip(frac, -0.5, 0.5))
+
+    v = by.astype(jnp.float32) + _subpixel(by, n)
+    u = bx.astype(jnp.float32) + _subpixel(bx, 1)
     return u, v
 
 
@@ -223,32 +225,37 @@ def cut_scores_device(gray: jnp.ndarray, bins: int = 32) -> jnp.ndarray:
 # ----------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("flow_dim", "n_pyr", "levels", "win_radius",
-                              "iters")
+    jax.jit, static_argnames=("flow_dim", "n_pyr", "radius", "block")
 )
 def device_cv_stage(
     frames: jnp.ndarray,
     flow_dim: int = 256,
     n_pyr: int = 3,
-    levels: int = 3,
-    win_radius: int = 3,
-    iters: int = 2,
+    radius: int = 7,
+    block: int = 8,
 ) -> Dict[str, jnp.ndarray]:
-    """(B, T, H, W, 3) uint8 clips -> HBM-resident CV feature blocks.
+    """Decoded uint8 clips (planar or channels-last) -> CV features in HBM.
 
-    Returns {flow_feat (B, flow_dim), cuts (B, T-1), flow_mags (B, T-1)}.
+    Flow runs at HALF raster (one avg-pool level): a +-`radius` search
+    there covers +-2*radius px of full-raster motion (Farneback's winsize
+    15 envelope) at 1/4 the SAD traffic; block flow is scaled x2 back to
+    full-raster pixel units so magnitudes are comparable with the host
+    ladder's. Returns {flow_feat (B, flow_dim), cuts (B, T-1),
+    flow_mags (B, T-1)}.
     """
     gray = gray_resize(frames)  # (B, T, R, R)
     b, t = gray.shape[:2]
 
-    g0 = gray[:, :-1].reshape(b * (t - 1), RASTER, RASTER)
-    g1 = gray[:, 1:].reshape(b * (t - 1), RASTER, RASTER)
-    u, v = jax.vmap(
-        lambda a, c: lucas_kanade(a, c, levels, win_radius, iters)
-    )(g0, g1)
-    mag = jnp.sqrt(u * u + v * v).reshape(b, t - 1, RASTER, RASTER)
+    half = _pyr_down(gray)  # (B, T, R/2, R/2)
+    g0 = half[:, :-1].reshape(b * (t - 1), RASTER // 2, RASTER // 2)
+    g1 = half[:, 1:].reshape(b * (t - 1), RASTER // 2, RASTER // 2)
+    u, v = block_match_flow(g0, g1, radius=radius, block=block)
+    u = 2.0 * u  # full-raster pixel units
+    v = 2.0 * v
+    gh, gw = u.shape[-2:]
+    mag = jnp.sqrt(u * u + v * v).reshape(b, t - 1, gh, gw)
     ang = ((jnp.arctan2(v, u) + jnp.pi) / (2.0 * jnp.pi)).reshape(
-        b, t - 1, RASTER, RASTER
+        b, t - 1, gh, gw
     )
 
     flow_feat = jax.vmap(
@@ -262,33 +269,33 @@ def device_cv_stage(
 class DeviceCVStage:
     """Stateful wrapper: numpy in/out, per-shape jit reuse, availability probe.
 
-    `tamper` is computed host-side from the device cues with the exact
-    ChronosGuard combination (0.6 * norm01(cut mean) + 0.4 * norm01(...)),
-    so the score semantics match the host ladder.
+    Accepts channels-LAST (B, T, H, W, 3) numpy clips (the collate
+    contract); the planar relayout is the jitted program's first op —
+    see the module layout note. `tamper` is computed host-side from the
+    device cues with the exact ChronosGuard combination (0.6 *
+    norm01(cut mean) + 0.4 * norm01(...)), so the score semantics match
+    the host ladder.
     """
 
     def __init__(
         self,
         flow_dim: int = 256,
         n_pyr: int = 3,
-        levels: int = 3,
-        win_radius: int = 3,
-        iters: int = 2,
+        radius: int = 7,
+        block: int = 8,
     ):
         self.flow_dim = int(flow_dim)
         self.n_pyr = int(n_pyr)
-        self.levels = int(levels)
-        self.win_radius = int(win_radius)
-        self.iters = int(iters)
+        self.radius = int(radius)
+        self.block = int(block)
 
     def __call__(self, frames: np.ndarray) -> Dict[str, np.ndarray]:
         out = device_cv_stage(
-            jnp.asarray(frames),
+            jnp.asarray(frames),  # channels-last; relayout happens on device
             flow_dim=self.flow_dim,
             n_pyr=self.n_pyr,
-            levels=self.levels,
-            win_radius=self.win_radius,
-            iters=self.iters,
+            radius=self.radius,
+            block=self.block,
         )
         host = {k: np.asarray(val) for k, val in out.items()}
 

@@ -66,6 +66,8 @@ class DeepTruthClassifier(nn.Module):
     node_depth: int = 4
     node_tau: float = 10.0
     temperature_init: float = 1.0
+    dtype: Any = None  # bf16-compute/f32-master when jnp.bfloat16; the
+    # NODE forest and the calibrated softmax always run f32
 
     @classmethod
     def from_config(
@@ -95,12 +97,17 @@ class DeepTruthClassifier(nn.Module):
         if self.use_aux and aux is not None:
             x = jnp.concatenate([x, aux], axis=-1)
 
-        h = nn.Dense(self.hidden, kernel_init=_xavier, name="pre0")(x)
+        h = nn.Dense(
+            self.hidden, dtype=self.dtype, kernel_init=_xavier, name="pre0"
+        )(x)
         h = _gelu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.hidden, kernel_init=_xavier, name="pre1")(h)
+        h = nn.Dense(
+            self.hidden, dtype=self.dtype, kernel_init=_xavier, name="pre1"
+        )(h)
         h = _gelu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = h.astype(jnp.float32)  # forest routing + logits stay f32
 
         logits_node = NODEEnsemble(
             num_classes=self.num_classes,

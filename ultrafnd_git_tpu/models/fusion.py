@@ -44,27 +44,36 @@ def cos01(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 class ForensicCoAttention(nn.Module):
-    """Evidence-gated co-attention over two modality vectors."""
+    """Evidence-gated co-attention over two modality vectors.
+
+    `dtype=jnp.bfloat16` runs the matmuls single-pass on the MXU with f32
+    params (bf16-compute / f32-master); default None keeps exact f32.
+    """
 
     hidden: int
     evidence_dim: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, y: jnp.ndarray, evidence: jnp.ndarray
     ) -> jnp.ndarray:
-        q = nn.Dense(self.hidden, name="q")(x)
-        k = nn.Dense(self.hidden, name="k")(y)
-        v = nn.Dense(self.hidden, name="v")(y)
+        q = nn.Dense(self.hidden, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.hidden, dtype=self.dtype, name="k")(y)
+        v = nn.Dense(self.hidden, dtype=self.dtype, name="v")(y)
 
         score = jnp.sum(q * k, axis=-1, keepdims=True) / jnp.sqrt(
-            jnp.asarray(self.hidden, x.dtype)
+            jnp.asarray(self.hidden, q.dtype)
         )
         attn = jax.nn.sigmoid(score)  # (B, 1)
 
-        e = nn.Dense(self.hidden, name="evidence_in")(evidence)
+        e = nn.Dense(self.hidden, dtype=self.dtype, name="evidence_in")(
+            evidence
+        )
         e = _gelu(e)
-        gate = jax.nn.sigmoid(nn.Dense(1, name="evidence_out")(e))  # (B, 1)
+        gate = jax.nn.sigmoid(
+            nn.Dense(1, dtype=self.dtype, name="evidence_out")(e)
+        )  # (B, 1)
 
         return gate * (attn * v) + (1.0 - gate) * 0.5 * (x + y)
 
@@ -76,6 +85,7 @@ class CrossModalTransformer(nn.Module):
     dropout: float = 0.1
     use_gnn: bool = True
     gnn_dim: int = 128
+    dtype: Any = None  # bf16-compute/f32-master when jnp.bfloat16
 
     @classmethod
     def from_config(
@@ -99,10 +109,17 @@ class CrossModalTransformer(nn.Module):
         feats: Dict[str, jnp.ndarray],
         deterministic: bool = True,
     ) -> Dict[str, Any]:
-        t = nn.Dense(self.hidden, name="text_proj")(feats["text_features"])
-        a = nn.Dense(self.hidden, name="audio_proj")(feats["audio_features"])
-        v = nn.Dense(self.hidden, name="visual_proj")(feats["visual_features"])
-        u = nn.Dense(self.hidden, name="temporal_proj")(
+        dt = self.dtype
+        t = nn.Dense(self.hidden, dtype=dt, name="text_proj")(
+            feats["text_features"]
+        )
+        a = nn.Dense(self.hidden, dtype=dt, name="audio_proj")(
+            feats["audio_features"]
+        )
+        v = nn.Dense(self.hidden, dtype=dt, name="visual_proj")(
+            feats["visual_features"]
+        )
+        u = nn.Dense(self.hidden, dtype=dt, name="temporal_proj")(
             feats["temporal_features"]
         )
 
@@ -126,13 +143,13 @@ class CrossModalTransformer(nn.Module):
             delay_proxy = sg(1.0 - cos01(t, u))
         zeros = jnp.zeros_like(emo_proxy)
 
-        tv_star = ForensicCoAttention(self.hidden, name="attn_tv")(
+        tv_star = ForensicCoAttention(self.hidden, dtype=dt, name="attn_tv")(
             t, v, jnp.concatenate([semantic_conflict, emo_proxy, zeros], -1)
         )
-        ta_star = ForensicCoAttention(self.hidden, name="attn_ta")(
+        ta_star = ForensicCoAttention(self.hidden, dtype=dt, name="attn_ta")(
             t, a, jnp.concatenate([emo_proxy, zeros, zeros], -1)
         )
-        vu_star = ForensicCoAttention(self.hidden, name="attn_vu")(
+        vu_star = ForensicCoAttention(self.hidden, dtype=dt, name="attn_vu")(
             v, u, jnp.concatenate([delay_proxy, zeros, zeros], -1)
         )
 
@@ -148,24 +165,35 @@ class CrossModalTransformer(nn.Module):
         parts = [t, a, v, u, pairs, tv_star, ta_star, vu_star]
         gnn_feat = feats.get("gnn_feat") if self.use_gnn else None
         if self.use_gnn and gnn_feat is not None:
-            parts.append(nn.Dense(self.hidden, name="gnn_proj")(gnn_feat))
+            parts.append(
+                nn.Dense(self.hidden, dtype=dt, name="gnn_proj")(gnn_feat)
+            )
         fused_cat = jnp.concatenate(parts, axis=-1)
 
-        h = nn.Dense(2 * self.hidden, name="fuse0")(fused_cat)
+        h = nn.Dense(2 * self.hidden, dtype=dt, name="fuse0")(fused_cat)
         h = _gelu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.hidden, name="fuse1")(h)
+        h = nn.Dense(self.hidden, dtype=dt, name="fuse1")(h)
         h = _gelu(h)
         fused = nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
-        logits = nn.Dense(2, name="head")(fused)
+        # logits/probs always f32 (loss + calibration numerics)
+        logits = nn.Dense(2, dtype=jnp.float32, name="head")(
+            fused.astype(jnp.float32)
+        )
 
         return {
-            "fused": fused,
+            "fused": fused.astype(jnp.float32),
             "logits": logits,
             "forensic": {
-                "emotion_intensity": emo_proxy.squeeze(-1),
-                "semantic_conflict": semantic_conflict.squeeze(-1),
-                "temporal_delay": delay_proxy.squeeze(-1),
+                "emotion_intensity": emo_proxy.squeeze(-1).astype(
+                    jnp.float32
+                ),
+                "semantic_conflict": semantic_conflict.squeeze(-1).astype(
+                    jnp.float32
+                ),
+                "temporal_delay": delay_proxy.squeeze(-1).astype(
+                    jnp.float32
+                ),
             },
         }

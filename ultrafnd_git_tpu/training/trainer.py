@@ -82,6 +82,7 @@ class TrainConfig:
     tp: int = 1  # tensor-parallel mesh size
     shard_corpus: bool = False  # shard (N, D) corpus rows over 'data'
     mesh_backend: Optional[str] = None  # e.g. "cpu" to mesh over host devices
+    bf16_compute: bool = False  # bf16 matmuls with f32 master params
     profile_dir: Optional[str] = None  # jax.profiler trace output
     debug_nans: bool = False
     log_metrics_jsonl: bool = True
@@ -161,6 +162,13 @@ class ForensicTrainer:
         if not cfg.use_gnn:
             self.fusion = self.fusion.clone(use_gnn=False)
         self.clf = DeepTruthClassifier.from_config(cfg.classifier_config)
+        if cfg.bf16_compute:
+            # bf16-compute / f32-master: params (and the optimizer state,
+            # checkpoints, parity surface) stay float32; only the fusion/
+            # classifier matmul activations run bf16 — one MXU pass
+            # instead of XLA's 3-pass bf16 decomposition of f32.
+            self.fusion = self.fusion.clone(dtype=jnp.bfloat16)
+            self.clf = self.clf.clone(dtype=jnp.bfloat16)
         self.gnn = SimpleGCN(
             hid=2 * cfg.gnn_dim, out_dim=cfg.gnn_dim, dropout=0.2
         )
