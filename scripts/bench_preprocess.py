@@ -24,6 +24,10 @@ import jax
 if "--tpu" not in sys.argv:
     jax.config.update("jax_platforms", "cpu")
 
+from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()  # the device-CV stage compile is ~50 s cold
+
 import numpy as np
 
 FIXTURE = REPO / "tests" / "fixtures" / "fakesv_tiny"

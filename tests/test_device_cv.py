@@ -89,6 +89,68 @@ def test_flow_stats_layout_matches_host_pool():
     np.testing.assert_allclose(dev, host, atol=2e-4, rtol=2e-4)
 
 
+def test_stage_uint8_vs_float01_scale_parity(clip_batch):
+    """The collate emits uint8 by default; the reference float [0, 1]
+    contract must produce the SAME cues via the on-device rescale
+    (regression: float [0, 1] input used to collapse the 32-bin
+    [0, 255] histograms into bin 0, zeroing every cut score)."""
+    u8 = clip_batch
+    f01 = u8.astype(np.float32) / 255.0
+    out_u8 = DeviceCVStage(flow_dim=128)(u8)
+    out_f01 = DeviceCVStage(flow_dim=128)(f01)
+    np.testing.assert_allclose(
+        out_f01["cuts"], out_u8["cuts"], atol=1e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        out_f01["flow_feat"], out_u8["flow_feat"], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        out_f01["tamper"], out_u8["tamper"], atol=1e-3
+    )
+    # and the uint8 cuts actually carry signal on random frames
+    assert float(out_u8["cuts"].max()) > 0.0
+
+
+def test_stage_host_gray_matches_device_gray(clip_batch):
+    """The host cv2 gray-extraction rung (3x smaller upload) must match
+    the on-device RGB->gray path within cvtColor's uint8 rounding."""
+    cv2 = pytest.importorskip("cv2")
+    from ultrafnd_git_tpu.training.pipeline_v1 import BatchFeatureExtractor
+
+    # Structured content (smooth pattern translating 2 px/frame): on pure
+    # noise the +-0.5-level cvtColor rounding flips SAD ties and the flow
+    # comparison measures tie-breaking, not the gray rung.
+    rng = np.random.default_rng(11)
+    base = np.kron(
+        rng.integers(40, 216, (12, 12, 3)), np.ones((8, 8, 1))
+    ).astype(np.uint8)  # (96, 96, 3), 8-px blocks
+    clips = np.stack(
+        [
+            np.stack([base[2 * t : 2 * t + 64, 2 * t : 2 * t + 64] for t in range(6)]),
+            np.stack([base[10 - t : 74 - t, 4 : 68] for t in range(6)]),
+        ]
+    )  # (2, 6, 64, 64, 3) uint8
+
+    gray = BatchFeatureExtractor._gray_host(clips)
+    assert gray.shape == clips.shape[:4] and gray.dtype == np.uint8
+
+    out_rgb = DeviceCVStage(flow_dim=128)(clips)
+    out_gray = DeviceCVStage(flow_dim=128)(gray)
+    # cvtColor rounds gray to uint8 (<=0.5 level); cues are pooled over
+    # 64^2 pixels so the residual is small but not zero
+    np.testing.assert_allclose(
+        out_gray["cuts"], out_rgb["cuts"], atol=5e-3, rtol=5e-2
+    )
+    # flat-SAD plateaus leave a few subpixel fits sensitive to the
+    # rounding; the pooled feature stays within ~1% of its L2 ball
+    np.testing.assert_allclose(
+        out_gray["flow_feat"], out_rgb["flow_feat"], atol=1e-2
+    )
+    np.testing.assert_allclose(
+        out_gray["tamper"], out_rgb["tamper"], atol=5e-2
+    )
+
+
 def test_stage_shapes_and_finiteness(clip_batch):
     out = DeviceCVStage(flow_dim=256)(clip_batch)
     assert out["flow_feat"].shape == (2, 256)

