@@ -13,7 +13,11 @@ TPU-first differences:
     trained jointly when wired into the fusion stack; the analyzer wrapper
     applies it jitted with seeded params (the reference never trains these
     projections either — they run freshly initialized, ref :73-85);
-  * CLIP encoding is batched corpus-wide;
+  * CLIP encoding is batched corpus-wide, and the HF rung runs ON the
+    accelerator by default: the pretrained torch weights are transferred
+    once into the Flax tower in models/clip_flax.py (host torch forward
+    kept as fallback, `ULTRAFND_CLIP_DEVICE=0` forces it) — the same
+    device-residency pattern as the BERT rung in models/bert_flax.py;
   * fallback ladder: CLIP text tower (HF, local-only) -> stable hash
     embedding. The reference returns all-zeros when CLIP is missing
     (ref :94-108) which silently zeroes the whole signal; the hash rung
@@ -127,12 +131,50 @@ class SemanticForgeryAnalyzer:
 
         return load_once(f"clip:{name}", loader)
 
+    def _device_clip_rung(self, tok, model):
+        """Device-resident pretrained rung: HF weights in the Flax tower
+        (models/clip_flax.py); lazily built, opt-out ULTRAFND_CLIP_DEVICE=0."""
+        import os
+
+        if not hasattr(self, "_device_clip_tried"):
+            self._device_clip_tried = False
+            self._device_clip = None
+        if not self._device_clip_tried:
+            self._device_clip_tried = True
+            if os.environ.get("ULTRAFND_CLIP_DEVICE", "1") != "1":
+                return None
+            try:
+                from ultrafnd_git_tpu.models.clip_flax import (
+                    DeviceClipTextEncoder,
+                )
+
+                self._device_clip = DeviceClipTextEncoder(
+                    model, tok, max_length=self.cfg.max_length
+                )
+            except Exception as exc:  # broken accelerator/tunnel etc.
+                print(
+                    f"⚠️  device CLIP rung unavailable ({exc!r}); "
+                    "using host torch forward"
+                )
+                self._device_clip = None
+        return self._device_clip
+
     def encode_text(self, texts: Sequence[str]) -> np.ndarray:
         """Batch of strings -> (B, 512) L2-normalized CLIP-text features."""
         texts = [t or "" for t in texts]
         clip = self._clip()
         if clip is not None:
             torch, tok, model = clip
+            device_clip = self._device_clip_rung(tok, model)
+            if device_clip is not None:
+                try:
+                    return device_clip.encode_batch(texts)
+                except Exception as exc:
+                    print(
+                        f"⚠️  device CLIP forward failed ({exc!r}); "
+                        "falling back to host torch"
+                    )
+                    self._device_clip = None
             try:
                 with torch.inference_mode():
                     toks = tok(
