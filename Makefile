@@ -8,8 +8,7 @@ test:
 	python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q --ignore=tests/test_parity.py \
-	    --ignore=tests/test_media_pipeline.py
+	python -m pytest tests/ -q -m "not slow"
 
 parity:
 	python -m pytest tests/test_parity.py -q

@@ -10,6 +10,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # Hermetic tests: never attempt HuggingFace weight loads (the fallback
 # ladders' hash/DSP rungs are what run in CI anyway).
 os.environ.setdefault("ULTRAFND_DISABLE_HF", "1")
+# The REFERENCE models (test_parity.py) call from_pretrained WITHOUT
+# local_files_only; on a zero-egress box each attempt hangs to the HTTP
+# timeout (~4 min of the suite's wall time). Offline mode fails them
+# fast into their fallback ladders instead.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -37,6 +43,14 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-second end-to-end/mesh tests; `-m 'not slow'` is the "
+        "fast inner loop (~2 min), the full suite stays the merge gate",
+    )
 
 
 @pytest.fixture(scope="session")

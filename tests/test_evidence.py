@@ -197,6 +197,7 @@ class TestFusionEvidenceWiring:
             np.asarray(out["logits"]), np.asarray(out2["logits"])
         )
 
+    @pytest.mark.slow
     def test_cache_contains_evidence_and_trainer_consumes_it(
         self, fixture_data_root, tmp_path
     ):

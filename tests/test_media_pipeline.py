@@ -177,6 +177,7 @@ class TestTrainMath:
         assert lam1 == 1.0
 
 
+@pytest.mark.slow
 class TestV1EndToEnd:
     def test_dummy_path_trains(self):
         cfg = V1Config(

@@ -48,6 +48,7 @@ def test_numpy_gcn_gradient_matches_finite_differences():
         )
 
 
+@pytest.mark.slow
 def test_save_best_false_still_tracks_improvement(fixture_data_root, tmp_path):
     """save_best=False must not force early stop / -1.0 return."""
     from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig

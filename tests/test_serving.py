@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # trains a checkpoint to serve from
+
 from ultrafnd_git_tpu.serving import Predictor
 from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
 

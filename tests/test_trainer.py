@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end trainer/mesh compiles
+
 from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
 
 EXPECTED_KEYS = {

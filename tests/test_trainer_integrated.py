@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end trainer compiles
+
 from ultrafnd_git_tpu.training.trainer_integrated import (
     IntegratedForensicTrainer,
     IntegratedTrainConfig,

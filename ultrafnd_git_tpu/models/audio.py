@@ -10,7 +10,12 @@ TPU-first differences:
   * no librosa dependency: STFT, mel filterbank and descriptors are
     implemented in numpy/jnp directly (device-friendly framing, no Python
     loops over frames).
-  * batched text-proxy extraction for the cache builder.
+  * batched text-proxy extraction for the cache builder, and
+    `extract_waveform_batch` — when W2V2 weights are cached, the rung
+    runs ON the accelerator via models/w2v2_flax.py (weights transferred
+    once into the Flax tower; `ULTRAFND_W2V2_DEVICE=0` keeps the host
+    torch forward), encoding whole collated batches in one jitted call
+    where the reference runs one torch forward per waveform.
   * stable hashing instead of Python's randomized `hash`.
 """
 from __future__ import annotations
@@ -164,6 +169,36 @@ class SpectralForensics:
             self.processor = None
             self.backbone = None
             self._proj = None
+        # Device-resident pretrained rung (models/w2v2_flax.py): same HF
+        # weights in the Flax tower; batched equal-length forwards (the
+        # collate emits fixed 80 k-sample waveforms). Lazily built, opt-out
+        # via ULTRAFND_W2V2_DEVICE=0; BASE-layout checkpoints only.
+        import os
+
+        self._device_w2v2 = None
+        self._device_w2v2_tried = not (
+            self.use_w2v2
+            and os.environ.get("ULTRAFND_W2V2_DEVICE", "1") == "1"
+        )
+
+    def _device_w2v2_rung(self):
+        if not self._device_w2v2_tried:
+            self._device_w2v2_tried = True
+            try:
+                from ultrafnd_git_tpu.models.w2v2_flax import (
+                    DeviceW2V2Encoder,
+                )
+
+                self._device_w2v2 = DeviceW2V2Encoder(
+                    self.backbone, dim=self.dim
+                )
+            except Exception as exc:  # LARGE layout / broken tunnel etc.
+                print(
+                    f"⚠️  device W2V2 rung unavailable ({exc!r}); "
+                    "using host torch forward"
+                )
+                self._device_w2v2 = None
+        return self._device_w2v2
 
     def _w2v2_features(self, wav: np.ndarray) -> np.ndarray:
         torch = self._torch
@@ -236,6 +271,30 @@ class SpectralForensics:
     def extract_text_batch(self, texts: Sequence[str]) -> np.ndarray:
         """Batched text-proxy path for the cache builder."""
         return hash_embed_batch(texts, self.dim, max_tokens=self.dim)
+
+    def extract_waveform_batch(
+        self, waves: Sequence[ArrayLike], sr: int = 16000
+    ) -> np.ndarray:
+        """Batched waveform features: ONE device forward when the W2V2
+        rung is live and all (mono-16k) lengths are equal — the collate
+        contract guarantees 80 k samples — else the per-wave ladder."""
+        normed = [ensure_mono_16k(w, sr)[0] for w in waves]
+        if (
+            self.use_w2v2
+            and normed
+            and all(w.size == normed[0].size > 0 for w in normed)
+        ):
+            device = self._device_w2v2_rung()
+            if device is not None:
+                try:
+                    return device.encode_batch(normed)
+                except Exception as exc:
+                    print(
+                        f"⚠️  device W2V2 forward failed ({exc!r}); "
+                        "falling back to host ladder"
+                    )
+                    self._device_w2v2 = None
+        return np.stack([self.extract(w, 16000) for w in normed])
 
 
 class VoiceCloneDetector:

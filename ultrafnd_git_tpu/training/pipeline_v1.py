@@ -192,9 +192,9 @@ class BatchFeatureExtractor:
         ]
         T = self.text_enc.encode_fields_batch(records)  # (B, 768)
 
-        A = np.stack(
-            [self.audio_enc.extract(w) for w in batch["audio_waveform"]]
-        )  # (B, 128)
+        A = self.audio_enc.extract_waveform_batch(
+            batch["audio_waveform"]
+        )  # (B, 128) — one device forward when the W2V2 rung is live
 
         # ---- per-clip CV stage: gray + dense flow computed ONCE per clip
         # and shared between the flow features and the chronos cues (the
