@@ -60,6 +60,10 @@ def parse_args():
                    help="Shard the HBM-resident feature corpus rows over "
                         "the 'data' mesh axis (for corpora beyond one "
                         "chip's HBM; see docs/SCALING.md)")
+    p.add_argument("--shard_graph", action="store_true",
+                   help="Shard the (N, N) GCN adjacency rows over the "
+                        "'data' mesh axis — the O(N^2) object is the "
+                        "first to outgrow one chip (docs/SCALING.md)")
     p.add_argument("--multihost", action="store_true",
                    help="Call jax.distributed.initialize() before any "
                         "device use (reads JAX_COORDINATOR_ADDRESS / "
@@ -166,6 +170,7 @@ def main():
         dp=args.dp,
         tp=args.tp,
         shard_corpus=args.shard_corpus,
+        shard_graph=args.shard_graph,
         bf16_compute=args.bf16,
         resume=args.resume,
         profile_dir=args.profile_dir,

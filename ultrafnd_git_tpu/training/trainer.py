@@ -81,6 +81,7 @@ class TrainConfig:
     dp: Optional[int] = None  # data-parallel mesh size (None = no mesh)
     tp: int = 1  # tensor-parallel mesh size
     shard_corpus: bool = False  # shard (N, D) corpus rows over 'data'
+    shard_graph: bool = False  # shard the (N, N) adjacency rows over 'data'
     mesh_backend: Optional[str] = None  # e.g. "cpu" to mesh over host devices
     bf16_compute: bool = False  # bf16 matmuls with f32 master params
     profile_dir: Optional[str] = None  # jax.profiler trace output
@@ -146,15 +147,25 @@ class ForensicTrainer:
 
         # Graph context (compact node features + normalized adjacency +
         # constant first propagation) — shared with serving so both build
-        # the identical graph (ops/graphctx.py). Graph arrays stay
-        # replicated even under shard_corpus: the GCN's propagation
-        # contracts over the full node axis every step.
+        # the identical graph (ops/graphctx.py). XG/AX stay replicated
+        # (O(N·F), small); the (N, N) adjacency — the corpus's O(N^2)
+        # object and the first thing to outgrow one chip's HBM — can be
+        # row-sharded over 'data' with `shard_graph`: the per-step
+        # A[out_rows] gather and the pretrain reductions then run on
+        # shards, with XLA inserting the cross-device exchanges. Default
+        # off: at FakeSV scale (5376^2 f32 = 116 MB) replication avoids
+        # the gather traffic.
         from ultrafnd_git_tpu.ops.graphctx import build_graph_context
 
         gctx = build_graph_context(self.cache, cfg.gnn_overlap_thresh)
         rep = self._put_replicated
+        put_graph = (
+            self._put_row_sharded
+            if (cfg.shard_graph and self.mesh is not None)
+            else rep
+        )
         self.XG = rep(gctx.xg)
-        self.A_NORM = rep(gctx.a_norm)
+        self.A_NORM = put_graph(gctx.a_norm)
         self.AX = rep(gctx.ax)
 
         # ---- 4) models ----------------------------------------------------
