@@ -325,5 +325,15 @@ class DeviceW2V2Encoder:
         outs = []
         for s in range(0, arr.shape[0], self.batch_size):
             chunk = arr[s : s + self.batch_size]
-            outs.append(np.asarray(self._pooled(self.params, chunk)))
+            valid = chunk.shape[0]
+            if valid < self.batch_size and s > 0:
+                # pad ragged trailing chunks to the standing jit shape —
+                # a fresh (batch, 80000) conv compile over the tunnel is
+                # tens of seconds, far more than the wasted rows
+                chunk = np.pad(
+                    chunk, ((0, self.batch_size - valid), (0, 0))
+                )
+            outs.append(
+                np.asarray(self._pooled(self.params, chunk))[:valid]
+            )
         return np.concatenate(outs, axis=0).astype(np.float32)
