@@ -60,6 +60,11 @@ def parse_args():
                    help="Shard the HBM-resident feature corpus rows over "
                         "the 'data' mesh axis (for corpora beyond one "
                         "chip's HBM; see docs/SCALING.md)")
+    p.add_argument("--no_scan_epoch", action="store_true",
+                   help="Dispatch one device call per batch instead of "
+                        "one jitted scan per epoch (debugging aid; the "
+                        "scan is numerically identical and ~2x faster "
+                        "wall-clock on a tunneled chip)")
     p.add_argument("--shard_graph", action="store_true",
                    help="Shard the (N, N) GCN adjacency rows over the "
                         "'data' mesh axis — the O(N^2) object is the "
@@ -143,6 +148,7 @@ def main():
             use_gnn=(not args.no_gnn),
             use_evidence=args.use_evidence,
             profile_dir=args.profile_dir,
+            scan_epoch=not args.no_scan_epoch,
         )
         itrainer = IntegratedForensicTrainer(icfg)
         results = (
@@ -171,6 +177,7 @@ def main():
         tp=args.tp,
         shard_corpus=args.shard_corpus,
         shard_graph=args.shard_graph,
+        scan_epoch=not args.no_scan_epoch,
         bf16_compute=args.bf16,
         resume=args.resume,
         profile_dir=args.profile_dir,

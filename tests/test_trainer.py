@@ -163,6 +163,40 @@ def test_shard_corpus_agrees_with_replicated(fixture_root, tmp_path):
     assert loss == loss  # finite
 
 
+def test_scan_epoch_matches_per_step_loop(fixture_root, tmp_path):
+    """scan_epoch runs the same step function over the same RNG stream —
+    losses and metrics must match the per-step dispatch loop exactly."""
+    t_scan = ForensicTrainer(
+        _cfg(fixture_root, tmp_path / "scan", epochs=1, save_best=False)
+    )
+    t_loop = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path / "loop", epochs=1, save_best=False,
+            scan_epoch=False,
+        )
+    )
+    # eval: identical params (same seed), no shuffle -> exact agreement
+    l1, m1 = t_scan._epoch_loop(t_scan.va_idx, "val")
+    l2, m2 = t_loop._epoch_loop(t_loop.va_idx, "val")
+    assert abs(l1 - l2) < 1e-6
+    assert abs(m1["auc"] - m2["auc"]) < 1e-9
+
+    # train: pin the global np.random stream before each call so both
+    # trainers draw the identical shuffle -> same steps, same final state
+    np.random.seed(7)
+    l1, _ = t_scan._epoch_loop(t_scan.tr_idx, "train")
+    np.random.seed(7)
+    l2, _ = t_loop._epoch_loop(t_loop.tr_idx, "train")
+    assert abs(l1 - l2) < 1e-6
+    assert int(t_scan.state.step) == int(t_loop.state.step) > 0
+    import jax
+
+    a = jax.tree.leaves(t_scan.state.params)
+    b = jax.tree.leaves(t_loop.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
 def test_shard_graph_agrees_with_replicated(fixture_root, tmp_path):
     """Row-sharded (N, N) adjacency — the O(N^2) growth path — computes
     the same losses as the replicated default on the virtual mesh."""

@@ -78,3 +78,29 @@ def test_label_smoothing_changes_loss(trainer_factory):
     l_hard = float(t_hard._loss_from_logits(logits, y, mask))
     # smoothing adds probability mass on the wrong class -> higher loss here
     assert l_smooth > l_hard
+
+
+def test_scan_epoch_matches_per_step_loop(trainer_factory):
+    """scan_epoch runs the same step over the same RNG stream — losses,
+    metrics and final params must match the per-step dispatch loop."""
+    t_scan = trainer_factory(save_best=False, seed=5)
+    t_loop = trainer_factory(save_best=False, seed=5, scan_epoch=False)
+
+    thr = t_scan._annealed_thresh(0)
+    l1, a1, auc1 = t_scan._run_split(t_scan.val_idx, thr, train=False)
+    l2, a2, auc2 = t_loop._run_split(t_loop.val_idx, thr, train=False)
+    assert abs(l1 - l2) < 1e-6
+    assert a1 == a2 and abs(auc1 - auc2) < 1e-9
+
+    np.random.seed(11)
+    l1, _, _ = t_scan._run_split(t_scan.train_idx, thr, train=True)
+    np.random.seed(11)
+    l2, _, _ = t_loop._run_split(t_loop.train_idx, thr, train=True)
+    assert abs(l1 - l2) < 1e-6
+    import jax
+
+    for x, y in zip(
+        jax.tree.leaves(t_scan.state.params),
+        jax.tree.leaves(t_loop.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)

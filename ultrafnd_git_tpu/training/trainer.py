@@ -84,6 +84,14 @@ class TrainConfig:
     shard_graph: bool = False  # shard the (N, N) adjacency rows over 'data'
     mesh_backend: Optional[str] = None  # e.g. "cpu" to mesh over host devices
     bf16_compute: bool = False  # bf16 matmuls with f32 master params
+    # Run each epoch as ONE jitted lax.scan over its (steps, B) index
+    # matrix instead of one dispatch per batch. On a tunneled chip every
+    # host->device call carries ~90 ms of fixed latency (BASELINE.md
+    # "transfer degradation"), so per-step dispatch dominates wall time
+    # at FakeSV batch counts; the scan ships the whole epoch's indices in
+    # one upload. Single-process only — the mesh path keeps per-step
+    # dispatch (put_global_batch assembles per-host rows step by step).
+    scan_epoch: bool = True
     profile_dir: Optional[str] = None  # jax.profiler trace output
     debug_nans: bool = False
     log_metrics_jsonl: bool = True
@@ -242,6 +250,10 @@ class ForensicTrainer:
 
         self._train_step = jax.jit(self._make_train_step(), donate_argnums=0)
         self._eval_step = jax.jit(self._make_eval_step())
+        self._train_epoch = jax.jit(
+            self._make_train_epoch(), donate_argnums=0
+        )
+        self._eval_epoch = jax.jit(self._make_eval_epoch())
 
     # ------------------------------------------------------------------
     def _put_replicated(self, x: np.ndarray) -> jax.Array:
@@ -398,6 +410,33 @@ class ForensicTrainer:
 
         return step
 
+    def _make_train_epoch(self):
+        """Whole epoch as one lax.scan of the train step (see scan_epoch)."""
+        step_fn = self._make_train_step()
+
+        def run(state, idx_mat, mask_mat):
+            def body(state, xm):
+                idx, m = xm
+                state, out = step_fn(state, idx, m)
+                return state, (out["loss"], out["p1"], out["forensic"])
+
+            return jax.lax.scan(body, state, (idx_mat, mask_mat))
+
+        return run
+
+    def _make_eval_epoch(self):
+        step_fn = self._make_eval_step()
+
+        def run(params, idx_mat, mask_mat):
+            def body(_, xm):
+                idx, m = xm
+                out = step_fn(params, idx, m)
+                return None, (out["loss"], out["p1"], out["forensic"])
+
+            return jax.lax.scan(body, None, (idx_mat, mask_mat))[1]
+
+        return run
+
     # ------------------------------------------------------------------
     def _epoch_loop(
         self, split_idx: np.ndarray, split: str, params=None
@@ -405,6 +444,9 @@ class ForensicTrainer:
         cfg = self.cfg
         is_train = split == "train"
         B = cfg.batch_size
+
+        if cfg.scan_epoch and self.mesh is None:
+            return self._epoch_scan(split_idx, is_train, params)
 
         losses, y_all, p1_all = [], [], []
         f_buf = []
@@ -445,6 +487,60 @@ class ForensicTrainer:
             }
         metrics = aggregate_epoch_metrics(
             y, p1, forensic=forensic, threshold=0.5, include_cm=False
+        )
+        return loss_mean, metrics
+
+    def _epoch_scan(
+        self, split_idx: np.ndarray, is_train: bool, params=None
+    ) -> Tuple[float, Dict[str, float]]:
+        """One device dispatch per epoch: scan the jitted step over the
+        (steps, B) index/mask matrices. Numerically identical to the
+        per-step loop (same step function, same RNG stream)."""
+        batches = list(
+            iter_padded_batches(
+                split_idx, self.cfg.batch_size, shuffle=is_train
+            )
+        )
+        if not batches:
+            return 0.0, aggregate_epoch_metrics(
+                np.array([], dtype=int), np.array([], dtype=float),
+                threshold=0.5, include_cm=False,
+            )
+        chunks = np.stack([c for c, _, _ in batches]).astype(np.int32)
+        masks = np.stack([m for _, m, _ in batches]).astype(np.float32)
+        valids = [v for _, _, v in batches]
+
+        if is_train:
+            self.state, (loss, p1, forensic) = self._train_epoch(
+                self.state, jnp.asarray(chunks), jnp.asarray(masks)
+            )
+        else:
+            loss, p1, forensic = self._eval_epoch(
+                params if params is not None else self.state.params,
+                jnp.asarray(chunks),
+                jnp.asarray(masks),
+            )
+
+        loss_mean = float(np.mean(np.asarray(loss)))
+        p1 = np.asarray(p1)  # (S, B)
+        forensic = np.asarray(forensic)  # (S, 3, B)
+        y = np.concatenate(
+            [self.cache["labels"][c[:v]] for (c, _, v) in batches]
+        )
+        p1_flat = np.concatenate([p1[i, :v] for i, v in enumerate(valids)])
+        f_cat = np.concatenate(
+            [forensic[i, :, :v] for i, v in enumerate(valids)], axis=1
+        )
+        metrics = aggregate_epoch_metrics(
+            y,
+            p1_flat,
+            forensic={
+                "semantic_conflict": f_cat[0],
+                "temporal_delay": f_cat[1],
+                "emotion_intensity": f_cat[2],
+            },
+            threshold=0.5,
+            include_cm=False,
         )
         return loss_mean, metrics
 

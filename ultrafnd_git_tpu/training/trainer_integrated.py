@@ -91,6 +91,11 @@ class IntegratedTrainConfig:
     # TPU-native extras
     cache_to_disk: bool = True
     early_stop_patience: int = 3
+    # One jitted lax.scan per epoch instead of per-batch dispatch (the
+    # tunnel adds ~90 ms fixed latency per host->device call — see
+    # trainer.TrainConfig.scan_epoch). The annealed threshold is already
+    # a traced scalar, so it rides into the scan unchanged per epoch.
+    scan_epoch: bool = True
     log_metrics_jsonl: bool = True
     profile_dir: Optional[str] = None
     fusion_config: str = "configs/model_configs/fusion.yaml"
@@ -221,6 +226,10 @@ class IntegratedForensicTrainer:
 
         self._train_step = jax.jit(self._make_step(train=True), donate_argnums=0)
         self._eval_step = jax.jit(self._make_step(train=False))
+        self._train_epoch = jax.jit(
+            self._make_epoch(train=True), donate_argnums=0
+        )
+        self._eval_epoch = jax.jit(self._make_epoch(train=False))
 
     # ------------------------------------------------------------------
     def _loss_from_logits(self, logits, y, mask):
@@ -324,6 +333,32 @@ class IntegratedForensicTrainer:
 
         return step
 
+    def _make_epoch(self, train: bool):
+        """Whole epoch as one lax.scan of the step (see scan_epoch)."""
+        step_fn = self._make_step(train=train)
+
+        if train:
+
+            def run(state, idx_mat, mask_mat, thr):
+                def body(state, xm):
+                    idx, m = xm
+                    state, out = step_fn(state, idx, m, thr)
+                    return state, (out["loss"], out["p1"])
+
+                return jax.lax.scan(body, state, (idx_mat, mask_mat))
+
+            return run
+
+        def run(params, idx_mat, mask_mat, thr):
+            def body(_, xm):
+                idx, m = xm
+                out = step_fn(params, idx, m, thr)
+                return None, (out["loss"], out["p1"])
+
+            return jax.lax.scan(body, None, (idx_mat, mask_mat))[1]
+
+        return run
+
     # ------------------------------------------------------------------
     def _annealed_thresh(self, epoch_zero_based: int) -> float:
         return max(
@@ -338,6 +373,8 @@ class IntegratedForensicTrainer:
         params=None,
     ) -> Tuple[float, float, float]:
         b = self.cfg.batch_size
+        if self.cfg.scan_epoch:
+            return self._run_split_scan(idx, thr, train, params)
         losses, y_all, p1_all = [], [], []
         thr_dev = jnp.asarray(thr, jnp.float32)
         for chunk, mask, valid in iter_padded_batches(idx, b, shuffle=train):
@@ -367,6 +404,47 @@ class IntegratedForensicTrainer:
         acc = float((preds == y).mean()) if y.size else 0.0
         auc = safe_auc(y, p1)
         return float(np.mean(losses)), acc, auc
+
+    def _run_split_scan(
+        self, idx: np.ndarray, thr: float, train: bool, params=None
+    ) -> Tuple[float, float, float]:
+        """One device dispatch per epoch (numerically identical to the
+        per-step loop: same step function, same RNG stream)."""
+        batches = list(
+            iter_padded_batches(idx, self.cfg.batch_size, shuffle=train)
+        )
+        if not batches:
+            return 0.0, 0.0, 0.5
+        chunks = np.stack([c for c, _, _ in batches]).astype(np.int32)
+        masks = np.stack([m for _, m, _ in batches]).astype(np.float32)
+        thr_dev = jnp.asarray(thr, jnp.float32)
+
+        if train:
+            self.state, (loss, p1) = self._train_epoch(
+                self.state, jnp.asarray(chunks), jnp.asarray(masks), thr_dev
+            )
+        else:
+            loss, p1 = self._eval_epoch(
+                params if params is not None else self.state.params,
+                jnp.asarray(chunks),
+                jnp.asarray(masks),
+                thr_dev,
+            )
+
+        p1 = np.asarray(p1)
+        y = np.concatenate(
+            [self.cache["labels"][c[:v]] for (c, _, v) in batches]
+        )
+        p1_flat = np.concatenate(
+            [p1[i, :v] for i, (_, _, v) in enumerate(batches)]
+        )
+        preds = (p1_flat >= 0.5).astype(int)
+        acc = float((preds == y).mean()) if y.size else 0.0
+        return (
+            float(np.mean(np.asarray(loss))),
+            acc,
+            safe_auc(y, p1_flat),
+        )
 
     def train(self) -> Dict[str, float]:
         print("\n>>> Training (integrated variant)...")
