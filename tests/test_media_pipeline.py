@@ -45,6 +45,18 @@ class TestDecoders:
 
         np.testing.assert_allclose(frames_float01(u8), f32)
 
+    def test_video_decode_accepts_any_dtype_specifier(self, media_root):
+        """np.dtype instances and strings must decode identically to the
+        class form (regression: `dtype(255.0)` raised inside the blanket
+        try/except and silently returned the all-zero dummy)."""
+        path = f"{media_root}/videos/douyin_0000.avi"
+        ref = load_video_frames(path, dtype=np.float32)
+        assert ref.max() > 0.0
+        for spec in (np.dtype(np.float32), "float32"):
+            np.testing.assert_allclose(
+                load_video_frames(path, dtype=spec), ref
+            )
+
     def test_video_decode_missing_file_gives_dummy(self):
         frames = load_video_frames("/nonexistent/clip.mp4")
         assert frames.shape == (30, 256, 256, 3)

@@ -13,9 +13,12 @@ import numpy as np
 import pytest
 
 REFERENCE = Path("/root/reference")
-pytestmark = pytest.mark.skipif(
-    not (REFERENCE / "src").exists(), reason="reference tree not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,  # instantiates the reference torch models
+    pytest.mark.skipif(
+        not (REFERENCE / "src").exists(), reason="reference tree not mounted"
+    ),
+]
 
 ATOL = 1e-4  # fp32 tolerance per BASELINE.md
 

@@ -100,7 +100,10 @@ def load_video_frames(
             frames.append(frames[-1])
         out = np.stack(frames[:num_frames])
         if np.issubdtype(np.dtype(dtype), np.floating):
-            return out.astype(dtype) / dtype(255.0)
+            # np.dtype(...).type works for classes, instances and strings
+            # (a bare `dtype(255.0)` call would raise for the latter two
+            # and silently return the dummy via the except below)
+            return out.astype(dtype) / np.dtype(dtype).type(255.0)
         return out
     except Exception:
         return dummy
@@ -403,9 +406,10 @@ class AugmentedRawMediaDataset:
         scale = 1.0 + rng.uniform(-0.2, 0.2)  # brightness/contrast jitter
         shift = rng.uniform(-0.05, 0.05)
         if frames.dtype == np.uint8:
-            # jitter in uint8 space (shift is in [0,1] units -> x255);
-            # int16 intermediate avoids wraparound, stays 2 bytes/px
-            jittered = frames.astype(np.int16) * scale + shift * 255.0
+            # jitter in uint8 units (shift is in [0,1] units -> x255);
+            # float32 scalars keep the temporary at 4 bytes/px (a Python
+            # float would promote the whole array to float64)
+            jittered = frames * np.float32(scale) + np.float32(shift * 255.0)
             sample["video_frames"] = np.clip(jittered, 0, 255).astype(
                 np.uint8
             )

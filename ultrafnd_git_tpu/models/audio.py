@@ -190,7 +190,7 @@ class SpectralForensics:
                 )
 
                 self._device_w2v2 = DeviceW2V2Encoder(
-                    self.backbone, dim=self.dim
+                    self.backbone, dim=self.dim, processor=self.processor
                 )
             except Exception as exc:  # LARGE layout / broken tunnel etc.
                 print(

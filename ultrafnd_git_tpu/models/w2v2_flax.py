@@ -263,13 +263,35 @@ class DeviceW2V2Encoder:
         dim: int = 128,
         batch_size: int = 16,
         proj_seed: int = 0,
+        processor=None,
     ):
+        if processor is not None and not bool(
+            getattr(
+                getattr(processor, "feature_extractor", processor),
+                "do_normalize",
+                True,
+            )
+        ):
+            raise ValueError(
+                "processor has do_normalize=False; this tower hardcodes "
+                "the zero-mean/unit-var normalize — keeping the host rung"
+            )
         cfg = torch_model.config
         if bool(getattr(cfg, "do_stable_layer_norm", False)):
             raise ValueError(
                 "only the BASE (do_stable_layer_norm=False) layout is "
                 "supported on-device; LARGE checkpoints keep the host rung"
             )
+        # Guard every config knob this tower hardcodes — a mismatch must
+        # raise here so SpectralForensics falls back to the host torch
+        # rung, not silently diverge from it.
+        for field in ("hidden_act", "feat_extract_activation"):
+            act = str(getattr(cfg, field, "gelu"))
+            if act != "gelu":
+                raise ValueError(
+                    f"{field}={act!r} is not the exact-gelu this tower "
+                    "implements; keeping the host rung"
+                )
         self.dim = int(dim)
         self.batch_size = int(batch_size)
         self.module = Wav2Vec2EncoderFlax(

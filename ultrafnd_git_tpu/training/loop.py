@@ -51,6 +51,32 @@ def iter_padded_batches(
         yield chunk, mask, valid
 
 
+def flatten_epoch_rows(
+    batches, labels: np.ndarray, p1_mat, forensic_mat=None
+):
+    """Drop padded rows from stacked per-step outputs.
+
+    batches: the epoch's [(chunk, mask, valid), ...] list;
+    p1_mat: (S, B) probabilities; forensic_mat: optional (S, 3, B).
+    Returns (y, p1_flat[, f_cat]) with exactly the valid rows, in step
+    order — the one place the padded-row slicing convention lives (both
+    trainers, both dispatch modes).
+    """
+    p1_mat = np.asarray(p1_mat)
+    y = np.concatenate([labels[c[:v]] for (c, _, v) in batches])
+    p1 = np.concatenate(
+        [p1_mat[i, :v] for i, (_, _, v) in enumerate(batches)]
+    )
+    if forensic_mat is None:
+        return y, p1
+    forensic_mat = np.asarray(forensic_mat)
+    f_cat = np.concatenate(
+        [forensic_mat[i, :, :v] for i, (_, _, v) in enumerate(batches)],
+        axis=1,
+    )
+    return y, p1, f_cat
+
+
 class ImprovementTracker:
     """val-AUC improvement accounting + gated best-checkpoint writes.
 

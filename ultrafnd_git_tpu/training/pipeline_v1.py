@@ -150,10 +150,12 @@ class BatchFeatureExtractor:
         if arr.dtype != np.uint8:
             return arr
         b, t, h, w, _ = arr.shape
-        flat = arr.reshape(b * t, h, w, 3)
-        gray = np.empty((b * t, h, w), dtype=np.uint8)
-        for i in range(b * t):
-            gray[i] = cv2.cvtColor(flat[i], cv2.COLOR_RGB2GRAY)
+        # one C++ call over the whole batch (cvtColor is per-pixel, so
+        # stacking every frame into one tall image is equivalent)
+        gray = cv2.cvtColor(
+            np.ascontiguousarray(arr).reshape(b * t * h, w, 3),
+            cv2.COLOR_RGB2GRAY,
+        )
         return gray.reshape(b, t, h, w)
 
     def _device_cv_block(self, frames) -> Optional[tuple]:

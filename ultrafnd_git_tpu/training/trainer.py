@@ -45,6 +45,7 @@ from ultrafnd_git_tpu.parallel import mesh as meshlib
 from ultrafnd_git_tpu.training import checkpoint as ckpt
 from ultrafnd_git_tpu.training.loop import (
     ImprovementTracker,
+    flatten_epoch_rows,
     iter_padded_batches,
     load_checkpoint_guarded,
     log_jsonl,
@@ -443,62 +444,11 @@ class ForensicTrainer:
     ) -> Tuple[float, Dict[str, float]]:
         cfg = self.cfg
         is_train = split == "train"
-        B = cfg.batch_size
+        eval_params = params if params is not None else self.state.params
 
-        if cfg.scan_epoch and self.mesh is None:
-            return self._epoch_scan(split_idx, is_train, params)
-
-        losses, y_all, p1_all = [], [], []
-        f_buf = []
-        for chunk, mask, valid in iter_padded_batches(
-            split_idx, B, shuffle=is_train
-        ):
-            i, m = self._batch_arrays(chunk, mask)
-
-            if is_train:
-                self.state, out = self._train_step(self.state, i, m)
-            else:
-                out = self._eval_step(
-                    params if params is not None else self.state.params, i, m
-                )
-
-            # Keep device arrays (async futures) — converting here would
-            # block the host on every step and serialize batch prep
-            # against device compute. One sync at epoch end instead.
-            losses.append(out["loss"])
-            p1_all.append((out["p1"], valid))
-            y_all.append(self.cache["labels"][chunk[:valid]])
-            f_buf.append((out["forensic"], valid))
-
-        loss_mean = (
-            float(np.mean([np.asarray(l) for l in losses])) if losses else 0.0
-        )
-        p1_all = [np.asarray(p)[:v] for p, v in p1_all]
-        f_buf = [np.asarray(f)[:, :v] for f, v in f_buf]
-        y = np.concatenate(y_all) if y_all else np.array([], dtype=int)
-        p1 = np.concatenate(p1_all) if p1_all else np.array([], dtype=float)
-        forensic = None
-        if f_buf:
-            f_cat = np.concatenate(f_buf, axis=1)
-            forensic = {
-                "semantic_conflict": f_cat[0],
-                "temporal_delay": f_cat[1],
-                "emotion_intensity": f_cat[2],
-            }
-        metrics = aggregate_epoch_metrics(
-            y, p1, forensic=forensic, threshold=0.5, include_cm=False
-        )
-        return loss_mean, metrics
-
-    def _epoch_scan(
-        self, split_idx: np.ndarray, is_train: bool, params=None
-    ) -> Tuple[float, Dict[str, float]]:
-        """One device dispatch per epoch: scan the jitted step over the
-        (steps, B) index/mask matrices. Numerically identical to the
-        per-step loop (same step function, same RNG stream)."""
         batches = list(
             iter_padded_batches(
-                split_idx, self.cfg.batch_size, shuffle=is_train
+                split_idx, cfg.batch_size, shuffle=is_train
             )
         )
         if not batches:
@@ -506,30 +456,40 @@ class ForensicTrainer:
                 np.array([], dtype=int), np.array([], dtype=float),
                 threshold=0.5, include_cm=False,
             )
-        chunks = np.stack([c for c, _, _ in batches]).astype(np.int32)
-        masks = np.stack([m for _, m, _ in batches]).astype(np.float32)
-        valids = [v for _, _, v in batches]
 
-        if is_train:
-            self.state, (loss, p1, forensic) = self._train_epoch(
-                self.state, jnp.asarray(chunks), jnp.asarray(masks)
-            )
+        if cfg.scan_epoch and self.mesh is None:
+            # one device dispatch per epoch: scan the jitted step over
+            # the (steps, B) index/mask matrices — numerically identical
+            # to the per-step loop (same step fn, same RNG stream)
+            chunks = np.stack([c for c, _, _ in batches]).astype(np.int32)
+            masks = np.stack([m for _, m, _ in batches]).astype(np.float32)
+            if is_train:
+                self.state, (loss, p1, forensic) = self._train_epoch(
+                    self.state, jnp.asarray(chunks), jnp.asarray(masks)
+                )
+            else:
+                loss, p1, forensic = self._eval_epoch(
+                    eval_params, jnp.asarray(chunks), jnp.asarray(masks)
+                )
+            loss_arr, p1_mat, f_mat = loss, p1, forensic
         else:
-            loss, p1, forensic = self._eval_epoch(
-                params if params is not None else self.state.params,
-                jnp.asarray(chunks),
-                jnp.asarray(masks),
-            )
+            outs = []
+            for chunk, mask, _valid in batches:
+                i, m = self._batch_arrays(chunk, mask)
+                if is_train:
+                    self.state, out = self._train_step(self.state, i, m)
+                else:
+                    out = self._eval_step(eval_params, i, m)
+                # keep device arrays (async futures) — converting here
+                # would serialize batch prep against device compute; one
+                # sync at epoch end instead
+                outs.append((out["loss"], out["p1"], out["forensic"]))
+            loss_arr = np.asarray([np.asarray(l) for l, _, _ in outs])
+            p1_mat = np.stack([np.asarray(p) for _, p, _ in outs])
+            f_mat = np.stack([np.asarray(f) for _, _, f in outs])
 
-        loss_mean = float(np.mean(np.asarray(loss)))
-        p1 = np.asarray(p1)  # (S, B)
-        forensic = np.asarray(forensic)  # (S, 3, B)
-        y = np.concatenate(
-            [self.cache["labels"][c[:v]] for (c, _, v) in batches]
-        )
-        p1_flat = np.concatenate([p1[i, :v] for i, v in enumerate(valids)])
-        f_cat = np.concatenate(
-            [forensic[i, :, :v] for i, v in enumerate(valids)], axis=1
+        y, p1_flat, f_cat = flatten_epoch_rows(
+            batches, self.cache["labels"], p1_mat, f_mat
         )
         metrics = aggregate_epoch_metrics(
             y,
@@ -542,7 +502,7 @@ class ForensicTrainer:
             threshold=0.5,
             include_cm=False,
         )
-        return loss_mean, metrics
+        return float(np.mean(np.asarray(loss_arr))), metrics
 
     def fit(self) -> float:
         cfg = self.cfg

@@ -52,6 +52,7 @@ from ultrafnd_git_tpu.ops.jaccard import pairwise_jaccard
 from ultrafnd_git_tpu.training import checkpoint as ckpt  # noqa: F401 (tests patch via this module)
 from ultrafnd_git_tpu.training.loop import (
     ImprovementTracker,
+    flatten_epoch_rows,
     iter_padded_batches,
     load_checkpoint_guarded,
     log_jsonl,
@@ -372,76 +373,53 @@ class IntegratedForensicTrainer:
         train: bool,
         params=None,
     ) -> Tuple[float, float, float]:
-        b = self.cfg.batch_size
-        if self.cfg.scan_epoch:
-            return self._run_split_scan(idx, thr, train, params)
-        losses, y_all, p1_all = [], [], []
+        eval_params = params if params is not None else self.state.params
         thr_dev = jnp.asarray(thr, jnp.float32)
-        for chunk, mask, valid in iter_padded_batches(idx, b, shuffle=train):
-            i = jnp.asarray(chunk, jnp.int32)
-            m = jnp.asarray(mask)
-
-            if train:
-                self.state, out = self._train_step(self.state, i, m, thr_dev)
-            else:
-                out = self._eval_step(
-                    params if params is not None else self.state.params,
-                    i,
-                    m,
-                    thr_dev,
-                )
-            # keep device arrays (async) — one sync after the loop
-            losses.append(out["loss"])
-            p1_all.append((out["p1"], valid))
-            y_all.append(self.cache["labels"][chunk[:valid]])
-
-        if not losses:
-            return 0.0, 0.0, 0.5
-        losses = [float(np.asarray(l)) for l in losses]
-        y = np.concatenate(y_all)
-        p1 = np.concatenate([np.asarray(p)[:v] for p, v in p1_all])
-        preds = (p1 >= 0.5).astype(int)
-        acc = float((preds == y).mean()) if y.size else 0.0
-        auc = safe_auc(y, p1)
-        return float(np.mean(losses)), acc, auc
-
-    def _run_split_scan(
-        self, idx: np.ndarray, thr: float, train: bool, params=None
-    ) -> Tuple[float, float, float]:
-        """One device dispatch per epoch (numerically identical to the
-        per-step loop: same step function, same RNG stream)."""
         batches = list(
             iter_padded_batches(idx, self.cfg.batch_size, shuffle=train)
         )
         if not batches:
             return 0.0, 0.0, 0.5
-        chunks = np.stack([c for c, _, _ in batches]).astype(np.int32)
-        masks = np.stack([m for _, m, _ in batches]).astype(np.float32)
-        thr_dev = jnp.asarray(thr, jnp.float32)
 
-        if train:
-            self.state, (loss, p1) = self._train_epoch(
-                self.state, jnp.asarray(chunks), jnp.asarray(masks), thr_dev
-            )
+        if self.cfg.scan_epoch:
+            # one device dispatch per epoch (numerically identical to the
+            # per-step loop: same step function, same RNG stream)
+            chunks = np.stack([c for c, _, _ in batches]).astype(np.int32)
+            masks = np.stack([m for _, m, _ in batches]).astype(np.float32)
+            if train:
+                self.state, (loss, p1) = self._train_epoch(
+                    self.state, jnp.asarray(chunks), jnp.asarray(masks),
+                    thr_dev,
+                )
+            else:
+                loss, p1 = self._eval_epoch(
+                    eval_params, jnp.asarray(chunks), jnp.asarray(masks),
+                    thr_dev,
+                )
+            loss_arr, p1_mat = loss, p1
         else:
-            loss, p1 = self._eval_epoch(
-                params if params is not None else self.state.params,
-                jnp.asarray(chunks),
-                jnp.asarray(masks),
-                thr_dev,
-            )
+            outs = []
+            for chunk, mask, _valid in batches:
+                i = jnp.asarray(chunk, jnp.int32)
+                m = jnp.asarray(mask)
+                if train:
+                    self.state, out = self._train_step(
+                        self.state, i, m, thr_dev
+                    )
+                else:
+                    out = self._eval_step(eval_params, i, m, thr_dev)
+                # keep device arrays (async) — one sync after the loop
+                outs.append((out["loss"], out["p1"]))
+            loss_arr = np.asarray([np.asarray(l) for l, _ in outs])
+            p1_mat = np.stack([np.asarray(p) for _, p in outs])
 
-        p1 = np.asarray(p1)
-        y = np.concatenate(
-            [self.cache["labels"][c[:v]] for (c, _, v) in batches]
-        )
-        p1_flat = np.concatenate(
-            [p1[i, :v] for i, (_, _, v) in enumerate(batches)]
+        y, p1_flat = flatten_epoch_rows(
+            batches, self.cache["labels"], p1_mat
         )
         preds = (p1_flat >= 0.5).astype(int)
         acc = float((preds == y).mean()) if y.size else 0.0
         return (
-            float(np.mean(np.asarray(loss))),
+            float(np.mean(np.asarray(loss_arr))),
             acc,
             safe_auc(y, p1_flat),
         )
