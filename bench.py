@@ -241,6 +241,51 @@ def main() -> None:
         except Exception:
             scaling["bf16_512"] = None
 
+        # ---- v1 feature-stage throughput (device-CV path) ----------------
+        # Synthetic 8-clip batch through the BatchFeatureExtractor with
+        # the accelerator CV stage — the VERDICT r1 "v1 pipeline
+        # throughput" capture. Hash/DSP encoder rungs (hermetic).
+        v1_ms_per_sample = None
+        try:
+            import os
+
+            os.environ.setdefault("ULTRAFND_DISABLE_HF", "1")
+            from ultrafnd_git_tpu.training.pipeline_v1 import (
+                BatchFeatureExtractor,
+            )
+
+            rng_f = np.random.default_rng(0)
+            fbatch = {
+                "text_data": [
+                    {"title": f"t{i}", "ocr": "o", "comments": ["c"]}
+                    for i in range(8)
+                ],
+                "audio_waveform": [
+                    rng_f.standard_normal(80000).astype(np.float32)
+                    for _ in range(8)
+                ],
+                # structured (compressible) frames — pure noise makes the
+                # host JPEG/ELA pass pathologically slow vs real video
+                "video_frames": np.kron(
+                    rng_f.integers(0, 255, (8, 30, 32, 32, 3)),
+                    np.ones((1, 1, 8, 8, 1)),
+                ).astype(np.uint8),
+                "label": np.zeros(8, np.int64),
+            }
+            ext = BatchFeatureExtractor(seed=0, use_device_cv=True)
+            if ext._device_cv is not None:
+                ext(fbatch)  # warm (compile)
+                times_f = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    ext(fbatch)
+                    times_f.append(time.perf_counter() - t0)
+                v1_ms_per_sample = round(
+                    float(np.median(times_f)) / 8 * 1e3, 1
+                )
+        except Exception:
+            pass
+
         print(
             json.dumps(
                 {
@@ -257,6 +302,7 @@ def main() -> None:
                     "achieved_tflops": round(achieved / 1e12, 2),
                     "mfu": round(achieved / PEAK_FLOPS, 4),
                     "batch_scaling": scaling,
+                    "v1_feature_ms_per_sample": v1_ms_per_sample,
                     "backend": jax.default_backend(),
                 }
             )
