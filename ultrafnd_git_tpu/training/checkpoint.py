@@ -7,6 +7,15 @@ Here:
   * `latest` — written every epoch for restart-from-latest fault recovery,
 both containing the FULL TrainState (params + optimizer moments + step +
 PRNG) plus a JSON metadata sidecar (epoch, best metric, config).
+
+Saves are ASYNC (SURVEY §5.4 "Orbax async checkpointing"): `save_checkpoint`
+enqueues the array writes on Orbax's background thread and returns, so the
+per-epoch `latest` write overlaps the next epoch's compute. Every read
+path barriers first (`load_checkpoint` calls `wait_for_writes`), and the
+AsyncCheckpointer itself serializes back-to-back saves, so in-process
+consistency is free. A crash mid-write leaves a partial slot whose restore
+fails loudly into the warn-and-start-fresh path below — the same behavior
+as any corrupt checkpoint.
 """
 from __future__ import annotations
 
@@ -17,9 +26,20 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import orbax.checkpoint as ocp
 
+_ASYNC: Optional[ocp.AsyncCheckpointer] = None
 
-def _ckptr() -> ocp.PyTreeCheckpointer:
-    return ocp.PyTreeCheckpointer()
+
+def _ckptr() -> ocp.AsyncCheckpointer:
+    global _ASYNC
+    if _ASYNC is None:
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC
+
+
+def wait_for_writes() -> None:
+    """Barrier: block until every enqueued checkpoint write has landed."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
 
 
 def save_checkpoint(
@@ -35,6 +55,7 @@ def load_checkpoint(
     directory: str, name: str, target: Any
 ) -> Optional[Tuple[Any, Dict[str, Any]]]:
     """Restore (state, meta), or None if the slot doesn't exist."""
+    wait_for_writes()  # a same-process save may still be in flight
     root = Path(directory).resolve() / name
     meta_path = root / "meta.json"
     if not meta_path.exists():

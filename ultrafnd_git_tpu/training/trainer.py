@@ -555,6 +555,7 @@ class ForensicTrainer:
                 if tracker.should_stop:
                     tracker.announce_stop()
                     break
+        ckpt.wait_for_writes()  # async saves must land before we return
         return self.best_val_auc
 
     def test(self) -> Dict[str, float]:

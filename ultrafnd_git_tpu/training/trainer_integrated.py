@@ -478,6 +478,7 @@ class IntegratedForensicTrainer:
             if tracker.should_stop:
                 tracker.announce_stop()
                 break
+        ckpt.wait_for_writes()  # async saves must land before we return
         return self.test()
 
     def test(self) -> Dict[str, float]:
