@@ -128,3 +128,94 @@ def test_augment_text_can_touch_last_word():
             seen_last = True
             break
     assert seen_last
+
+
+# ---- round-2 full-repo review findings --------------------------------
+
+
+def test_pool_flow_short_clips_finite():
+    """2-4 frame clips used to NaN the whole flow feature (empty pyramid
+    segments); both the host pooling and the device segment bounds must
+    stay finite/non-empty."""
+    from ultrafnd_git_tpu.kernels.preprocess import _segment_bounds
+    from ultrafnd_git_tpu.models.visual import OpticalFlow3DCNN
+
+    rng = np.random.default_rng(0)
+    enc = OpticalFlow3DCNN(dim=256, use_tvl1=False)
+    for t in (2, 3, 4, 5):
+        frames = rng.integers(0, 255, (t, 64, 64, 3), dtype=np.uint8)
+        feat = enc.extract(frames)
+        assert np.isfinite(feat).all(), f"NaN at T={t}"
+    for t in (1, 2, 3, 4):
+        for a, b in _segment_bounds(t, 3):
+            assert 0 <= a < b <= max(t, a + 1)
+
+
+def test_ensure_gray_single_channel():
+    from ultrafnd_git_tpu.models.visual import ensure_gray
+
+    img = np.full((8, 8, 1), 7, np.uint8)
+    out = ensure_gray(img)
+    assert out.shape == (8, 8) and int(out[0, 0]) == 7
+
+
+def test_cache_fingerprint_gates_reuse(fixture_data_root, tmp_path):
+    """A persisted cache from a different seed/config must be rebuilt,
+    not silently reused."""
+    from ultrafnd_git_tpu.data.cache import bootstrap_cache
+
+    c1 = bootstrap_cache(
+        fixture_data_root, str(tmp_path), seed=42, cache_to_disk=True
+    )
+    # same config -> reused (identical split arrays)
+    c2 = bootstrap_cache(
+        fixture_data_root, str(tmp_path), seed=42, cache_to_disk=True
+    )
+    np.testing.assert_array_equal(c1["split"][0], c2["split"][0])
+    # different seed -> rebuilt under the new seed (split differs)
+    c3 = bootstrap_cache(
+        fixture_data_root, str(tmp_path), seed=7, cache_to_disk=True
+    )
+    assert not np.array_equal(
+        np.sort(c1["split"][0]), np.sort(c3["split"][0])
+    ) or not np.array_equal(c1["split"][0], c3["split"][0])
+
+
+def test_injected_cache_is_persisted(fixture_data_root, tmp_path):
+    """cache_to_disk=True must persist an injected cache so the out_dir
+    can serve (Predictor loads feature_cache.npz)."""
+    from ultrafnd_git_tpu.data.cache import bootstrap_cache, load_cache
+
+    built = bootstrap_cache(
+        fixture_data_root, str(tmp_path / "a"), seed=0, cache_to_disk=False
+    )
+    bootstrap_cache(
+        fixture_data_root, str(tmp_path / "b"), seed=0,
+        cache_to_disk=True, cache=built,
+    )
+    assert load_cache(str(tmp_path / "b" / "feature_cache.npz")) is not None
+
+
+def test_ocr_clean_fallback_matches_pickle_tokenization(tmp_path):
+    """Records absent from a provided phrase pickle must be tokenized
+    with the pickle's regex tokenizer, not the whitespace split, so the
+    serving-time Jaccard vocabularies intersect the corpus ones."""
+    from ultrafnd_git_tpu.data.ocr import (
+        build_phrase_features,
+        ocr_sets_for_records,
+        save_phrase_features,
+    )
+
+    corpus = [{"id": "v0", "ocr": "警告!危险信号 警告"}]
+    pkl = tmp_path / "ocr.pkl"
+    save_phrase_features(build_phrase_features(corpus), str(pkl))
+
+    new = [{"id": "unseen", "ocr": "警告!危险信号"}]
+    with_pkl = ocr_sets_for_records(new, str(pkl))
+    assert with_pkl[0] == {"警告", "危险信号"}  # regex tokens
+    # explicit True works even without the pickle file (serving path)
+    forced = ocr_sets_for_records(new, None, clean_fallback=True)
+    assert forced[0] == {"警告", "危险信号"}
+    # default without pickle stays the trainer's whitespace split
+    plain = ocr_sets_for_records(new, None)
+    assert plain[0] == {"警告!危险信号"}

@@ -100,6 +100,7 @@ def build_feature_cache(
     temporal_dim: int = 256,
     seed: int = 42,
     encoders: Optional[Dict[str, Any]] = None,
+    ocr_clean_fallback: Optional[bool] = None,
 ) -> Dict[str, Any]:
     """Build the full tensor cache for the trainer + GNN in batched passes."""
     rng = np.random.default_rng(seed)
@@ -175,7 +176,9 @@ def build_feature_cache(
     ).astype(np.float32)
 
     # ---- OCR token sets + split --------------------------------------------
-    ocr_sets = ocr_sets_for_records(records, ocr_phrase_pkl)
+    ocr_sets = ocr_sets_for_records(
+        records, ocr_phrase_pkl, clean_fallback=ocr_clean_fallback
+    )
     split = make_split(labels, rng)
 
     return {
@@ -196,6 +199,22 @@ def build_feature_cache(
 build_gnn_cache_from_raw_dataset = build_feature_cache
 
 
+def cache_fingerprint(
+    data_root: str, seed: int, ocr_phrase_pkl: Optional[str]
+) -> str:
+    """Config identity of a persisted cache (reuse gate)."""
+    return json.dumps(
+        {
+            "data_root": str(Path(data_root).resolve()),
+            "seed": int(seed),
+            "ocr_phrase_pkl": (
+                str(Path(ocr_phrase_pkl).resolve()) if ocr_phrase_pkl else None
+            ),
+        },
+        sort_keys=True,
+    )
+
+
 def bootstrap_cache(
     data_root: str,
     out_dir: str,
@@ -207,17 +226,27 @@ def bootstrap_cache(
     """Trainer cache ladder: injected > on-disk (out_dir) > rebuilt.
 
     Shared by both trainers so their bootstrap behavior cannot drift.
+    An on-disk cache is reused only when its fingerprint (data_root,
+    seed, ocr_phrase_pkl) matches the requested config — a stale cache
+    from a different config would silently serve wrong features/splits.
     """
     cache_path = str(Path(out_dir) / "feature_cache.npz")
-    if cache is None and cache_to_disk:
-        cache = load_cache(cache_path)
+    fp = cache_fingerprint(data_root, seed, ocr_phrase_pkl)
+    if cache is not None:
+        # persist an injected cache so the out_dir can serve later
+        # (Predictor loads feature_cache.npz from the out_dir)
+        if cache_to_disk and not Path(cache_path).exists():
+            save_cache(cache, cache_path, fingerprint=fp)
+        return cache
+    if cache_to_disk:
+        cache = load_cache(cache_path, expected_fingerprint=fp)
     if cache is None:
         raw = FakeSVRawDataset(data_root)
         cache = build_feature_cache(
             raw, ocr_phrase_pkl=ocr_phrase_pkl, seed=seed
         )
         if cache_to_disk:
-            save_cache(cache, cache_path)
+            save_cache(cache, cache_path, fingerprint=fp)
     return cache
 
 
@@ -225,13 +254,16 @@ def bootstrap_cache(
 # Persistence: one .npz so eval-only runs don't rebuild (SURVEY §3.2 gap)
 # ----------------------------------------------------------------------
 
-def save_cache(cache: Dict[str, Any], path: str) -> None:
+def save_cache(
+    cache: Dict[str, Any], path: str, fingerprint: str = ""
+) -> None:
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     tr, va, te = cache["split"]
     np.savez_compressed(
         p,
         version=np.int64(CACHE_VERSION),
+        fingerprint=np.str_(fingerprint),
         ids=np.array([str(x) for x in cache["ids"]]),
         labels=cache["labels"],
         text=cache["text"],
@@ -251,7 +283,9 @@ def save_cache(cache: Dict[str, Any], path: str) -> None:
     )
 
 
-def load_cache(path: str) -> Optional[Dict[str, Any]]:
+def load_cache(
+    path: str, expected_fingerprint: Optional[str] = None
+) -> Optional[Dict[str, Any]]:
     p = Path(path)
     if not p.exists():
         return None
@@ -259,6 +293,19 @@ def load_cache(path: str) -> Optional[Dict[str, Any]]:
         z = np.load(p, allow_pickle=False)
         if int(z["version"]) != CACHE_VERSION:
             return None
+        if expected_fingerprint is not None:
+            stored = str(z["fingerprint"]) if "fingerprint" in z else ""
+            if stored and stored != expected_fingerprint:
+                print(
+                    f"⚠️  cache at {p} was built under a different config "
+                    "(data_root/seed/ocr_phrase_pkl) — rebuilding"
+                )
+                return None
+            if not stored:
+                print(
+                    f"⚠️  cache at {p} predates config fingerprints; "
+                    "reusing — delete it to force a rebuild"
+                )
         ocr_sets: List[set] = [set(json.loads(s)) for s in z["ocr_sets"]]
         return {
             "ids": np.array(list(z["ids"]), dtype=object),

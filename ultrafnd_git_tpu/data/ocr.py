@@ -69,15 +69,31 @@ def load_phrase_features(path: str) -> Optional[Dict]:
 
 
 def ocr_sets_for_records(
-    records: Sequence[Dict], ocr_phrase_pkl: Optional[str] = None
+    records: Sequence[Dict],
+    ocr_phrase_pkl: Optional[str] = None,
+    clean_fallback: Optional[bool] = None,
 ) -> List[Set[str]]:
-    """Per-record OCR token sets, preferring the richer pickle when given."""
+    """Per-record OCR token sets, preferring the richer pickle when given.
+
+    `clean_fallback` controls how records ABSENT from the pickle are
+    tokenized: the regex `clean_tokens` (the pickle's own tokenization) or
+    the whitespace split. Default (None) = clean exactly when a pickle was
+    loaded — mixing the two tokenizations in one corpus would make the
+    Jaccard vocabularies disjoint and silently isolate those nodes.
+    Serving passes True explicitly when the CHECKPOINT was trained with a
+    pickle, so unseen records match the corpus tokenization even if the
+    pickle file is gone at serving time.
+    """
     pkl = load_phrase_features(ocr_phrase_pkl) if ocr_phrase_pkl else None
+    if clean_fallback is None:
+        clean_fallback = pkl is not None
     sets: List[Set[str]] = []
     for i, rec in enumerate(records):
         vid = rec.get("video_id") or rec.get("id") or f"rec_{i}"
         if pkl is not None and vid in pkl["phrase_sets"]:
             sets.append(set(pkl["phrase_sets"][vid]))
+        elif clean_fallback:
+            sets.append(set(clean_tokens(rec.get("ocr") or "")))
         else:
             sets.append(whitespace_tokens(rec.get("ocr") or ""))
     return sets

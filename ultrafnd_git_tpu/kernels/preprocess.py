@@ -164,15 +164,19 @@ def block_match_flow(
 # ----------------------------------------------------------------------
 
 def _segment_bounds(t: int, n_pyr: int):
-    """Static (a, b) slices of models/visual.py:_pool_flow's pyramid."""
+    """Static (a, b) slices of models/visual.py:_pool_flow's pyramid.
+
+    Bounds are clamped exactly like the host pooling so short clips
+    (t < parts) never produce an empty segment (whose mean is NaN).
+    """
     bounds = []
     for level in range(n_pyr):
         parts = 2 ** level
         seg = max(1, t // parts)
         for p in range(parts):
-            a = p * seg
-            b = (p + 1) * seg if p < parts - 1 else t
-            bounds.append((a, b))
+            a = min(p * seg, t - 1)
+            b = t if p == parts - 1 else min((p + 1) * seg, t)
+            bounds.append((a, max(b, a + 1)))
     return bounds
 
 

@@ -59,6 +59,11 @@ def as_numpy_frame(x) -> Optional[np.ndarray]:
 def ensure_gray(img: np.ndarray) -> np.ndarray:
     if img.ndim == 2:
         return img
+    if img.ndim == 3 and img.shape[-1] == 1:
+        # single-channel frames are accepted by as_numpy_frame's CHW
+        # check; cvtColor would reject them and the luma math would index
+        # out of bounds
+        return img[..., 0]
     if _HAS_CV2:
         return cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
     r, g, b = img[..., 0], img[..., 1], img[..., 2]
@@ -164,8 +169,12 @@ class OpticalFlow3DCNN:
             parts = 2**level
             seg = max(1, T // parts)
             for p in range(parts):
-                a = p * seg
-                b = (p + 1) * seg if p < parts - 1 else T
+                # clamp so short clips (T < parts) never yield an empty
+                # segment — an empty mean is NaN and _fit_and_norm would
+                # tile it across the whole feature vector
+                a = min(p * seg, T - 1)
+                b = T if p == parts - 1 else min((p + 1) * seg, T)
+                b = max(b, a + 1)
                 m = mags[a:b].mean(axis=0)
                 ang = angs[a:b].mean(axis=0)
                 feat += [m.mean(), m.std(), m.max()]

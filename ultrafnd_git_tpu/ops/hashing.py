@@ -34,7 +34,14 @@ def fnv1a_64(token: str) -> int:
 
 
 class _TokenHashCache:
-    """Memoized token -> bucket mapping (per embedding dim)."""
+    """Memoized token -> hash mapping, BOUNDED.
+
+    A long-running serving process sees an unbounded stream of unique
+    tokens; an uncapped dict would grow forever. FNV-1a is cheap, so the
+    cap simply resets the memo — correctness is unaffected.
+    """
+
+    MAX_ENTRIES = 1 << 20
 
     def __init__(self) -> None:
         self._raw: Dict[str, int] = {}
@@ -42,6 +49,8 @@ class _TokenHashCache:
     def bucket(self, token: str, dim: int) -> int:
         h = self._raw.get(token)
         if h is None:
+            if len(self._raw) >= self.MAX_ENTRIES:
+                self._raw.clear()
             h = fnv1a_64(token)
             self._raw[token] = h
         return h % dim

@@ -151,7 +151,15 @@ def put_global_batch(
 
 def _local_rows(arr: np.ndarray, sharding: NamedSharding) -> np.ndarray:
     """Rows of the (globally identical) host batch owned by this process."""
-    per = arr.shape[0] // jax.process_count()
+    n_proc = jax.process_count()
+    if arr.shape[0] % n_proc:
+        # silently flooring here would hand make_array_from_process_local_data
+        # fewer rows than the declared global shape — fail with the remedy
+        raise ValueError(
+            f"global batch rows ({arr.shape[0]}) must divide evenly over "
+            f"{n_proc} processes — pad with mesh.pad_to_multiple first"
+        )
+    per = arr.shape[0] // n_proc
     start = jax.process_index() * per
     return arr[start : start + per]
 

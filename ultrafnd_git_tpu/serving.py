@@ -79,6 +79,11 @@ class Predictor:
         self.use_gnn = bool(saved_cfg.get("use_gnn", True))
         self.use_evidence = bool(saved_cfg.get("use_evidence", False))
         gnn_dim = int(saved_cfg.get("gnn_dim", 128))
+        # When training consumed the OCR phrase pickle, the corpus token
+        # sets use its regex tokenization — unseen records must be
+        # tokenized the same way or the Jaccard vocabularies barely
+        # intersect and every new node silently isolates (self-loop only).
+        self._ocr_clean = saved_cfg.get("ocr_phrase_pkl") is not None
 
         # Rebuild the module set + a state template, then restore weights.
         self.fusion = CrossModalTransformer.from_config(
@@ -271,7 +276,10 @@ class Predictor:
                 return self._recs[i]
 
         return build_feature_cache(
-            _Raw(records), seed=self._seed, encoders=self._encoders
+            _Raw(records),
+            seed=self._seed,
+            encoders=self._encoders,
+            ocr_clean_fallback=self._ocr_clean,
         )
 
     # ------------------------------------------------------------------

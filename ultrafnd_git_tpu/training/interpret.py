@@ -18,6 +18,7 @@ SmoothGrad — which is the behavior that loop intends.)
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -46,6 +47,20 @@ def _concat_inputs(
     )
 
 
+# Jitted programs are cached per (model, dims) — flax Modules are frozen
+# dataclasses, so they hash by construction args. Rebuilding the closure
+# and jit on every call (the naive pattern) retraces + recompiles each
+# invocation, turning a ~ms gradient into seconds of XLA per call.
+@functools.lru_cache(maxsize=8)
+def _grad_logit_fn(model: DeepTruthClassifier, fused_dim: int, class_idx: int):
+    def target(params, xb):
+        f, a = _split_inputs(model, xb, fused_dim)
+        out = model.apply({"params": params}, f, a, deterministic=True)
+        return out["logits"][:, class_idx].sum()
+
+    return jax.jit(jax.grad(target, argnums=1))
+
+
 def feature_importance(
     model: DeepTruthClassifier,
     params,
@@ -62,14 +77,31 @@ def feature_importance(
     fused_dim = fused.shape[-1]
     x = _concat_inputs(fused, aux)
 
-    def target(xb):
-        f, a = _split_inputs(model, xb, fused_dim)
-        out = model.apply({"params": params}, f, a, deterministic=True)
-        return out["logits"][:, class_idx].sum()
-
-    grad = jax.jit(jax.grad(target))(x)
+    grad = _grad_logit_fn(model, fused_dim, class_idx)(params, x)
     imp = np.asarray(jnp.abs(grad * x))
     return (imp, imp.mean(axis=0)) if aggregate else (imp, None)
+
+
+@functools.lru_cache(maxsize=8)
+def _smooth_grad_fn(model: DeepTruthClassifier, fused_dim: int, n_samples: int):
+    def target(params, xb):
+        f, a = _split_inputs(model, xb, fused_dim)
+        out = model.apply({"params": params}, f, a, deterministic=True)
+        return out["probs"][:, 1].sum()
+
+    grad_fn = jax.grad(target, argnums=1)
+
+    @jax.jit
+    def run(params, x, sigma, key):
+        def body(total, k):
+            noise = jax.random.normal(k, x.shape) * sigma
+            return total + jnp.abs(grad_fn(params, x + noise)), None
+
+        keys = jax.random.split(key, n_samples)
+        total, _ = jax.lax.scan(body, jnp.zeros_like(x), keys)
+        return total / n_samples
+
+    return run
 
 
 def smooth_grad(
@@ -87,24 +119,8 @@ def smooth_grad(
     x = _concat_inputs(fused, aux)
     sigma = sigma_scale * jnp.clip(x.std(axis=0, keepdims=True), 1e-6)
 
-    def target(xb):
-        f, a = _split_inputs(model, xb, fused_dim)
-        out = model.apply({"params": params}, f, a, deterministic=True)
-        return out["probs"][:, 1].sum()
-
-    grad_fn = jax.grad(target)
-
-    @jax.jit
-    def run(key):
-        def body(total, k):
-            noise = jax.random.normal(k, x.shape) * sigma
-            return total + jnp.abs(grad_fn(x + noise)), None
-
-        keys = jax.random.split(key, n_samples)
-        total, _ = jax.lax.scan(body, jnp.zeros_like(x), keys)
-        return total / n_samples
-
-    return np.asarray(run(jax.random.PRNGKey(seed)))
+    run = _smooth_grad_fn(model, fused_dim, n_samples)
+    return np.asarray(run(params, x, sigma, jax.random.PRNGKey(seed)))
 
 
 def explain_shap(
