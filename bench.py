@@ -92,7 +92,9 @@ def _compiled_flops(trainer, batch: int) -> float:
         step_fn = jax.jit(trainer._make_train_step())
         idx = jnp.zeros((batch,), jnp.int32)
         ones = jnp.ones((batch,), jnp.float32)
-        compiled = step_fn.lower(trainer.state, idx, ones).compile()
+        compiled = step_fn.lower(
+            trainer.state, idx, ones, trainer.corpus
+        ).compile()
         analysis = compiled.cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
@@ -149,14 +151,19 @@ def main() -> None:
             step_fn = trainer._make_train_step()
 
             @jax.jit
-            def run_steps(state, idx_all):
+            def run_steps_jit(state, idx_all, corpus):
                 ones = jnp.ones(batch, jnp.float32)
 
                 def body(state, idx):
-                    state, out = step_fn(state, idx, ones)
+                    state, out = step_fn(state, idx, ones, corpus)
                     return state, out["loss"]
 
                 return jax.lax.scan(body, state, idx_all)
+
+            def run_steps(state, idx_all):
+                # corpus bound at CALL time (a jit-closure capture would
+                # embed it in the remote-compile payload)
+                return run_steps_jit(state, idx_all, trainer.corpus)
 
             def idx_batches(n_steps):
                 return jnp.asarray(
@@ -216,14 +223,17 @@ def main() -> None:
                 step_fn = tr16._make_train_step()
 
                 @jax.jit
-                def run_steps16(state, idx_all):
+                def run_steps16_jit(state, idx_all, corpus):
                     ones = jnp.ones(batch, jnp.float32)
 
                     def body(state, idx):
-                        state, out = step_fn(state, idx, ones)
+                        state, out = step_fn(state, idx, ones, corpus)
                         return state, out["loss"]
 
                     return jax.lax.scan(body, state, idx_all)
+
+                def run_steps16(state, idx_all):
+                    return run_steps16_jit(state, idx_all, tr16.corpus)
 
                 return run_steps16
 

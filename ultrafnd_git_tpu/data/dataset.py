@@ -45,8 +45,15 @@ class FakeSVRawDataset:
             )
 
         self.records: List[Dict[str, Any]] = []
-        with open(self.json_path, "r", encoding="utf-8") as fh:
-            head = fh.read(1)
+        with open(self.json_path, "r", encoding="utf-8-sig") as fh:
+            # skip BOM/leading whitespace before sniffing array vs JSONL —
+            # a pretty-printed or BOM'd array file is still a JSON array
+            head = ""
+            while True:
+                ch = fh.read(1)
+                if not ch or not ch.isspace():
+                    head = ch
+                    break
             fh.seek(0)
             if head == "[":
                 self.records = json.load(fh)
@@ -89,11 +96,24 @@ class FakeSVRawDataset:
     def augment_video(
         video: np.ndarray, rng: np.random.Generator | None = None
     ) -> np.ndarray:
+        """Random horizontal flip / spatial rotation.
+
+        The reference helper (`fakesv_dataset.py:82-88`, unused there)
+        rotates over np.rot90's DEFAULT axes (0, 1) — for a (T, H, W, C)
+        clip that scrambles the time-height plane and changes the tensor
+        shape. Implemented here as the intended spatial transform:
+        flip/rotate the (H, W) plane of every frame.
+        """
         rng = rng or np.random.default_rng()
+        spatial = video.ndim >= 4  # (T, H, W, C) clip vs single frame
         if rng.random() < 0.5:
-            video = np.flip(video, axis=1)
+            video = np.flip(video, axis=2 if spatial else 1)
         if rng.random() < 0.5:
-            video = np.rot90(video, k=int(rng.choice([1, 2, 3])))
+            video = np.rot90(
+                video,
+                k=int(rng.choice([1, 2, 3])),
+                axes=(1, 2) if spatial else (0, 1),
+            )
         return video
 
     @staticmethod

@@ -82,13 +82,11 @@ class ChronosGuard:
     def _flow_mags(self, gray: np.ndarray) -> np.ndarray:
         """(T,H,W) -> (T-1,) mean flow magnitude per consecutive pair."""
         if self.use_opencv and _cv2_available():
-            mags = []
-            for i in range(gray.shape[0] - 1):
-                flow = self._flow._flow_pair(gray[i], gray[i + 1])
-                mags.append(
-                    float(np.sqrt((flow**2).sum(axis=-1)).mean())
-                )
-            return np.asarray(mags, dtype=np.float32)
+            # one implementation of the pair loop + magnitude pooling
+            # (shared with the flow encoder's public API)
+            return self.flow_mags_from_flows(
+                self._flow.flows_for_gray(gray)
+            )
         # Vectorized |Δ| fallback: one subtraction over the whole stack.
         diffs = np.abs(np.diff(gray.astype(np.float32), axis=0))
         return diffs.mean(axis=(1, 2))
@@ -111,10 +109,21 @@ class ChronosGuard:
     def tamper_score_from_cues(
         self, cuts: np.ndarray, flows_mag: np.ndarray
     ) -> float:
+        # NOTE on scale: cuts are L1 diffs of DENSITY histograms (the
+        # reference's np.histogram(density=True), ref :57-79), whose
+        # mathematical max over range 255 is ~0.25 — the (0.05, 0.5)
+        # normalization window is the reference's and is kept for parity
+        # even though it compresses the cut term's dynamic range.
         if cuts is None or cuts.size == 0:
             return 0.0
+        flows_mag = np.asarray(flows_mag, dtype=np.float32)
+        flow_term = (
+            abs(float(flows_mag.std()) - float(flows_mag.mean()))
+            if flows_mag.size
+            else 0.0  # flow stage skipped/failed — NaN would poison aux
+        )
         score = 0.6 * _norm01(float(cuts.mean()), 0.05, 0.5) + 0.4 * _norm01(
-            abs(float(flows_mag.std()) - float(flows_mag.mean())), 0.0, 0.5
+            flow_term, 0.0, 0.5
         )
         return float(np.clip(score, 0.0, 1.0))
 

@@ -99,10 +99,6 @@ class CrossModalTransformer(nn.Module):
             gnn_dim=int(cfg.get("gnn_dim", 128)),
         )
 
-    @property
-    def fused_dim(self) -> int:
-        return (4 + 8 + 3 + (1 if self.use_gnn else 0)) * self.hidden
-
     @nn.compact
     def __call__(
         self,

@@ -19,16 +19,30 @@ from flax import linen as nn
 
 
 def pad_edges(
-    senders: jnp.ndarray, receivers: jnp.ndarray, max_edges: int, num_nodes: int
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    max_edges: int,
+    num_nodes: int,
+    num_receiver_nodes: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Pad edge lists to a static size; padded edges point at a ghost node."""
+    """Pad edge lists to a static size; padded edges point at ghost nodes.
+
+    Hetero edges have DIFFERENT sender/receiver node counts — pass
+    `num_receiver_nodes` so each endpoint gets its own ghost sentinel (a
+    single sentinel valid for one side can alias a real node on the
+    other, silently injecting messages).
+    """
     e = senders.shape[0]
     if e > max_edges:
         raise ValueError(f"edge count {e} exceeds max_edges {max_edges}")
+    if num_receiver_nodes is None:
+        num_receiver_nodes = num_nodes
     pad = max_edges - e
     mask = jnp.concatenate([jnp.ones(e, bool), jnp.zeros(pad, bool)])
     s = jnp.concatenate([senders, jnp.full((pad,), num_nodes, senders.dtype)])
-    r = jnp.concatenate([receivers, jnp.full((pad,), num_nodes, receivers.dtype)])
+    r = jnp.concatenate(
+        [receivers, jnp.full((pad,), num_receiver_nodes, receivers.dtype)]
+    )
     return s, r, mask
 
 
@@ -109,29 +123,32 @@ class HeteroFGHGNN(nn.Module):
         pp_s, pp_r = edges["post_phrase"]  # post idx -> phrase idx
         sp_s, sp_r = edges["source_post"]  # source idx -> post idx
 
+        def typed_sum(x, senders, receivers, n_send, n_recv):
+            """Masked typed aggregation: sentinel-padded edges (sender >=
+            n_send or receiver >= n_recv) contribute nothing — clip-only
+            gathering would alias ghost edges onto real nodes."""
+            valid = (
+                (senders < n_send) & (receivers < n_recv)
+            )[:, None].astype(x.dtype)
+            msgs = x[jnp.clip(senders, 0, n_send - 1)] * valid
+            return jax.ops.segment_sum(
+                msgs,
+                jnp.clip(receivers, 0, n_recv),
+                num_segments=n_recv + 1,
+            )[:n_recv]
+
+        n_p, n_h, n_s = posts.shape[0], phrases.shape[0], sources.shape[0]
         for i in range(self.rounds):
             # phrases aggregate from posts that use them
-            phr_in = jax.ops.segment_sum(
-                posts[jnp.clip(pp_s, 0, posts.shape[0] - 1)],
-                pp_r,
-                num_segments=phrases.shape[0],
-            )
+            phr_in = typed_sum(posts, pp_s, pp_r, n_p, n_h)
             phrases = nn.relu(
                 nn.Dense(self.hid, name=f"phr{i}")(
                     jnp.concatenate([phrases, phr_in], -1)
                 )
             )
             # posts aggregate from their phrases and their source
-            post_from_phr = jax.ops.segment_sum(
-                phrases[jnp.clip(pp_r, 0, phrases.shape[0] - 1)],
-                pp_s,
-                num_segments=posts.shape[0],
-            )
-            post_from_src = jax.ops.segment_sum(
-                sources[jnp.clip(sp_s, 0, sources.shape[0] - 1)],
-                sp_r,
-                num_segments=posts.shape[0],
-            )
+            post_from_phr = typed_sum(phrases, pp_r, pp_s, n_h, n_p)
+            post_from_src = typed_sum(sources, sp_s, sp_r, n_s, n_p)
             posts = nn.relu(
                 nn.Dense(self.hid, name=f"post{i}")(
                     jnp.concatenate([posts, post_from_phr, post_from_src], -1)

@@ -170,7 +170,12 @@ class TemporalSyncNet:
         fps: Optional[float] = None,
         max_lag_s: float = 0.5,
     ) -> float:
-        """FFT cross-correlation A/V lag in seconds (positive = audio leads).
+        """FFT cross-correlation A/V lag in seconds.
+
+        Sign convention (asserted by tests/test_review_fixes.py and
+        tests/test_evidence.py): **positive = the audio arrives LATE**
+        (audio delayed relative to the video signal); negative = audio
+        leads.
 
         `fps`: sample rate of `mouth_open` when it is a per-frame video
         signal; it is resampled to `sr` before correlating. None means

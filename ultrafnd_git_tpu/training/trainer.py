@@ -177,6 +177,25 @@ class ForensicTrainer:
         self.A_NORM = put_graph(gctx.a_norm)
         self.AX = rep(gctx.ax)
 
+        # The HBM-resident arrays travel through every jitted step as ONE
+        # pytree ARGUMENT. Capturing them in the step closure instead
+        # ships them inside the remote-compile payload, which blows the
+        # tunnel's request limit once the (N, N) adjacency passes ~400 MB
+        # (HTTP 413 measured at N=10752) — as arguments they stay in HBM.
+        self.corpus = {
+            "text": self.TEXT,
+            "audio": self.AUD,
+            "visual": self.VIS,
+            "temporal": self.TEMP,
+            "aux": self.AUX,
+            "labels": self.LABELS,
+            "xg": self.XG,
+            "a_norm": self.A_NORM,
+            "ax": self.AX,
+        }
+        if self.EVID is not None:
+            self.corpus["evidence"] = self.EVID
+
         # ---- 4) models ----------------------------------------------------
         self.fusion = CrossModalTransformer.from_config(cfg.fusion_config)
         if not cfg.use_gnn:
@@ -298,20 +317,24 @@ class ForensicTrainer:
         opt = optax.adamw(1e-3, weight_decay=1e-4)
         opt_state = opt.init(gnn_params)
 
+        # Graph arrays are ARGUMENTS, not closure constants: a captured
+        # array is shipped inside the compile payload, and the (N, N)
+        # adjacency blows the tunnel's remote-compile request limit
+        # (HTTP 413 at N~10k). As arguments they stay in HBM.
         @jax.jit
-        def step(p, o, key):
+        def step(p, o, key, xg, a_norm, ax, head, tgt):
             def loss_fn(p):
                 z = self.gnn.apply(
                     {"params": p},
-                    self.XG,
-                    self.A_NORM,
+                    xg,
+                    a_norm,
                     deterministic=False,
                     normalize=False,
-                    ax=self.AX,
+                    ax=ax,
                     rngs={"dropout": key},
                 )
-                pred = jax.nn.sigmoid(z @ head_w)
-                return jnp.mean((pred - target) ** 2)
+                pred = jax.nn.sigmoid(z @ head)
+                return jnp.mean((pred - tgt) ** 2)
 
             g = jax.grad(loss_fn)(p)
             updates, o = opt.update(g, o, p)
@@ -319,13 +342,24 @@ class ForensicTrainer:
 
         for e in range(epochs):
             gnn_params, opt_state = step(
-                gnn_params, opt_state, jax.random.fold_in(k_drop, e)
+                gnn_params,
+                opt_state,
+                jax.random.fold_in(k_drop, e),
+                self.XG,
+                self.A_NORM,
+                self.AX,
+                head_w,
+                target,
             )
         return gnn_params
 
     # ------------------------------------------------------------------
-    def _forward(self, params, idx, deterministic: bool, rng=None):
-        """Shared forward: graph -> gather -> fusion -> classifier."""
+    def _forward(self, params, idx, corpus, deterministic: bool, rng=None):
+        """Shared forward: graph -> gather -> fusion -> classifier.
+
+        `corpus` is the HBM-resident array pytree (self.corpus), passed
+        as a traced argument — see the construction note in __init__.
+        """
         rngs_f = rngs_c = rngs_g = None
         if not deterministic:
             k_g, k_f, k_c = jax.random.split(rng, 3)
@@ -334,21 +368,21 @@ class ForensicTrainer:
             rngs_c = {"dropout": k_c}
 
         feats = {
-            "text_features": self.TEXT[idx],
-            "audio_features": self.AUD[idx],
-            "visual_features": self.VIS[idx],
-            "temporal_features": self.TEMP[idx],
+            "text_features": corpus["text"][idx],
+            "audio_features": corpus["audio"][idx],
+            "visual_features": corpus["visual"][idx],
+            "temporal_features": corpus["temporal"][idx],
         }
-        if self.EVID is not None:
-            feats["evidence"] = self.EVID[idx]
+        if "evidence" in corpus:
+            feats["evidence"] = corpus["evidence"][idx]
         if self.cfg.use_gnn:
             feats["gnn_feat"] = self.gnn.apply(
                 {"params": params["gnn"]},
-                self.XG,
-                self.A_NORM,
+                corpus["xg"],
+                corpus["a_norm"],
                 deterministic=deterministic,
                 normalize=False,
-                ax=self.AX,
+                ax=corpus["ax"],
                 out_rows=idx,  # exact batch-rows shortcut, see SimpleGCN
                 rngs=rngs_g,
             )
@@ -362,12 +396,12 @@ class ForensicTrainer:
         co = self.clf.apply(
             {"params": params["clf"]},
             fo["fused"],
-            self.AUX[idx],
+            corpus["aux"][idx],
             deterministic=deterministic,
             rngs=rngs_c,
         )
         ce = optax.softmax_cross_entropy_with_integer_labels(
-            co["logits"], self.LABELS[idx]
+            co["logits"], corpus["labels"][idx]
         )
         forensic = jnp.stack(
             [
@@ -379,12 +413,12 @@ class ForensicTrainer:
         return ce, co["probs"][:, 1], forensic
 
     def _make_train_step(self):
-        def step(state: TrainState, idx, mask):
+        def step(state: TrainState, idx, mask, corpus):
             rng = jax.random.fold_in(state.rng, state.step)
 
             def loss_fn(params):
                 ce, p1, forensic = self._forward(
-                    params, idx, deterministic=False, rng=rng
+                    params, idx, corpus, deterministic=False, rng=rng
                 )
                 loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
                 return loss, (ce, p1, forensic)
@@ -404,8 +438,10 @@ class ForensicTrainer:
         return step
 
     def _make_eval_step(self):
-        def step(params, idx, mask):
-            ce, p1, forensic = self._forward(params, idx, deterministic=True)
+        def step(params, idx, mask, corpus):
+            ce, p1, forensic = self._forward(
+                params, idx, corpus, deterministic=True
+            )
             loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
             return {"loss": loss, "ce": ce, "p1": p1, "forensic": forensic}
 
@@ -415,10 +451,10 @@ class ForensicTrainer:
         """Whole epoch as one lax.scan of the train step (see scan_epoch)."""
         step_fn = self._make_train_step()
 
-        def run(state, idx_mat, mask_mat):
+        def run(state, idx_mat, mask_mat, corpus):
             def body(state, xm):
                 idx, m = xm
-                state, out = step_fn(state, idx, m)
+                state, out = step_fn(state, idx, m, corpus)
                 return state, (out["loss"], out["p1"], out["forensic"])
 
             return jax.lax.scan(body, state, (idx_mat, mask_mat))
@@ -428,10 +464,10 @@ class ForensicTrainer:
     def _make_eval_epoch(self):
         step_fn = self._make_eval_step()
 
-        def run(params, idx_mat, mask_mat):
+        def run(params, idx_mat, mask_mat, corpus):
             def body(_, xm):
                 idx, m = xm
-                out = step_fn(params, idx, m)
+                out = step_fn(params, idx, m, corpus)
                 return None, (out["loss"], out["p1"], out["forensic"])
 
             return jax.lax.scan(body, None, (idx_mat, mask_mat))[1]
@@ -465,11 +501,13 @@ class ForensicTrainer:
             masks = np.stack([m for _, m, _ in batches]).astype(np.float32)
             if is_train:
                 self.state, (loss, p1, forensic) = self._train_epoch(
-                    self.state, jnp.asarray(chunks), jnp.asarray(masks)
+                    self.state, jnp.asarray(chunks), jnp.asarray(masks),
+                    self.corpus,
                 )
             else:
                 loss, p1, forensic = self._eval_epoch(
-                    eval_params, jnp.asarray(chunks), jnp.asarray(masks)
+                    eval_params, jnp.asarray(chunks), jnp.asarray(masks),
+                    self.corpus,
                 )
             loss_arr, p1_mat, f_mat = loss, p1, forensic
         else:
@@ -477,9 +515,11 @@ class ForensicTrainer:
             for chunk, mask, _valid in batches:
                 i, m = self._batch_arrays(chunk, mask)
                 if is_train:
-                    self.state, out = self._train_step(self.state, i, m)
+                    self.state, out = self._train_step(
+                        self.state, i, m, self.corpus
+                    )
                 else:
-                    out = self._eval_step(eval_params, i, m)
+                    out = self._eval_step(eval_params, i, m, self.corpus)
                 # keep device arrays (async futures) — converting here
                 # would serialize batch prep against device compute; one
                 # sync at epoch end instead

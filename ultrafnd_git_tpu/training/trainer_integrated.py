@@ -162,6 +162,23 @@ class IntegratedForensicTrainer:
         self.XG = jnp.asarray(compact_node_features(self.cache))
         self.JAC = jnp.asarray(pairwise_jaccard(self.cache["ocr_sets"]))
 
+        # One corpus pytree passed through every jitted step as an
+        # ARGUMENT — captured in the closure, the (N, N) Jaccard matrix
+        # would ship inside the remote-compile payload and blow the
+        # tunnel's request limit at large N (see trainer.py's note).
+        self.corpus = {
+            "text": self.TEXT,
+            "audio": self.AUD,
+            "visual": self.VIS,
+            "temporal": self.TEMP,
+            "aux": self.AUX,
+            "labels": self.LABELS,
+            "xg": self.XG,
+            "jac": self.JAC,
+        }
+        if self.EVID is not None:
+            self.corpus["evidence"] = self.EVID
+
         # ---- class weights (ref :159-169) -----------------------------------
         if cfg.class_weighting:
             pos = float((labels == 1).sum())
@@ -246,7 +263,9 @@ class IntegratedForensicTrainer:
         # SUM OF WEIGHTS, not the sample count (ref criterion :169)
         return (per * w).sum() / jnp.maximum(w.sum(), 1e-9)
 
-    def _forward(self, params, idx, thr, mask, deterministic, rng=None):
+    def _forward(
+        self, params, idx, thr, mask, corpus, deterministic, rng=None
+    ):
         rngs_f = rngs_c = rngs_g = None
         if not deterministic:
             k_g, k_f, k_c = jax.random.split(rng, 3)
@@ -257,13 +276,13 @@ class IntegratedForensicTrainer:
             )
 
         feats = {
-            "text_features": self.TEXT[idx],
-            "audio_features": self.AUD[idx],
-            "visual_features": self.VIS[idx],
-            "temporal_features": self.TEMP[idx],
+            "text_features": corpus["text"][idx],
+            "audio_features": corpus["audio"][idx],
+            "visual_features": corpus["visual"][idx],
+            "temporal_features": corpus["temporal"][idx],
         }
-        if self.EVID is not None:
-            feats["evidence"] = self.EVID[idx]
+        if "evidence" in corpus:
+            feats["evidence"] = corpus["evidence"][idx]
         if self.cfg.use_gnn:
             # (B, B) weighted sub-graph, annealed threshold applied on device
             # Diagonal stays 0 — the GNN's sym-normalization adds the
@@ -272,7 +291,7 @@ class IntegratedForensicTrainer:
             # OUT of the graph: a padded duplicate would otherwise add a
             # jaccard-1.0 edge to its original and inflate every real
             # sample's degree normalization.
-            jb = self.JAC[idx][:, idx]
+            jb = corpus["jac"][idx][:, idx]
             b = idx.shape[0]
             adj = jnp.where(
                 (jb >= thr) & ~jnp.eye(b, dtype=bool), jb, 0.0
@@ -280,7 +299,7 @@ class IntegratedForensicTrainer:
             adj = adj * mask[:, None] * mask[None, :]
             z = self.gnn.apply(
                 {"params": params["gnn"]},
-                self.XG[idx],
+                corpus["xg"][idx],
                 adj,
                 deterministic=deterministic,
                 rngs=rngs_g,
@@ -296,7 +315,7 @@ class IntegratedForensicTrainer:
         co = self.clf.apply(
             {"params": params["clf"]},
             fo["fused"],
-            self.AUX[idx],
+            corpus["aux"][idx],
             deterministic=deterministic,
             rngs=rngs_c,
         )
@@ -305,15 +324,16 @@ class IntegratedForensicTrainer:
     def _make_step(self, train: bool):
         if train:
 
-            def step(state: TrainState, idx, mask, thr):
+            def step(state: TrainState, idx, mask, thr, corpus):
                 rng = jax.random.fold_in(state.rng, state.step)
 
                 def loss_fn(params):
                     logits, probs = self._forward(
-                        params, idx, thr, mask, deterministic=False, rng=rng
+                        params, idx, thr, mask, corpus,
+                        deterministic=False, rng=rng,
                     )
                     loss = self._loss_from_logits(
-                        logits, self.LABELS[idx], mask
+                        logits, corpus["labels"][idx], mask
                     )
                     return loss, probs
 
@@ -325,11 +345,11 @@ class IntegratedForensicTrainer:
 
             return step
 
-        def step(params, idx, mask, thr):
+        def step(params, idx, mask, thr, corpus):
             logits, probs = self._forward(
-                params, idx, thr, mask, deterministic=True
+                params, idx, thr, mask, corpus, deterministic=True
             )
-            loss = self._loss_from_logits(logits, self.LABELS[idx], mask)
+            loss = self._loss_from_logits(logits, corpus["labels"][idx], mask)
             return {"loss": loss, "p1": probs[:, 1]}
 
         return step
@@ -340,20 +360,20 @@ class IntegratedForensicTrainer:
 
         if train:
 
-            def run(state, idx_mat, mask_mat, thr):
+            def run(state, idx_mat, mask_mat, thr, corpus):
                 def body(state, xm):
                     idx, m = xm
-                    state, out = step_fn(state, idx, m, thr)
+                    state, out = step_fn(state, idx, m, thr, corpus)
                     return state, (out["loss"], out["p1"])
 
                 return jax.lax.scan(body, state, (idx_mat, mask_mat))
 
             return run
 
-        def run(params, idx_mat, mask_mat, thr):
+        def run(params, idx_mat, mask_mat, thr, corpus):
             def body(_, xm):
                 idx, m = xm
-                out = step_fn(params, idx, m, thr)
+                out = step_fn(params, idx, m, thr, corpus)
                 return None, (out["loss"], out["p1"])
 
             return jax.lax.scan(body, None, (idx_mat, mask_mat))[1]
@@ -389,12 +409,12 @@ class IntegratedForensicTrainer:
             if train:
                 self.state, (loss, p1) = self._train_epoch(
                     self.state, jnp.asarray(chunks), jnp.asarray(masks),
-                    thr_dev,
+                    thr_dev, self.corpus,
                 )
             else:
                 loss, p1 = self._eval_epoch(
                     eval_params, jnp.asarray(chunks), jnp.asarray(masks),
-                    thr_dev,
+                    thr_dev, self.corpus,
                 )
             loss_arr, p1_mat = loss, p1
         else:
@@ -404,10 +424,12 @@ class IntegratedForensicTrainer:
                 m = jnp.asarray(mask)
                 if train:
                     self.state, out = self._train_step(
-                        self.state, i, m, thr_dev
+                        self.state, i, m, thr_dev, self.corpus
                     )
                 else:
-                    out = self._eval_step(eval_params, i, m, thr_dev)
+                    out = self._eval_step(
+                        eval_params, i, m, thr_dev, self.corpus
+                    )
                 # keep device arrays (async) — one sync after the loop
                 outs.append((out["loss"], out["p1"]))
             loss_arr = np.asarray([np.asarray(l) for l, _ in outs])

@@ -27,11 +27,18 @@ def _coerce_dict(value: Any) -> Dict[str, Any]:
     return value if isinstance(value, dict) else {}
 
 
+# Cache is MODULE-level: every `from_config` call site constructs a fresh
+# ConfigManager (the reference's config-path-in-constructor pattern), so a
+# per-instance dict would never be reused and every model construction
+# would re-read its YAML.
+_SHARED_CACHE: Dict[str, Dict[str, Any]] = {}
+
+
 class ConfigManager:
     """Dependency-tolerant YAML loader with caching and safe fallbacks."""
 
     def __init__(self) -> None:
-        self._cache: Dict[str, Dict[str, Any]] = {}
+        self._cache = _SHARED_CACHE
 
     def load_config(
         self, path: str, defaults: Optional[Dict[str, Any]] = None

@@ -19,10 +19,23 @@ import jax
 
 
 def pick_device(force_cpu: bool = False) -> str:
-    """Return the backend name that work should target ('tpu'/'gpu'/'cpu')."""
+    """Return the backend name that work should target ('tpu'/'gpu'/'cpu').
+
+    Returns the backend that will ACTUALLY serve new work — if JAX's
+    backends were already initialized before a force_cpu call, the
+    platform override cannot take effect and pretending 'cpu' would let
+    CPU-scale presets drive accelerator execution silently.
+    """
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
-        return "cpu"
+        actual = jax.default_backend()
+        if actual != "cpu":
+            print(
+                "⚠️  force_cpu requested after the JAX backend was already "
+                f"initialized — work will run on '{actual}'. Force CPU "
+                "before any JAX device use (run_train_eval.py --cpu does)."
+            )
+        return actual
     return jax.default_backend()
 
 
