@@ -190,7 +190,11 @@ class Predictor:
 
     # ------------------------------------------------------------------
     def _make_score(self):
-        def score(params, feats, aux, a_rows, self_w, xg_new):
+        # xg_corpus/h_corpus are ARGUMENTS: closure-captured device arrays
+        # are embedded in the remote-compile payload, which the tunnel
+        # rejects at large corpus N (see trainer.py's corpus note)
+        def score(params, feats, aux, a_rows, self_w, xg_new, xg_corpus,
+                  h_corpus):
             if self.use_gnn:
                 # Exact GCN extension for new nodes. A training node i has
                 #   z_i = lin2( sum_j A_hat_ij * gelu(lin1((A_hat x)_j)) )
@@ -199,12 +203,12 @@ class Predictor:
                 # x_new (self term!), and its layer-2 propagation is
                 # a_rows @ h_corpus + self_w * h_new.
                 p = params["gnn"]
-                ax_new = a_rows @ self.XG + self_w[:, None] * xg_new
+                ax_new = a_rows @ xg_corpus + self_w[:, None] * xg_new
                 h_new = jax.nn.gelu(
                     ax_new @ p["lin1"]["kernel"] + p["lin1"]["bias"],
                     approximate=False,
                 )
-                prop = a_rows @ self.H_CORPUS + self_w[:, None] * h_new
+                prop = a_rows @ h_corpus + self_w[:, None] * h_new
                 z = prop @ p["lin2"]["kernel"] + p["lin2"]["bias"]
                 feats = {**feats, "gnn_feat": z}
             fo = self.fusion.apply(
@@ -340,6 +344,9 @@ class Predictor:
                 jnp.asarray(a_rows),
                 jnp.asarray(self_w),
                 jnp.asarray(xg_new),
+                self.XG,
+                # use_gnn=False leaves H_CORPUS unset; pass a 0-d filler
+                self.H_CORPUS if self.H_CORPUS is not None else jnp.zeros(()),
             )
             probs = np.asarray(probs)[:count]
             forensic = {k: np.asarray(v)[:count] for k, v in forensic.items()}
