@@ -45,10 +45,10 @@ def write_media(records, n_media: int = 8) -> None:
 
     try:
         import cv2
-    except Exception:
-        print("cv2 unavailable — skipping media fixture")
+        from scipy.io import wavfile
+    except Exception as exc:
+        print(f"cv2/scipy unavailable ({exc!r}) — skipping media fixture")
         return
-    from scipy.io import wavfile
 
     vid_dir = OUT / "videos"
     com_dir = OUT / "video_comment"

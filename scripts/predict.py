@@ -21,8 +21,14 @@ if str(REPO) not in sys.path:
 
 
 def load_records(path: Path) -> list:
-    with open(path, "r", encoding="utf-8") as fh:
-        head = fh.read(1)
+    with open(path, "r", encoding="utf-8-sig") as fh:
+        # skip BOM/leading whitespace before sniffing array vs JSONL
+        head = ""
+        while True:
+            ch = fh.read(1)
+            if not ch or not ch.isspace():
+                head = ch
+                break
         fh.seek(0)
         if head == "[":
             return json.load(fh)

@@ -154,8 +154,14 @@ class AffectiveForensics:
         spec = np.abs(np.fft.rfft(wave[: min(wave.size, sr * 10)]))
         freqs = np.fft.rfftfreq(min(wave.size, sr * 10), d=1.0 / sr)
         centroid = float((spec * freqs).sum() / (spec.sum() + 1e-9))
+        # reference formula: sigmoid(tanh(5 en) + tanh(pit/300)
+        # - 0.5 tanh(pit_std/50)); on the centroid fallback path the
+        # reference pins pit_std = 0 (ref :121), so the last term vanishes
+        pit_std = 0.0
         a = _sigmoid(
-            np.tanh(5.0 * energy) + np.tanh(centroid / 300.0) - 0.5 * 0.0
+            np.tanh(5.0 * energy)
+            + np.tanh(centroid / 300.0)
+            - 0.5 * np.tanh(pit_std / 50.0)
         )
         return float(np.clip(a, 0.0, 1.0))
 

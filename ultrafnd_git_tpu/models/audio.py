@@ -93,6 +93,27 @@ def mel_filterbank(
     return fb
 
 
+# -- shared spectral descriptors (one copy; used by SpectralForensics
+#    and VoiceCloneDetector) ---------------------------------------------
+
+def spectral_flatness(S: np.ndarray) -> np.ndarray:
+    """Per-frame geometric/arithmetic magnitude ratio."""
+    logS = np.log(S + 1e-9)
+    return np.exp(logS.mean(axis=0)) / (S.mean(axis=0) + 1e-9)
+
+
+def spectral_centroid(S: np.ndarray) -> np.ndarray:
+    """Per-frame magnitude-weighted centroid in Hz (8 kHz Nyquist)."""
+    freqs = np.linspace(0, 8000.0, S.shape[0])
+    return (freqs[:, None] * S).sum(axis=0) / (S.sum(axis=0) + 1e-9)
+
+
+def zero_crossing_rate(wav: np.ndarray) -> float:
+    if wav.size <= 1:
+        return 0.0
+    return float(np.mean(np.abs(np.diff(np.signbit(wav).astype(np.int8)))))
+
+
 def _fit_and_norm(v: np.ndarray, dim: int) -> np.ndarray:
     v = np.asarray(v, dtype=np.float32)
     if v.shape[0] < dim:
@@ -184,20 +205,18 @@ class SpectralForensics:
     def _device_w2v2_rung(self):
         if not self._device_w2v2_tried:
             self._device_w2v2_tried = True
-            try:
+            from ultrafnd_git_tpu.utils.hf import try_build_device_rung
+
+            def _build():
                 from ultrafnd_git_tpu.models.w2v2_flax import (
                     DeviceW2V2Encoder,
                 )
 
-                self._device_w2v2 = DeviceW2V2Encoder(
+                return DeviceW2V2Encoder(
                     self.backbone, dim=self.dim, processor=self.processor
                 )
-            except Exception as exc:  # LARGE layout / broken tunnel etc.
-                print(
-                    f"⚠️  device W2V2 rung unavailable ({exc!r}); "
-                    "using host torch forward"
-                )
-                self._device_w2v2 = None
+
+            self._device_w2v2 = try_build_device_rung("W2V2", _build)
         return self._device_w2v2
 
     def _w2v2_features(self, wav: np.ndarray) -> np.ndarray:
@@ -232,16 +251,14 @@ class SpectralForensics:
         feats += [contrast.mean(), contrast.std()]
 
         # flatness: geometric / arithmetic mean per frame
-        logS = np.log(S + 1e-9)
-        flat = np.exp(logS.mean(axis=0)) / (S.mean(axis=0) + 1e-9)
+        flat = spectral_flatness(S)
         feats += [flat.mean(), flat.std()]
 
-        centroid = (freqs[:, None] * S).sum(axis=0) / power
+        centroid = spectral_centroid(S)
         cum = np.cumsum(S, axis=0) / power[None, :]
         roll_idx = np.argmax(cum >= 0.85, axis=0)
         rolloff = freqs[roll_idx]
-        zcr = np.mean(np.abs(np.diff(np.signbit(wav).astype(np.int8)))) if wav.size > 1 else 0.0
-        feats += [centroid.mean(), rolloff.mean(), zcr]
+        feats += [centroid.mean(), rolloff.mean(), zero_crossing_rate(wav)]
 
         return _fit_and_norm(np.asarray(feats, dtype=np.float32), self.dim)
 
@@ -309,15 +326,9 @@ class VoiceCloneDetector:
             return 0.0
         try:
             S = stft_magnitude(wav)
-            logS = np.log(S + 1e-9)
-            flat = float(
-                (np.exp(logS.mean(axis=0)) / (S.mean(axis=0) + 1e-9)).mean()
-            )
-            zcr = float(np.mean(np.abs(np.diff(np.signbit(wav).astype(np.int8)))))
-            freqs = np.linspace(0, 8000.0, S.shape[0])
-            cent = float(
-                ((freqs[:, None] * S).sum(axis=0) / (S.sum(axis=0) + 1e-9)).mean()
-            )
+            flat = float(spectral_flatness(S).mean())
+            zcr = zero_crossing_rate(wav)
+            cent = float(spectral_centroid(S).mean())
             score = 0.4 * flat + 0.3 * zcr + 0.3 * float(np.tanh(cent / 3000.0))
             return float(np.clip(score, 0.0, 1.0))
         except Exception:

@@ -87,14 +87,29 @@ class SemanticForgeryAnalyzer:
         self.module = SemanticProjector(
             proj_dim=self.cfg.proj_dim, dropout=self.cfg.dropout
         )
-        dummy = jnp.zeros((1, 512), jnp.float32)
-        self.params = self.module.init(
-            jax.random.PRNGKey(seed), dummy, dummy, deterministic=True
-        )
+        # Projector params are initialized LAZILY at the first forward,
+        # against the encoder's ACTUAL feature width — CLIP variants are
+        # configurable (ViT-L text features are 768-d, not 512) and a
+        # hardcoded init width would shape-crash the first apply.
+        self._seed = seed
+        self.params = None
+        self._param_width: Optional[int] = None
         self._apply = jax.jit(
             lambda p, t, v: self.module.apply(p, t, v, deterministic=True)
         )
         self.out_dim = self.cfg.proj_dim
+        # state for the build-once device-CLIP rung (models/clip_flax.py)
+        self._device_clip = None
+        self._device_clip_tried = False
+
+    def _ensure_params(self, width: int) -> None:
+        if self.params is None or self._param_width != width:
+            dummy = jnp.zeros((1, width), jnp.float32)
+            self.params = self.module.init(
+                jax.random.PRNGKey(self._seed), dummy, dummy,
+                deterministic=True,
+            )
+            self._param_width = width
 
     @classmethod
     def from_config(
@@ -133,30 +148,25 @@ class SemanticForgeryAnalyzer:
 
     def _device_clip_rung(self, tok, model):
         """Device-resident pretrained rung: HF weights in the Flax tower
-        (models/clip_flax.py); lazily built, opt-out ULTRAFND_CLIP_DEVICE=0."""
+        (models/clip_flax.py); lazily built, opt-out ULTRAFND_CLIP_DEVICE=0.
+        Same build-once ladder shape as text.py/audio.py (utils.hf helper)."""
         import os
 
-        if not hasattr(self, "_device_clip_tried"):
-            self._device_clip_tried = False
-            self._device_clip = None
         if not self._device_clip_tried:
             self._device_clip_tried = True
-            if os.environ.get("ULTRAFND_CLIP_DEVICE", "1") != "1":
-                return None
-            try:
-                from ultrafnd_git_tpu.models.clip_flax import (
-                    DeviceClipTextEncoder,
-                )
+            if os.environ.get("ULTRAFND_CLIP_DEVICE", "1") == "1":
+                from ultrafnd_git_tpu.utils.hf import try_build_device_rung
 
-                self._device_clip = DeviceClipTextEncoder(
-                    model, tok, max_length=self.cfg.max_length
-                )
-            except Exception as exc:  # broken accelerator/tunnel etc.
-                print(
-                    f"⚠️  device CLIP rung unavailable ({exc!r}); "
-                    "using host torch forward"
-                )
-                self._device_clip = None
+                def _build():
+                    from ultrafnd_git_tpu.models.clip_flax import (
+                        DeviceClipTextEncoder,
+                    )
+
+                    return DeviceClipTextEncoder(
+                        model, tok, max_length=self.cfg.max_length
+                    )
+
+                self._device_clip = try_build_device_rung("CLIP", _build)
         return self._device_clip
 
     def encode_text(self, texts: Sequence[str]) -> np.ndarray:
@@ -211,6 +221,7 @@ class SemanticForgeryAnalyzer:
 
         txt = jnp.asarray(self.encode_text(titles))
         img = jnp.asarray(self.encode_image_like(ocrs))
+        self._ensure_params(int(txt.shape[-1]))
         out = self._apply(self.params, txt, img)
         return {k: np.asarray(v) for k, v in out.items()}
 

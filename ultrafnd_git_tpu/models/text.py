@@ -110,23 +110,21 @@ class BERTContextEncoder:
     def _device_bert_rung(self):
         if not self._device_bert_tried:
             self._device_bert_tried = True
-            try:
+            from ultrafnd_git_tpu.utils.hf import try_build_device_rung
+
+            def _build():
                 from ultrafnd_git_tpu.models.bert_flax import (
                     DeviceBertEncoder,
                 )
 
-                self._device_bert = DeviceBertEncoder(
+                return DeviceBertEncoder(
                     self.model,
                     self.tok,
                     dim=self.dim,
                     max_length=self.max_length,
                 )
-            except Exception as exc:  # broken accelerator/tunnel etc.
-                print(
-                    f"⚠️  device BERT rung unavailable ({exc!r}); "
-                    "using host torch forward"
-                )
-                self._device_bert = None
+
+            self._device_bert = try_build_device_rung("BERT", _build)
         return self._device_bert
 
     def _hf_encode_batch(self, texts: Sequence[str]) -> np.ndarray:
@@ -186,6 +184,15 @@ class BERTContextEncoder:
             return tower.encode_batch([text])[0]
         return hash_embed(text, self.dim)
 
+    def _encode_nonempty(self, texts, row_encoder) -> np.ndarray:
+        """Route non-empty rows through `row_encoder`, zeros elsewhere —
+        the one copy of the empty-string scatter semantics."""
+        nonempty = [i for i, t in enumerate(texts) if t]
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        if nonempty:
+            out[nonempty] = row_encoder([texts[i] for i in nonempty])
+        return out
+
     def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
         """Encode many strings at once; empty strings map to zero vectors."""
         texts = list(texts)
@@ -193,24 +200,12 @@ class BERTContextEncoder:
             return np.zeros((0, self.dim), dtype=np.float32)
         if self.use_hf:
             try:
-                nonempty = [i for i, t in enumerate(texts) if t]
-                out = np.zeros((len(texts), self.dim), dtype=np.float32)
-                if nonempty:
-                    out[nonempty] = self._hf_encode_batch(
-                        [texts[i] for i in nonempty]
-                    )
-                return out
+                return self._encode_nonempty(texts, self._hf_encode_batch)
             except Exception:
                 pass
         tower = self._tower()
         if tower is not None:
-            nonempty = [i for i, t in enumerate(texts) if t]
-            out = np.zeros((len(texts), self.dim), dtype=np.float32)
-            if nonempty:
-                out[nonempty] = tower.encode_batch(
-                    [texts[i] for i in nonempty]
-                )
-            return out
+            return self._encode_nonempty(texts, tower.encode_batch)
         return hash_embed_batch(texts, self.dim)
 
     def encode_fields(

@@ -32,5 +32,19 @@ def load_once(key: str, loader: Callable[[], Any]) -> Optional[Any]:
     return _MEMO[key]
 
 
+def try_build_device_rung(label: str, builder: Callable[[], Any]):
+    """Shared build step of the device-rung ladders (BERT/CLIP/W2V2):
+    run the builder once, warn-and-None on any failure so the caller's
+    host torch forward takes over."""
+    try:
+        return builder()
+    except Exception as exc:  # broken accelerator/tunnel/layout etc.
+        print(
+            f"⚠️  device {label} rung unavailable ({exc!r}); "
+            "using host torch forward"
+        )
+        return None
+
+
 def reset_memo() -> None:  # test hook
     _MEMO.clear()
