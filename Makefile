@@ -25,6 +25,9 @@ bench-kernels:
 bench-preprocess:
 	python scripts/bench_preprocess.py
 
+bench-scaling:
+	python scripts/bench_scaling.py
+
 smoke:
 	python scripts/smoke_test_v2.py
 
