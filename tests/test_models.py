@@ -201,6 +201,35 @@ def test_post_encoder_and_hetero():
     assert out["posts"].shape == (6, 8)
 
 
+def test_hetero_sentinel_padded_edges_are_inert():
+    """Sentinel-padded hetero edges (per-endpoint ghost ids, pad_edges)
+    must contribute NOTHING — clip-only gathering used to alias ghost
+    senders onto the last real node of the other node set."""
+    from ultrafnd_git_tpu.models.graph_nets import pad_edges
+
+    nodes = {
+        "posts": jax.random.normal(KEY, (3, 16)),  # P=3
+        "phrases": jax.random.normal(KEY, (5, 8)),  # H=5 > P
+        "sources": jax.random.normal(KEY, (2, 4)),
+    }
+    pp = (jnp.array([0, 1]), jnp.array([0, 1]))
+    sp = (jnp.array([0]), jnp.array([2]))
+
+    h = HeteroFGHGNN(hid=16, out_dim=8)
+    params = h.init(KEY, nodes, {"post_phrase": pp, "source_post": sp})
+    ref = h.apply(params, nodes, {"post_phrase": pp, "source_post": sp})
+
+    pp_s, pp_r, _ = pad_edges(pp[0], pp[1], 8, 3, num_receiver_nodes=5)
+    sp_s, sp_r, _ = pad_edges(sp[0], sp[1], 8, 2, num_receiver_nodes=3)
+    padded = h.apply(
+        params, nodes, {"post_phrase": (pp_s, pp_r), "source_post": (sp_s, sp_r)}
+    )
+    for k in ("posts", "phrases", "sources"):
+        np.testing.assert_allclose(
+            np.asarray(padded[k]), np.asarray(ref[k]), atol=1e-6
+        )
+
+
 def test_cos01_range():
     x = jax.random.normal(KEY, (4, 8))
     c = cos01(x, x)
