@@ -298,10 +298,24 @@ class Predictor:
         b = self.batch_size
 
         out: List[Dict[str, Any]] = []
-        for s in range(0, n, b):
-            sel = slice(s, min(s + b, n))
+        # Chunk size is backend-aware. Accelerators: one dispatch per
+        # <= max_rows chunk (the score fn is batch-agnostic) — on a
+        # tunneled chip every call carries ~90 ms fixed latency and
+        # per-small-batch dispatch capped TPU serving at 192 records/s;
+        # the big-bucket path measures 578 (3x). Host CPU: small batches
+        # win (742 vs 1030 records/s measured big-vs-small), so the
+        # configured batch_size stays the chunk there. Rows pad up to
+        # the power-of-two bucket >= batch_size so jit shapes are reused.
+        import jax as _jax
+
+        max_rows = b if _jax.default_backend() == "cpu" else max(4096, b)
+        for s in range(0, n, max_rows):
+            sel = slice(s, min(s + max_rows, n))
             count = sel.stop - sel.start
-            pad = b - count
+            bucket = b
+            while bucket < count:
+                bucket *= 2
+            pad = bucket - count
 
             def take(key):
                 arr = feats_cache[key][sel].astype(np.float32)
