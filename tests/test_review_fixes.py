@@ -219,3 +219,20 @@ def test_ocr_clean_fallback_matches_pickle_tokenization(tmp_path):
     # default without pickle stays the trainer's whitespace split
     plain = ocr_sets_for_records(new, None)
     assert plain[0] == {"警告!危险信号"}
+
+
+def test_bench_scaling_run_one_tiny():
+    """scripts/bench_scaling.run_one stays importable/correct (the N-scaling
+    sweep is a documented SCALING.md artifact)."""
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    for p in (repo, repo / "scripts"):
+        if str(p) not in sys.path:
+            sys.path.insert(0, str(p))
+    from bench_scaling import run_one
+
+    r = run_one(64, batch=16)
+    assert r["nodes"] == 64
+    assert r["step_ms"] > 0 and np.isfinite(r["samples_per_s"])
