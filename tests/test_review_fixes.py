@@ -221,6 +221,7 @@ def test_ocr_clean_fallback_matches_pickle_tokenization(tmp_path):
     assert plain[0] == {"警告!危险信号"}
 
 
+@pytest.mark.slow
 def test_bench_scaling_run_one_tiny():
     """scripts/bench_scaling.run_one stays importable/correct (the N-scaling
     sweep is a documented SCALING.md artifact)."""
