@@ -60,6 +60,11 @@ def parse_args():
                    help="Shard the HBM-resident feature corpus rows over "
                         "the 'data' mesh axis (for corpora beyond one "
                         "chip's HBM; see docs/SCALING.md)")
+    p.add_argument("--train_text_tower", action="store_true",
+                   help="Joint text-tower fine-tune: a trainable on-device "
+                        "TextTransformer over the cache's stable-hash token "
+                        "ids replaces the frozen cached text features "
+                        "(gradients flow through the tower in-step)")
     p.add_argument("--no_scan_epoch", action="store_true",
                    help="Dispatch one device call per batch instead of "
                         "one jitted scan per epoch (debugging aid; the "
@@ -181,6 +186,7 @@ def main():
         bf16_compute=args.bf16,
         resume=args.resume,
         profile_dir=args.profile_dir,
+        train_text_tower=args.train_text_tower,
     )
 
     trainer = ForensicTrainer(cfg)

@@ -67,3 +67,36 @@ def test_predict_empty_and_missing_checkpoint(trained_out_dir, tmp_path):
     assert predictor.predict([]) == []
     with pytest.raises(FileNotFoundError):
         Predictor(str(tmp_path))  # no cache/checkpoint there
+
+
+def test_serving_text_tower_checkpoint(fixture_data_root, tmp_path):
+    """A --train_text_tower checkpoint serves through the SAME trained
+    tower (hash/HF text features would be a different distribution than
+    the fusion saw in training)."""
+    cfg = TrainConfig(
+        data_root=fixture_data_root,
+        out_dir=str(tmp_path),
+        batch_size=8,
+        epochs=1,  # best == final so the param comparison below holds
+        seed=0,
+        cache_to_disk=True,
+        log_metrics_jsonl=False,
+        train_text_tower=True,
+    )
+    trainer = ForensicTrainer(cfg)
+    trainer.fit()
+
+    predictor = Predictor(str(tmp_path), batch_size=4)
+    assert predictor.text_tower is not None
+    results = predictor.predict([FAKE_REC, REAL_REC])
+    assert len(results) == 2
+    for r in results:
+        assert 0.0 <= r["prob_fake"] <= 1.0
+    # the restored tower params are the TRAINED ones (match the trainer's)
+    import jax
+
+    served = jax.tree.leaves(predictor.params["text_tower"])[0]
+    trained = jax.tree.leaves(trainer.state.params["text_tower"])[0]
+    np.testing.assert_allclose(
+        np.asarray(served), np.asarray(trained), atol=1e-6
+    )

@@ -220,3 +220,27 @@ def test_shard_graph_agrees_with_replicated(fixture_root, tmp_path):
     assert abs(l1 - l2) < 1e-4
     loss, _ = t_sh._epoch_loop(t_sh.tr_idx[:16], "train")
     assert np.isfinite(loss)
+
+
+def test_train_text_tower_joint(fixture_root, tmp_path):
+    """--train_text_tower: the on-device TextTransformer joins the train
+    state and receives gradients (the reference's frozen-encoder
+    architecture never could)."""
+    import jax
+
+    t = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path, epochs=2, batch_size=8,
+            train_text_tower=True,
+        )
+    )
+    assert "text_tower" in t.state.params
+    before = np.asarray(
+        jax.tree.leaves(t.state.params["text_tower"])[0]
+    ).copy()
+    best = t.fit()
+    assert best > 0.5
+    after = np.asarray(jax.tree.leaves(t.state.params["text_tower"])[0])
+    assert not np.allclose(before, after)  # tower actually trained
+    res = t.test()
+    assert res["test_auc"] > 0.5

@@ -44,7 +44,9 @@ from ultrafnd_git_tpu.models.visual import DeepForgeryDetector, OpticalFlow3DCNN
 # (reference fakesv_dataset.py:184).
 EMO_TERMS = ("恐惧", "警告", "危险", "外星", "消失", "危机", "谣言", "假")
 
-CACHE_VERSION = 2
+CACHE_VERSION = 3  # v3: + text_ids/text_mask (joint text-tower path)
+TOWER_IDS_LEN = 64  # tokens kept per record for the trainable tower
+TOWER_VOCAB = 32768  # stable-hash vocabulary (models/transformer.py)
 
 
 def _l2n_rows(x: np.ndarray) -> np.ndarray:
@@ -116,6 +118,21 @@ def build_feature_cache(
     # ---- text: corpus-wide field encoding ----------------------------------
     text_enc = enc["text"]
     T = text_enc.encode_fields_batch(records)  # (N, 768)
+
+    # ---- stable-hash token ids (joint text-tower fine-tune path) -----------
+    # Fixed (TOWER_IDS_LEN, TOWER_VOCAB) so persisted caches stay
+    # compatible with any trainer config; ~N*64*4B, negligible.
+    from ultrafnd_git_tpu.models.transformer import hash_tokenize_batch
+
+    combined = [
+        " ".join(
+            [r["title"] or "", r["ocr"] or "", *(r["comments"] or [])[:10]]
+        ).strip()
+        for r in records
+    ]
+    text_ids, text_mask = hash_tokenize_batch(
+        combined, TOWER_IDS_LEN, TOWER_VOCAB
+    )
 
     # ---- audio: text-proxy batch -------------------------------------------
     aud_enc = enc["audio"]
@@ -190,6 +207,8 @@ def build_feature_cache(
         "temporal": U.astype(np.float32),
         "aux": AUX,
         "evidence": evidence,
+        "text_ids": text_ids,
+        "text_mask": text_mask,
         "ocr_sets": ocr_sets,
         "split": split,
     }
@@ -274,6 +293,14 @@ def save_cache(
         evidence=cache.get(
             "evidence", np.zeros((len(cache["labels"]), 3), np.float32)
         ),
+        text_ids=cache.get(
+            "text_ids",
+            np.zeros((len(cache["labels"]), TOWER_IDS_LEN), np.int32),
+        ),
+        text_mask=cache.get(
+            "text_mask",
+            np.zeros((len(cache["labels"]), TOWER_IDS_LEN), np.float32),
+        ),
         ocr_sets=np.array(
             [json.dumps(sorted(s), ensure_ascii=False) for s in cache["ocr_sets"]]
         ),
@@ -316,6 +343,8 @@ def load_cache(
             "temporal": z["temporal"],
             "aux": z["aux"],
             "evidence": z["evidence"],
+            "text_ids": z["text_ids"],
+            "text_mask": z["text_mask"],
             "ocr_sets": ocr_sets,
             "split": (z["split_train"], z["split_val"], z["split_test"]),
         }

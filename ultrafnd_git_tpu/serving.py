@@ -79,6 +79,23 @@ class Predictor:
         self.use_gnn = bool(saved_cfg.get("use_gnn", True))
         self.use_evidence = bool(saved_cfg.get("use_evidence", False))
         gnn_dim = int(saved_cfg.get("gnn_dim", 128))
+        # Tower checkpoints (--train_text_tower): text features come from
+        # the trained on-device TextTransformer over token ids, exactly
+        # as in training — the cached/hash text features would be a
+        # silently different distribution than the fusion saw.
+        self.text_tower = None
+        if bool(saved_cfg.get("train_text_tower", False)):
+            from ultrafnd_git_tpu.data.cache import TOWER_VOCAB
+            from ultrafnd_git_tpu.models.transformer import TextTransformer
+
+            self._tower_len = int(self.cache["text_ids"].shape[1])
+            self.text_tower = TextTransformer(
+                width=int(self.cache["text"].shape[1]),
+                depth=int(saved_cfg.get("text_tower_depth", 2)),
+                heads=int(saved_cfg.get("text_tower_heads", 12)),
+                vocab_size=TOWER_VOCAB,
+                max_len=self._tower_len,
+            )
         # When training consumed the OCR phrase pickle, the corpus token
         # sets use its regex tokenization — unseen records must be
         # tokenized the same way or the Jaccard vocabularies barely
@@ -180,6 +197,13 @@ class Predictor:
                 key, self.XG, self.A_NORM, normalize=False
             )["params"],
         }
+        if self.text_tower is not None:
+            params["text_tower"] = self.text_tower.init(
+                key,
+                jnp.zeros((b, self._tower_len), jnp.int32),
+                jnp.ones((b, self._tower_len), jnp.float32),
+                deterministic=True,
+            )["params"]
         tx = make_optimizer(
             float(saved_cfg.get("lr", 2e-4)),
             float(saved_cfg.get("weight_decay", 1e-4)),
@@ -194,7 +218,17 @@ class Predictor:
         # are embedded in the remote-compile payload, which the tunnel
         # rejects at large corpus N (see trainer.py's corpus note)
         def score(params, feats, aux, a_rows, self_w, xg_new, xg_corpus,
-                  h_corpus):
+                  h_corpus, text_ids, text_mask):
+            if self.text_tower is not None:
+                feats = {
+                    **feats,
+                    "text_features": self.text_tower.apply(
+                        {"params": params["text_tower"]},
+                        text_ids,
+                        text_mask,
+                        deterministic=True,
+                    ),
+                }
             if self.use_gnn:
                 # Exact GCN extension for new nodes. A training node i has
                 #   z_i = lin2( sum_j A_hat_ij * gelu(lin1((A_hat x)_j)) )
@@ -317,13 +351,16 @@ class Predictor:
                 bucket *= 2
             pad = bucket - count
 
-            def take(key):
-                arr = feats_cache[key][sel].astype(np.float32)
+            def take_raw(key, dtype):
+                arr = feats_cache[key][sel].astype(dtype)
                 if pad:
                     arr = np.concatenate(
                         [arr, np.repeat(arr[-1:], pad, axis=0)]
                     )
                 return jnp.asarray(arr)
+
+            def take(key):
+                return take_raw(key, np.float32)
 
             feats = {
                 "text_features": take("text"),
@@ -361,6 +398,16 @@ class Predictor:
                 self.XG,
                 # use_gnn=False leaves H_CORPUS unset; pass a 0-d filler
                 self.H_CORPUS if self.H_CORPUS is not None else jnp.zeros(()),
+                (
+                    take_raw("text_ids", np.int32)
+                    if self.text_tower is not None
+                    else jnp.zeros(())
+                ),
+                (
+                    take_raw("text_mask", np.float32)
+                    if self.text_tower is not None
+                    else jnp.zeros(())
+                ),
             )
             probs = np.asarray(probs)[:count]
             forensic = {k: np.asarray(v)[:count] for k, v in forensic.items()}

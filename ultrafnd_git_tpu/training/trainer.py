@@ -73,6 +73,14 @@ class TrainConfig:
     seed: int = 42
     use_gnn: bool = True
     use_evidence: bool = False  # feed real evidence-scorer outputs to fusion
+    # Joint text-tower fine-tune: replace the cached text features with a
+    # trainable on-device TextTransformer (models/transformer.py) over the
+    # cache's stable-hash token ids — gradients flow through the tower in
+    # the same jitted step. Something the reference architecture (frozen
+    # host encoders -> cached features) could never do.
+    train_text_tower: bool = False
+    text_tower_depth: int = 2
+    text_tower_heads: int = 12
     save_best: bool = True
     grad_clip: float = 5.0
     early_stop_patience: int = 3
@@ -195,6 +203,13 @@ class ForensicTrainer:
         }
         if self.EVID is not None:
             self.corpus["evidence"] = self.EVID
+        if cfg.train_text_tower:
+            self.corpus["text_ids"] = rep(
+                self.cache["text_ids"].astype(np.int32)
+            )
+            self.corpus["text_mask"] = rep(
+                self.cache["text_mask"].astype(np.float32)
+            )
 
         # ---- 4) models ----------------------------------------------------
         self.fusion = CrossModalTransformer.from_config(cfg.fusion_config)
@@ -231,6 +246,27 @@ class ForensicTrainer:
                 "params"
             ],
         }
+
+        self.text_tower = None
+        if cfg.train_text_tower:
+            from ultrafnd_git_tpu.data.cache import TOWER_VOCAB
+            from ultrafnd_git_tpu.models.transformer import TextTransformer
+
+            L = int(self.cache["text_ids"].shape[1])
+            self.text_tower = TextTransformer(
+                width=int(self.TEXT.shape[1]),
+                depth=cfg.text_tower_depth,
+                heads=cfg.text_tower_heads,
+                vocab_size=TOWER_VOCAB,
+                max_len=L,
+            )
+            self.rng, k_t = jax.random.split(self.rng)
+            params["text_tower"] = self.text_tower.init(
+                k_t,
+                jnp.zeros((B, L), jnp.int32),
+                jnp.ones((B, L), jnp.float32),
+                deterministic=True,
+            )["params"]
 
         if cfg.use_gnn:
             params["gnn"] = self._pretrain_gnn(params["gnn"])
@@ -360,15 +396,29 @@ class ForensicTrainer:
         `corpus` is the HBM-resident array pytree (self.corpus), passed
         as a traced argument — see the construction note in __init__.
         """
-        rngs_f = rngs_c = rngs_g = None
+        rngs_f = rngs_c = rngs_g = rngs_t = None
         if not deterministic:
-            k_g, k_f, k_c = jax.random.split(rng, 3)
+            k_g, k_f, k_c, k_t = jax.random.split(rng, 4)
             rngs_g = {"dropout": k_g}
             rngs_f = {"dropout": k_f}
             rngs_c = {"dropout": k_c}
+            rngs_t = {"dropout": k_t}
+
+        if self.text_tower is not None:
+            # joint fine-tune: text features come from the trainable
+            # on-device tower; gradients flow through it in this step
+            text_feats = self.text_tower.apply(
+                {"params": params["text_tower"]},
+                corpus["text_ids"][idx],
+                corpus["text_mask"][idx],
+                deterministic=deterministic,
+                rngs=rngs_t,
+            )
+        else:
+            text_feats = corpus["text"][idx]
 
         feats = {
-            "text_features": corpus["text"][idx],
+            "text_features": text_feats,
             "audio_features": corpus["audio"][idx],
             "visual_features": corpus["visual"][idx],
             "temporal_features": corpus["temporal"][idx],
