@@ -139,6 +139,11 @@ def main():
             IntegratedTrainConfig,
         )
 
+        if args.train_text_tower:
+            print(
+                "⚠️  --train_text_tower applies to the v2 trainer only; "
+                "the integrated trainer ignores it"
+            )
         icfg = IntegratedTrainConfig(
             data_root=str(data_root),
             ocr_phrase_pkl=str(ocr_pkl) if ocr_pkl.exists() else None,

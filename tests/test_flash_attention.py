@@ -112,12 +112,22 @@ class TestKernelGradients:
 
 class TestTextTransformer:
     def test_tokenizer_stable_and_padded(self):
+        # CJK runs break into single characters (unsegmented Chinese
+        # would otherwise hash whole phrases to one-off vocabulary ids,
+        # leaving serving-time text on untrained embedding rows)
         ids1, mask1 = hash_tokenize_batch(["你好 世界", ""], max_len=8)
         ids2, _ = hash_tokenize_batch(["你好 世界", ""], max_len=8)
         np.testing.assert_array_equal(ids1, ids2)
         assert ids1.shape == (2, 8)
-        assert mask1[0].sum() == 2 and mask1[1].sum() == 0
-        assert np.all(ids1[0, 2:] == 0)  # pad id 0
+        assert mask1[0].sum() == 4 and mask1[1].sum() == 0
+        assert np.all(ids1[0, 4:] == 0)  # pad id 0
+        # character-level: "你好" and "你 好" produce the same ids
+        a, _ = hash_tokenize_batch(["你好"], max_len=4)
+        b, _ = hash_tokenize_batch(["你 好"], max_len=4)
+        np.testing.assert_array_equal(a, b)
+        # mixed script: ASCII words stay whole tokens
+        c, mc = hash_tokenize_batch(["abc你de"], max_len=4)
+        assert mc[0].sum() == 3  # 'abc', '你', 'de'
 
     def test_tower_contract(self):
         enc = DeviceTextEncoder(

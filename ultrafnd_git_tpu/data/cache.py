@@ -318,8 +318,17 @@ def load_cache(
         return None
     try:
         z = np.load(p, allow_pickle=False)
-        if int(z["version"]) != CACHE_VERSION:
+        version = int(z["version"])
+        if version not in (2, CACHE_VERSION):
             return None
+        if version == 2:
+            # v2 lacks text_ids/text_mask only — every other field this
+            # loader returns is present, so don't strand existing trained
+            # out_dirs (serving would otherwise claim 'no feature cache')
+            print(
+                f"note: cache at {p} is v2 (no token ids); "
+                "--train_text_tower needs a rebuilt cache"
+            )
         if expected_fingerprint is not None:
             stored = str(z["fingerprint"]) if "fingerprint" in z else ""
             if stored and stored != expected_fingerprint:
@@ -343,8 +352,20 @@ def load_cache(
             "temporal": z["temporal"],
             "aux": z["aux"],
             "evidence": z["evidence"],
-            "text_ids": z["text_ids"],
-            "text_mask": z["text_mask"],
+            "text_ids": (
+                z["text_ids"]
+                if "text_ids" in z
+                else np.zeros(
+                    (z["labels"].shape[0], TOWER_IDS_LEN), np.int32
+                )
+            ),
+            "text_mask": (
+                z["text_mask"]
+                if "text_mask" in z
+                else np.zeros(
+                    (z["labels"].shape[0], TOWER_IDS_LEN), np.float32
+                )
+            ),
             "ocr_sets": ocr_sets,
             "split": (z["split_train"], z["split_val"], z["split_test"]),
         }

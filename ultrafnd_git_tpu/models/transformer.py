@@ -31,16 +31,41 @@ from ultrafnd_git_tpu.kernels.flash_attention import (
 from ultrafnd_git_tpu.ops.hashing import fnv1a_64
 
 
+def _hash_tokens(text: str) -> list:
+    """Whitespace tokens, with CJK runs broken into single characters.
+
+    FakeSV text is unsegmented Chinese — a whole title would otherwise
+    hash to ONE vocabulary id, so a trained tower would see almost every
+    serving-time string as an unseen (untrained-embedding) token.
+    Character-level CJK ids make the train/serve vocabularies intersect
+    the way subword vocabularies do.
+    """
+    out = []
+    for tok in (text or "").split():
+        run = ""
+        for ch in tok:
+            if "一" <= ch <= "鿿":
+                if run:
+                    out.append(run)
+                    run = ""
+                out.append(ch)
+            else:
+                run += ch
+        if run:
+            out.append(run)
+    return out
+
+
 def hash_tokenize_batch(
     texts: Sequence[str],
     max_len: int = 256,
     vocab_size: int = 32768,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Whitespace tokens -> stable hash ids. Returns (ids, mask), (N, L)."""
+    """Stable hash ids (see _hash_tokens). Returns (ids, mask), (N, L)."""
     ids = np.zeros((len(texts), max_len), dtype=np.int32)
     mask = np.zeros((len(texts), max_len), dtype=np.float32)
     for i, text in enumerate(texts):
-        toks = (text or "").split()[:max_len]
+        toks = _hash_tokens(text)[:max_len]
         for j, t in enumerate(toks):
             # id 0 is reserved for padding
             ids[i, j] = 1 + (fnv1a_64(t) % (vocab_size - 1))

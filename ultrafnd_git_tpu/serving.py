@@ -96,6 +96,14 @@ class Predictor:
                 vocab_size=TOWER_VOCAB,
                 max_len=self._tower_len,
             )
+            import sys
+
+            print(
+                "note: serving a --train_text_tower checkpoint — tokens "
+                "unseen in training hit untrained embedding rows (CJK is "
+                "tokenized per character to keep vocabularies overlapping)",
+                file=sys.stderr,  # predict.py emits JSONL on stdout
+            )
         # When training consumed the OCR phrase pickle, the corpus token
         # sets use its regex tokenization — unseen records must be
         # tokenized the same way or the Jaccard vocabularies barely
@@ -339,10 +347,16 @@ class Predictor:
         # the big-bucket path measures 578 (3x). Host CPU: small batches
         # win (742 vs 1030 records/s measured big-vs-small), so the
         # configured batch_size stays the chunk there. Rows pad up to
-        # the power-of-two bucket >= batch_size so jit shapes are reused.
-        import jax as _jax
-
-        max_rows = b if _jax.default_backend() == "cpu" else max(4096, b)
+        # the bucket ladder b, 2b, 4b, ... so jit shapes are reused;
+        # max_rows sits ON the ladder (<= 4096) so full chunks never
+        # overshoot into a half-empty bucket.
+        b = max(1, b)  # batch_size <= 0 would loop forever below
+        if jax.default_backend() == "cpu":
+            max_rows = b
+        else:
+            max_rows = b
+            while max_rows * 2 <= 4096:
+                max_rows *= 2
         for s in range(0, n, max_rows):
             sel = slice(s, min(s + max_rows, n))
             count = sel.stop - sel.start
@@ -363,11 +377,15 @@ class Predictor:
                 return take_raw(key, np.float32)
 
             feats = {
-                "text_features": take("text"),
                 "audio_features": take("audio"),
                 "visual_features": take("visual"),
                 "temporal_features": take("temporal"),
             }
+            if self.text_tower is None:
+                feats["text_features"] = take("text")
+            # (tower path: score() computes text_features from ids —
+            # uploading the unused cached rows would be pure tunnel
+            # traffic on the exact path this chunking optimizes)
             if self.use_evidence:
                 feats["evidence"] = take("evidence")
             aux = take("aux")

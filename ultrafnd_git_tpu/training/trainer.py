@@ -114,6 +114,33 @@ class ForensicTrainer:
     def __init__(self, cfg: TrainConfig, cache: Optional[Dict[str, Any]] = None):
         self.cfg = cfg
         os.makedirs(cfg.out_dir, exist_ok=True)
+        # Adopt train_text_tower from an existing checkpoint: without it
+        # the restore template lacks the tower pytree, the guarded load
+        # fails, and --eval_only would silently score random weights.
+        if not cfg.train_text_tower:
+            import json as _json
+
+            for slot in ("best", "latest"):
+                meta_p = os.path.join(cfg.out_dir, slot, "meta.json")
+                if os.path.exists(meta_p):
+                    try:
+                        with open(meta_p, "r", encoding="utf-8") as fh:
+                            saved = _json.load(fh).get("cfg", {})
+                    except Exception:
+                        continue
+                    if saved.get("train_text_tower"):
+                        print(
+                            "note: checkpoint was trained with "
+                            "--train_text_tower; adopting it"
+                        )
+                        cfg.train_text_tower = True
+                        cfg.text_tower_depth = int(
+                            saved.get("text_tower_depth", 2)
+                        )
+                        cfg.text_tower_heads = int(
+                            saved.get("text_tower_heads", 12)
+                        )
+                    break
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
@@ -191,7 +218,6 @@ class ForensicTrainer:
         # tunnel's request limit once the (N, N) adjacency passes ~400 MB
         # (HTTP 413 measured at N=10752) — as arguments they stay in HBM.
         self.corpus = {
-            "text": self.TEXT,
             "audio": self.AUD,
             "visual": self.VIS,
             "temporal": self.TEMP,
@@ -204,12 +230,16 @@ class ForensicTrainer:
         if self.EVID is not None:
             self.corpus["evidence"] = self.EVID
         if cfg.train_text_tower:
+            # the cached text rows are unused with the tower — carrying
+            # them through every step would be dead HBM/argument traffic
             self.corpus["text_ids"] = rep(
                 self.cache["text_ids"].astype(np.int32)
             )
             self.corpus["text_mask"] = rep(
                 self.cache["text_mask"].astype(np.float32)
             )
+        else:
+            self.corpus["text"] = self.TEXT
 
         # ---- 4) models ----------------------------------------------------
         self.fusion = CrossModalTransformer.from_config(cfg.fusion_config)
