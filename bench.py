@@ -67,6 +67,8 @@ def synthetic_cache(n: int, seed: int = 0) -> dict:
         "visual": rng.standard_normal((n, 512)).astype(np.float32),
         "temporal": rng.standard_normal((n, 256)).astype(np.float32),
         "aux": rng.uniform(size=(n, 2)).astype(np.float32),
+        "text_ids": rng.integers(1, 32768, size=(n, 64)).astype(np.int32),
+        "text_mask": np.ones((n, 64), np.float32),
         "ocr_sets": ocr_sets,
         "split": (split[:k1], split[k1:k2], split[k2:]),
     }
