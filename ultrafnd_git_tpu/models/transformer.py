@@ -79,6 +79,7 @@ class MultiHeadAttention(nn.Module):
     width: int
     heads: int
     attention_backend: str = "auto"
+    dtype: object = None  # bf16-compute lever (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -88,7 +89,7 @@ class MultiHeadAttention(nn.Module):
             )
         b, s, _ = x.shape
         d = self.width // self.heads
-        qkv = nn.Dense(3 * self.width, name="qkv")(x)
+        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_first(t):
@@ -102,7 +103,7 @@ class MultiHeadAttention(nn.Module):
             backend=self.attention_backend,
         )  # (B, H, S, D)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, self.width)
-        return nn.Dense(self.width, name="out")(out)
+        return nn.Dense(self.width, dtype=self.dtype, name="out")(out)
 
 
 class EncoderBlock(nn.Module):
@@ -111,6 +112,7 @@ class EncoderBlock(nn.Module):
     mlp_ratio: int = 4
     dropout: float = 0.1
     attention_backend: str = "auto"
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -118,15 +120,17 @@ class EncoderBlock(nn.Module):
     ) -> jnp.ndarray:
         h = nn.LayerNorm(name="ln1")(x)
         h = MultiHeadAttention(
-            self.width, self.heads, self.attention_backend, name="attn"
+            self.width, self.heads, self.attention_backend,
+            dtype=self.dtype, name="attn",
         )(h, mask)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + h
 
         h = nn.LayerNorm(name="ln2")(x)
-        h = nn.Dense(self.mlp_ratio * self.width, name="mlp_in")(h)
+        h = nn.Dense(self.mlp_ratio * self.width, dtype=self.dtype,
+                     name="mlp_in")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.width, name="mlp_out")(h)
+        h = nn.Dense(self.width, dtype=self.dtype, name="mlp_out")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return x + h
 
@@ -141,6 +145,7 @@ class TextTransformer(nn.Module):
     max_len: int = 256
     dropout: float = 0.1
     attention_backend: str = "auto"
+    dtype: object = None  # bf16-compute lever (params stay f32)
 
     @nn.compact
     def __call__(
@@ -164,6 +169,7 @@ class TextTransformer(nn.Module):
                 self.heads,
                 dropout=self.dropout,
                 attention_backend=self.attention_backend,
+                dtype=self.dtype,
                 name=f"block{i}",
             )(x, mask, deterministic=deterministic)
 

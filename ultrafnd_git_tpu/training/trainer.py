@@ -289,6 +289,9 @@ class ForensicTrainer:
                 heads=cfg.text_tower_heads,
                 vocab_size=TOWER_VOCAB,
                 max_len=L,
+                # the tower dominates the joint step (~60 ms vs 2.3 ms
+                # frozen) — it gets the same bf16-compute lever
+                dtype=jnp.bfloat16 if cfg.bf16_compute else None,
             )
             self.rng, k_t = jax.random.split(self.rng)
             params["text_tower"] = self.text_tower.init(
