@@ -124,3 +124,36 @@ def test_cache_persistence_roundtrip(cache, tmp_path):
     assert loaded["ocr_sets"] == cache["ocr_sets"]
     np.testing.assert_array_equal(loaded["split"][2], cache["split"][2])
     assert load_cache(str(tmp_path / "missing.npz")) is None
+
+
+def test_v2_cache_still_loads(tmp_path, fixture_data_root):
+    """A pre-token-ids (v2) cache must keep loading — every field the
+    non-tower paths use is present; only --train_text_tower needs a
+    rebuilt v3 cache (regression: the version bump stranded existing
+    trained out_dirs behind a misleading 'no feature cache' error)."""
+    import numpy as np
+
+    from ultrafnd_git_tpu.data.cache import (
+        TOWER_IDS_LEN,
+        build_feature_cache,
+        load_cache,
+        save_cache,
+    )
+    from ultrafnd_git_tpu.data.dataset import FakeSVRawDataset
+
+    cache = build_feature_cache(FakeSVRawDataset(fixture_data_root), seed=0)
+    path = tmp_path / "feature_cache.npz"
+    save_cache(cache, str(path))
+
+    # rewrite as v2: drop the token-id fields, stamp version 2
+    z = dict(np.load(path, allow_pickle=False))
+    z.pop("text_ids")
+    z.pop("text_mask")
+    z["version"] = np.int64(2)
+    np.savez_compressed(path, **z)
+
+    loaded = load_cache(str(path))
+    assert loaded is not None
+    np.testing.assert_allclose(loaded["text"], cache["text"])
+    assert loaded["text_ids"].shape == (len(cache["labels"]), TOWER_IDS_LEN)
+    assert np.all(loaded["text_ids"] == 0)  # zero-filled placeholder
