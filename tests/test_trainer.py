@@ -244,3 +244,16 @@ def test_train_text_tower_joint(fixture_root, tmp_path):
     assert not np.allclose(before, after)  # tower actually trained
     res = t.test()
     assert res["test_auc"] > 0.5
+
+
+def test_train_text_tower_on_mesh(fixture_root, tmp_path):
+    """Tower params replicate over the mesh; the joint step runs dp x tp."""
+    t = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path, epochs=1, batch_size=16, dp=4, tp=2,
+            mesh_backend="cpu", train_text_tower=True, save_best=False,
+        )
+    )
+    loss, _ = t._epoch_loop(t.tr_idx[:32], "train")
+    assert np.isfinite(loss)
+    assert int(t.state.step) > 0
