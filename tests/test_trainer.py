@@ -257,3 +257,26 @@ def test_train_text_tower_on_mesh(fixture_root, tmp_path):
     loss, _ = t._epoch_loop(t.tr_idx[:32], "train")
     assert np.isfinite(loss)
     assert int(t.state.step) > 0
+
+
+def test_resume_with_text_tower(fixture_root, tmp_path):
+    """Resume restores the tower pytree; a flag-less resume adopts the
+    setting from the latest checkpoint's meta."""
+    t1 = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path, epochs=1, batch_size=8,
+            train_text_tower=True,
+        )
+    )
+    t1.fit()
+    step1 = int(t1.state.step)
+
+    # note: NO train_text_tower flag here — adopted from the checkpoint
+    t2 = ForensicTrainer(
+        _cfg(fixture_root, tmp_path, epochs=2, batch_size=8, resume=True)
+    )
+    assert t2.cfg.train_text_tower  # adopted
+    assert "text_tower" in t2.state.params
+    assert int(t2.state.step) == step1
+    t2.fit()
+    assert int(t2.state.step) > step1
