@@ -1,5 +1,6 @@
 """Device-tower rung of the text-encoder ladder."""
 import numpy as np
+import pytest
 
 from ultrafnd_git_tpu.models.text import BERTContextEncoder
 
@@ -34,3 +35,58 @@ def test_single_and_batch_agree():
     single = enc.encode("谣言 危险")
     batch = enc.encode_batch(["谣言 危险"])[0]
     np.testing.assert_allclose(single, batch, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_from_checkpoint_serves_trained_tower(fixture_data_root, tmp_path):
+    """DeviceTextEncoder.from_checkpoint restores the jointly-trained
+    tower and serves non-random features (closes the fine-tune loop)."""
+    from ultrafnd_git_tpu.models.transformer import DeviceTextEncoder
+    from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
+
+    cfg = TrainConfig(
+        data_root=fixture_data_root,
+        out_dir=str(tmp_path),
+        batch_size=8,
+        epochs=1,
+        seed=0,
+        cache_to_disk=True,
+        log_metrics_jsonl=False,
+        train_text_tower=True,
+    )
+    trainer = ForensicTrainer(cfg)
+    trainer.fit()
+
+    enc = DeviceTextEncoder.from_checkpoint(str(tmp_path))
+    assert enc.trained  # no untrained-features warning path
+    out = enc.encode_batch(["外星人 入侵 警告", "官方 辟谣 证据"])
+    assert out.shape == (2, 768)
+    np.testing.assert_allclose(
+        np.linalg.norm(out, axis=-1), np.ones(2), atol=1e-4
+    )
+    # trained params, not the seeded ones
+    import jax
+
+    seeded = DeviceTextEncoder(
+        dim=768, depth=enc.module.depth, heads=enc.module.heads,
+        max_len=enc.max_len, seed=0,
+    )
+    a = jax.tree.leaves(enc.params)[0]
+    b = jax.tree.leaves(seeded.params)[0]
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    # non-tower checkpoints are rejected loudly
+    import pytest as _pytest
+
+    cfg2 = TrainConfig(
+        data_root=fixture_data_root,
+        out_dir=str(tmp_path / "plain"),
+        batch_size=8,
+        epochs=1,
+        seed=0,
+        cache_to_disk=False,
+        log_metrics_jsonl=False,
+    )
+    ForensicTrainer(cfg2).fit()
+    with _pytest.raises(ValueError):
+        DeviceTextEncoder.from_checkpoint(str(tmp_path / "plain"))

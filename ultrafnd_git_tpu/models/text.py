@@ -161,8 +161,25 @@ class BERTContextEncoder:
     # ------------------------------------------------------------------
     def _tower(self):
         if self._device_tower is None and self._want_device_tower:
+            import os
+
             from ultrafnd_git_tpu.models.transformer import DeviceTextEncoder
 
+            # ULTRAFND_TEXT_DEVICE_CKPT=<out_dir>: serve the TRAINED
+            # tower of a --train_text_tower checkpoint instead of the
+            # experimental seeded one
+            ckpt_dir = os.environ.get("ULTRAFND_TEXT_DEVICE_CKPT")
+            if ckpt_dir:
+                try:
+                    self._device_tower = DeviceTextEncoder.from_checkpoint(
+                        ckpt_dir
+                    )
+                    return self._device_tower
+                except Exception as exc:
+                    print(
+                        f"⚠️  trained-tower rung unavailable ({exc!r}); "
+                        "using the seeded tower"
+                    )
             self._device_tower = DeviceTextEncoder(
                 dim=self.dim,
                 heads=max(1, self.dim // 64),  # 64-wide heads, dim-divisible

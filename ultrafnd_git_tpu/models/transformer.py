@@ -233,6 +233,46 @@ class DeviceTextEncoder:
         self.params = params
         self.trained = True
 
+    @classmethod
+    def from_checkpoint(
+        cls, out_dir: str, checkpoint_name: str = "best"
+    ) -> "DeviceTextEncoder":
+        """Build an encoder serving the TRAINED tower of a
+        `--train_text_tower` checkpoint (closes the fine-tune loop: the
+        jointly-trained tower becomes a standalone text-encoder rung)."""
+        import json
+        from pathlib import Path
+
+        import orbax.checkpoint as ocp
+
+        root = Path(out_dir)
+        meta_path = root / checkpoint_name / "meta.json"
+        with open(meta_path, "r", encoding="utf-8") as fh:
+            meta = json.load(fh)
+        saved_cfg = meta.get("cfg", {})
+        if not saved_cfg.get("train_text_tower"):
+            raise ValueError(
+                f"checkpoint at {root} was not trained with "
+                "--train_text_tower; nothing to serve"
+            )
+        from ultrafnd_git_tpu.data.cache import TOWER_IDS_LEN, TOWER_VOCAB
+        from ultrafnd_git_tpu.training import checkpoint as ckpt
+
+        ckpt.wait_for_writes()
+        restored = ocp.PyTreeCheckpointer().restore(
+            str((root / checkpoint_name / "state").resolve())
+        )
+        tower_params = restored["params"]["text_tower"]
+        enc = cls(
+            dim=768,
+            depth=int(saved_cfg.get("text_tower_depth", 2)),
+            heads=int(saved_cfg.get("text_tower_heads", 12)),
+            max_len=TOWER_IDS_LEN,
+            vocab_size=TOWER_VOCAB,
+        )
+        enc.load_params(jax.tree.map(jnp.asarray, tower_params))
+        return enc
+
     def encode_batch(
         self, texts: Sequence[str], batch_size: int = 512
     ) -> np.ndarray:
