@@ -49,6 +49,8 @@ PEAK_FLOPS = 197e12
 
 
 def synthetic_cache(n: int, seed: int = 0) -> dict:
+    from ultrafnd_git_tpu.data.cache import TOWER_IDS_LEN, TOWER_VOCAB
+
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, 2, size=n).astype(np.int64)
     vocab = [f"tok{i}" for i in range(VOCAB)]
@@ -67,8 +69,10 @@ def synthetic_cache(n: int, seed: int = 0) -> dict:
         "visual": rng.standard_normal((n, 512)).astype(np.float32),
         "temporal": rng.standard_normal((n, 256)).astype(np.float32),
         "aux": rng.uniform(size=(n, 2)).astype(np.float32),
-        "text_ids": rng.integers(1, 32768, size=(n, 64)).astype(np.int32),
-        "text_mask": np.ones((n, 64), np.float32),
+        "text_ids": rng.integers(
+            1, TOWER_VOCAB, size=(n, TOWER_IDS_LEN)
+        ).astype(np.int32),
+        "text_mask": np.ones((n, TOWER_IDS_LEN), np.float32),
         "ocr_sets": ocr_sets,
         "split": (split[:k1], split[k1:k2], split[k2:]),
     }

@@ -76,8 +76,6 @@ def test_from_checkpoint_serves_trained_tower(fixture_data_root, tmp_path):
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
     # non-tower checkpoints are rejected loudly
-    import pytest as _pytest
-
     cfg2 = TrainConfig(
         data_root=fixture_data_root,
         out_dir=str(tmp_path / "plain"),
@@ -88,5 +86,5 @@ def test_from_checkpoint_serves_trained_tower(fixture_data_root, tmp_path):
         log_metrics_jsonl=False,
     )
     ForensicTrainer(cfg2).fit()
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         DeviceTextEncoder.from_checkpoint(str(tmp_path / "plain"))

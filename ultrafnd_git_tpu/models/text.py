@@ -167,19 +167,15 @@ class BERTContextEncoder:
 
             # ULTRAFND_TEXT_DEVICE_CKPT=<out_dir>: serve the TRAINED
             # tower of a --train_text_tower checkpoint instead of the
-            # experimental seeded one
+            # experimental seeded one. Failures RAISE — the user asked
+            # for trained weights; silently degrading to random features
+            # would poison every downstream cache/score.
             ckpt_dir = os.environ.get("ULTRAFND_TEXT_DEVICE_CKPT")
             if ckpt_dir:
-                try:
-                    self._device_tower = DeviceTextEncoder.from_checkpoint(
-                        ckpt_dir
-                    )
-                    return self._device_tower
-                except Exception as exc:
-                    print(
-                        f"⚠️  trained-tower rung unavailable ({exc!r}); "
-                        "using the seeded tower"
-                    )
+                self._device_tower = DeviceTextEncoder.from_checkpoint(
+                    ckpt_dir
+                )
+                return self._device_tower
             self._device_tower = DeviceTextEncoder(
                 dim=self.dim,
                 heads=max(1, self.dim // 64),  # 64-wide heads, dim-divisible
@@ -212,9 +208,19 @@ class BERTContextEncoder:
 
     def encode_batch(self, texts: Sequence[str]) -> np.ndarray:
         """Encode many strings at once; empty strings map to zero vectors."""
+        import os
+
         texts = list(texts)
         if not texts:
             return np.zeros((0, self.dim), dtype=np.float32)
+        # An explicitly-requested TRAINED tower outranks the HF rung —
+        # otherwise a cached bert-base would silently shadow the
+        # fine-tuned weights the user pointed at.
+        if (
+            self._want_device_tower
+            and os.environ.get("ULTRAFND_TEXT_DEVICE_CKPT")
+        ):
+            return self._encode_nonempty(texts, self._tower().encode_batch)
         if self.use_hf:
             try:
                 return self._encode_nonempty(texts, self._hf_encode_batch)

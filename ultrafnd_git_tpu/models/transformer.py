@@ -203,6 +203,7 @@ class DeviceTextEncoder:
         vocab_size: int = 32768,
         seed: int = 0,
         attention_backend: str = "auto",
+        init_params: bool = True,
     ):
         self.max_len = max_len
         self.vocab_size = vocab_size
@@ -215,11 +216,16 @@ class DeviceTextEncoder:
             max_len=max_len,
             attention_backend=attention_backend,
         )
-        ids = jnp.zeros((1, max_len), jnp.int32)
-        mask = jnp.ones((1, max_len), jnp.float32)
-        self.params = self.module.init(
-            jax.random.PRNGKey(seed), ids, mask, deterministic=True
-        )["params"]
+        if init_params:
+            ids = jnp.zeros((1, max_len), jnp.int32)
+            mask = jnp.ones((1, max_len), jnp.float32)
+            self.params = self.module.init(
+                jax.random.PRNGKey(seed), ids, mask, deterministic=True
+            )["params"]
+        else:
+            # caller installs params via load_params (skips a throwaway
+            # random init of the full tower)
+            self.params = None
         self.trained = False
         self._warned = False
         self._apply = jax.jit(
@@ -235,18 +241,42 @@ class DeviceTextEncoder:
 
     @classmethod
     def from_checkpoint(
-        cls, out_dir: str, checkpoint_name: str = "best"
+        cls, out_dir: str, checkpoint_name: Optional[str] = None
     ) -> "DeviceTextEncoder":
         """Build an encoder serving the TRAINED tower of a
         `--train_text_tower` checkpoint (closes the fine-tune loop: the
-        jointly-trained tower becomes a standalone text-encoder rung)."""
+        jointly-trained tower becomes a standalone text-encoder rung).
+
+        Tries the `best` slot then `latest` (save_best=False runs write
+        only `latest`). Raises on any failure — this constructor exists
+        to serve TRAINED weights; a silent fallback to random features
+        would defeat it. (Same-process async saves are barriered; a
+        checkpoint mid-write by ANOTHER process can still fail restore —
+        it raises here, like any corrupt slot.)
+        """
         import json
         from pathlib import Path
 
         import orbax.checkpoint as ocp
 
+        from ultrafnd_git_tpu.data.cache import TOWER_VOCAB
+        from ultrafnd_git_tpu.training import checkpoint as ckpt
+
+        ckpt.wait_for_writes()
         root = Path(out_dir)
-        meta_path = root / checkpoint_name / "meta.json"
+        slots = (
+            [checkpoint_name] if checkpoint_name else ["best", "latest"]
+        )
+        meta_path = None
+        for slot in slots:
+            cand = root / slot / "meta.json"
+            if cand.exists():
+                meta_path, checkpoint_name = cand, slot
+                break
+        if meta_path is None:
+            raise FileNotFoundError(
+                f"no checkpoint slot ({'/'.join(slots)}) under {root}"
+            )
         with open(meta_path, "r", encoding="utf-8") as fh:
             meta = json.load(fh)
         saved_cfg = meta.get("cfg", {})
@@ -255,20 +285,19 @@ class DeviceTextEncoder:
                 f"checkpoint at {root} was not trained with "
                 "--train_text_tower; nothing to serve"
             )
-        from ultrafnd_git_tpu.data.cache import TOWER_IDS_LEN, TOWER_VOCAB
-        from ultrafnd_git_tpu.training import checkpoint as ckpt
-
-        ckpt.wait_for_writes()
         restored = ocp.PyTreeCheckpointer().restore(
             str((root / checkpoint_name / "state").resolve())
         )
         tower_params = restored["params"]["text_tower"]
+        embed = np.asarray(tower_params["tok_embed"]["embedding"])
+        pos = np.asarray(tower_params["pos_embed"])
         enc = cls(
-            dim=768,
+            dim=int(embed.shape[1]),  # trained width, not an assumption
             depth=int(saved_cfg.get("text_tower_depth", 2)),
             heads=int(saved_cfg.get("text_tower_heads", 12)),
-            max_len=TOWER_IDS_LEN,
-            vocab_size=TOWER_VOCAB,
+            max_len=int(pos.shape[1]),
+            vocab_size=int(embed.shape[0]) or TOWER_VOCAB,
+            init_params=False,  # load_params below installs the real ones
         )
         enc.load_params(jax.tree.map(jnp.asarray, tower_params))
         return enc

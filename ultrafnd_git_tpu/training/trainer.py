@@ -230,6 +230,13 @@ class ForensicTrainer:
         if self.EVID is not None:
             self.corpus["evidence"] = self.EVID
         if cfg.train_text_tower:
+            if float(np.asarray(self.cache["text_mask"]).sum()) == 0.0:
+                raise ValueError(
+                    "--train_text_tower needs token ids, but this cache "
+                    "has none (a pre-v3 cache loads with zero-filled "
+                    "ids) — delete feature_cache.npz in the out_dir to "
+                    "rebuild it"
+                )
             # the cached text rows are unused with the tower — carrying
             # them through every step would be dead HBM/argument traffic
             self.corpus["text_ids"] = rep(
