@@ -133,6 +133,11 @@ class TemporalSyncNet:
         self.params = self.module.init(
             jax.random.PRNGKey(seed), dummy, dummy, deterministic=True
         )
+        # Stays on the DEFAULT backend deliberately: pinning this to the
+        # host CPU was tried to dodge the tunnel's ~90 ms dispatch, but
+        # at corpus-size batches the (B, 4D+1)->512->256 MLP is ~GFLOPs
+        # — seconds on a 1-core host vs sub-ms on the chip (measured:
+        # TPU serving dropped 578 -> 300 records/s with the CPU pin).
         self._apply = jax.jit(
             lambda p, t, v: self.module.apply(p, t, v, deterministic=True)
         )
