@@ -190,6 +190,7 @@ def main():
         scan_epoch=not args.no_scan_epoch,
         bf16_compute=args.bf16,
         resume=args.resume,
+        eval_only=args.eval_only,
         profile_dir=args.profile_dir,
         train_text_tower=args.train_text_tower,
     )

@@ -87,6 +87,7 @@ class TrainConfig:
     # --- TPU-native extras (absent in the reference) ---
     cache_to_disk: bool = True  # persist feature cache; eval-only reuses it
     resume: bool = False  # restart from the `latest` checkpoint if present
+    eval_only: bool = False  # no fit(); test() restores `best` (CLI hint)
     dp: Optional[int] = None  # data-parallel mesh size (None = no mesh)
     tp: int = 1  # tensor-parallel mesh size
     shard_corpus: bool = False  # shard (N, D) corpus rows over 'data'
@@ -114,33 +115,37 @@ class ForensicTrainer:
     def __init__(self, cfg: TrainConfig, cache: Optional[Dict[str, Any]] = None):
         self.cfg = cfg
         os.makedirs(cfg.out_dir, exist_ok=True)
-        # Adopt train_text_tower from an existing checkpoint: without it
+        # Adopt train_text_tower from the checkpoint that will actually
+        # be RESTORED (resume -> latest, eval_only -> best): without it
         # the restore template lacks the tower pytree, the guarded load
         # fails, and --eval_only would silently score random weights.
-        if not cfg.train_text_tower:
+        # A fresh training run (neither flag) keeps the user's requested
+        # architecture — its checkpoints overwrite the old ones anyway.
+        adopt_slot = (
+            "latest" if cfg.resume else ("best" if cfg.eval_only else None)
+        )
+        if adopt_slot and not cfg.train_text_tower:
             import json as _json
 
-            for slot in ("best", "latest"):
-                meta_p = os.path.join(cfg.out_dir, slot, "meta.json")
-                if os.path.exists(meta_p):
-                    try:
-                        with open(meta_p, "r", encoding="utf-8") as fh:
-                            saved = _json.load(fh).get("cfg", {})
-                    except Exception:
-                        continue
-                    if saved.get("train_text_tower"):
-                        print(
-                            "note: checkpoint was trained with "
-                            "--train_text_tower; adopting it"
-                        )
-                        cfg.train_text_tower = True
-                        cfg.text_tower_depth = int(
-                            saved.get("text_tower_depth", 2)
-                        )
-                        cfg.text_tower_heads = int(
-                            saved.get("text_tower_heads", 12)
-                        )
-                    break
+            meta_p = os.path.join(cfg.out_dir, adopt_slot, "meta.json")
+            if os.path.exists(meta_p):
+                try:
+                    with open(meta_p, "r", encoding="utf-8") as fh:
+                        saved = _json.load(fh).get("cfg", {})
+                except Exception:
+                    saved = {}
+                if saved.get("train_text_tower"):
+                    print(
+                        "note: checkpoint was trained with "
+                        "--train_text_tower; adopting it"
+                    )
+                    cfg.train_text_tower = True
+                    cfg.text_tower_depth = int(
+                        saved.get("text_tower_depth", 2)
+                    )
+                    cfg.text_tower_heads = int(
+                        saved.get("text_tower_heads", 12)
+                    )
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
@@ -179,7 +184,12 @@ class ForensicTrainer:
             if (cfg.shard_corpus and self.mesh is not None)
             else self._put_replicated
         )
-        self.TEXT = put(self.cache["text"])
+        # tower mode never reads the cached text rows on device — only
+        # their width; uploading them would pin dead HBM for the run
+        self.text_width = int(self.cache["text"].shape[1])
+        self.TEXT = (
+            None if cfg.train_text_tower else put(self.cache["text"])
+        )
         self.AUD = put(self.cache["audio"])
         self.VIS = put(self.cache["visual"])
         self.TEMP = put(self.cache["temporal"])
@@ -267,7 +277,7 @@ class ForensicTrainer:
         self.rng, k_f, k_c, k_g, k_state = jax.random.split(self.rng, 5)
         B = cfg.batch_size
         dummy_feats = {
-            "text_features": jnp.zeros((B, self.TEXT.shape[1])),
+            "text_features": jnp.zeros((B, self.text_width)),
             "audio_features": jnp.zeros((B, self.AUD.shape[1])),
             "visual_features": jnp.zeros((B, self.VIS.shape[1])),
             "temporal_features": jnp.zeros((B, self.TEMP.shape[1])),
@@ -291,7 +301,7 @@ class ForensicTrainer:
 
             L = int(self.cache["text_ids"].shape[1])
             self.text_tower = TextTransformer(
-                width=int(self.TEXT.shape[1]),
+                width=self.text_width,
                 depth=cfg.text_tower_depth,
                 heads=cfg.text_tower_heads,
                 vocab_size=TOWER_VOCAB,
@@ -308,7 +318,12 @@ class ForensicTrainer:
                 deterministic=True,
             )["params"]
 
-        if cfg.use_gnn:
+        if cfg.use_gnn and not (
+            cfg.eval_only and ckpt.checkpoint_exists(cfg.out_dir, "best")
+        ):
+            # degree-recon warm start; skipped when eval-only is about to
+            # restore `best` wholesale (two full-graph steps of pure
+            # waste, O(N^2) on the graph-scaling path)
             params["gnn"] = self._pretrain_gnn(params["gnn"])
 
         # ---- 5) optimizer + state ----------------------------------------
@@ -353,18 +368,24 @@ class ForensicTrainer:
 
     # ------------------------------------------------------------------
     def _put_replicated(self, x: np.ndarray) -> jax.Array:
-        arr = jnp.asarray(x)
         if self.mesh is not None:
-            return jax.device_put(arr, meshlib.replicated(self.mesh))
-        return jax.device_put(arr)
+            # multi-host aware: device_put with a sharding spanning
+            # non-addressable devices fails on multi-process slices; the
+            # mesh helper assembles from per-process local data there
+            # (single-process takes the plain device_put path inside)
+            return meshlib.put_replicated_global(np.asarray(x), self.mesh)
+        return jax.device_put(jnp.asarray(x))
 
     def _put_row_sharded(self, x: np.ndarray) -> jax.Array:
         """Shard leading (node) axis over 'data'; replicate if not divisible."""
-        arr = jnp.asarray(x)
+        arr = np.asarray(x)
         dp = self.mesh.shape[meshlib.DATA_AXIS]
-        if arr.shape[0] % dp:
+        if arr.shape[0] % dp or (
+            jax.process_count() > 1
+            and arr.shape[0] % jax.process_count()
+        ):
             return self._put_replicated(arr)
-        return jax.device_put(arr, meshlib.batch_sharding(self.mesh))
+        return meshlib.put_global_batch(arr, self.mesh)
 
     def _batch_arrays(self, idx: np.ndarray, mask: np.ndarray):
         if self.mesh is not None:
@@ -511,19 +532,14 @@ class ForensicTrainer:
                     params, idx, corpus, deterministic=False, rng=rng
                 )
                 loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
-                return loss, (ce, p1, forensic)
+                return loss, (p1, forensic)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
             state = state.apply_gradients(grads, self.tx)
-            ce, p1, forensic = aux
-            return state, {
-                "loss": loss,
-                "ce": ce,
-                "p1": p1,
-                "forensic": forensic,
-            }
+            p1, forensic = aux
+            return state, {"loss": loss, "p1": p1, "forensic": forensic}
 
         return step
 
@@ -533,7 +549,7 @@ class ForensicTrainer:
                 params, idx, corpus, deterministic=True
             )
             loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
-            return {"loss": loss, "ce": ce, "p1": p1, "forensic": forensic}
+            return {"loss": loss, "p1": p1, "forensic": forensic}
 
         return step
 
