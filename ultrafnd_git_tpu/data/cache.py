@@ -49,6 +49,19 @@ TOWER_IDS_LEN = 64  # tokens kept per record for the trainable tower
 TOWER_VOCAB = 32768  # stable-hash vocabulary (models/transformer.py)
 
 
+def alignment_delay(u_ref: np.ndarray, u: np.ndarray) -> np.ndarray:
+    """Per-row delay proxy: clip(1 - cos(align(T,T), align(T,V)), 0, 1).
+
+    The ONE copy of the aux[:, 0] formula (reference
+    fakesv_dataset.py:179-182) — used by both the cache builder and the
+    v1 raw-media extractor so the two pipelines cannot drift.
+    """
+    an = np.linalg.norm(u_ref, axis=-1) + 1e-9
+    bn = np.linalg.norm(u, axis=-1) + 1e-9
+    cos = np.sum(u_ref * u, axis=-1) / (an * bn)
+    return np.clip(1.0 - cos, 0.0, 1.0).astype(np.float32)
+
+
 def _l2n_rows(x: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(x, axis=-1, keepdims=True)
     return (x / (n + 1e-9)).astype(np.float32)
@@ -156,12 +169,7 @@ def build_feature_cache(
     U_tt = tsync.align_batch(T, T)  # reference alignment of text to itself
 
     # ---- aux: delay + emotion proxies --------------------------------------
-    def _row_cos(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        an = np.linalg.norm(a, axis=-1) + 1e-9
-        bn = np.linalg.norm(b, axis=-1) + 1e-9
-        return np.sum(a * b, axis=-1) / (an * bn)
-
-    delay = np.clip(1.0 - _row_cos(U_tt, U), 0.0, 1.0)
+    delay = alignment_delay(U_tt, U)
     emo = np.array(
         [
             min(

@@ -71,20 +71,29 @@ def load_video_frames(
     num_frames: int = NUM_FRAMES,
     size=FRAME_SIZE,
     dtype=np.uint8,
+    on_failure=None,
 ) -> np.ndarray:
     """Decode -> (num_frames, H, W, 3) uint8 [0, 255]; dummy on failure.
 
     Pass `dtype=np.float32` for the reference's float [0, 1] contract
     (ref :313 divides at decode); the default stays in the codec's native
-    uint8 — see the module docstring for why.
+    uint8 — see the module docstring for why. `on_failure` is invoked
+    once whenever the dummy clip is returned, so callers can count real
+    decode failures (an all-zero clip is indistinguishable by content).
     """
     dummy = np.zeros((num_frames, size[0], size[1], 3), dtype=dtype)
-    if not _HAS_CV2:
+
+    def _fail() -> np.ndarray:
+        if on_failure is not None:
+            on_failure()
         return dummy
+
+    if not _HAS_CV2:
+        return _fail()
     try:
         cap = cv2.VideoCapture(str(video_path))
         if not cap.isOpened():
-            return dummy
+            return _fail()
         frames: List[np.ndarray] = []
         while len(frames) < num_frames:
             ok, frame = cap.read()
@@ -95,7 +104,7 @@ def load_video_frames(
             frames.append(rgb)
         cap.release()
         if not frames:
-            return dummy
+            return _fail()
         while len(frames) < num_frames:  # last-frame pad (ref :329-333)
             frames.append(frames[-1])
         out = np.stack(frames[:num_frames])
@@ -106,7 +115,7 @@ def load_video_frames(
             return out.astype(dtype) / np.dtype(dtype).type(255.0)
         return out
     except Exception:
-        return dummy
+        return _fail()
 
 
 def frames_float01(frames: np.ndarray) -> np.ndarray:
@@ -148,10 +157,14 @@ def load_audio_waveform(
     p = Path(media_path)
 
     def _finalize(wave: np.ndarray, sr_in: int) -> np.ndarray:
+        # capture the SOURCE dtype before the stereo mean promotes to
+        # float (a stereo int16 would otherwise skip normalization and
+        # come out at +-32767 instead of +-1)
+        src_dtype = wave.dtype
         if wave.ndim == 2:  # stereo -> mono
             wave = wave.mean(axis=1)
-        if np.issubdtype(wave.dtype, np.integer):
-            wave = wave.astype(np.float32) / float(np.iinfo(wave.dtype).max)
+        if np.issubdtype(src_dtype, np.integer):
+            wave = wave.astype(np.float32) / float(np.iinfo(src_dtype).max)
         wave = _resample_poly(wave.astype(np.float32), int(sr_in), sr)
         wave = wave[: sr * max_s]
         if wave.size < sr * min_s:
@@ -302,7 +315,12 @@ class RawMediaDataset:
             audio = np.zeros(AUDIO_LEN, dtype=np.float32)
             self.decode_failures += 1
         else:
-            frames = load_video_frames(vp, self.num_frames)
+            def _count():
+                self.decode_failures += 1
+
+            frames = load_video_frames(
+                vp, self.num_frames, on_failure=_count
+            )
             audio = load_audio_waveform(vp)
 
         comments = list(rec["comments"])

@@ -181,14 +181,21 @@ def _segment_bounds(t: int, n_pyr: int):
 
 
 def flow_stats(
-    mag: jnp.ndarray, ang: jnp.ndarray, n_pyr: int = 3, dim: int = 256
+    mag: jnp.ndarray,
+    ang: jnp.ndarray,
+    n_pyr: int = 3,
+    dim: int = 256,
+    hist_scale: float = 1.0,
 ) -> jnp.ndarray:
     """(T-1, H, W) magnitude/orientation -> pooled (dim,) feature.
 
     Identical layout to OpticalFlow3DCNN._pool_flow: per pyramid segment
     [mean, std, max] of the time-averaged magnitude map + the 8-bin
     histogram of the time-averaged orientation map, tiled to `dim` and
-    L2-normalized.
+    L2-normalized. `hist_scale` compensates a coarser grid: the host
+    ladder histograms over full-raster pixels, so a block-grid caller
+    passes (full pixels / grid cells) to keep the counts' relative
+    weight against the magnitude stats comparable after the L2 norm.
     """
     feats = []
     for a, b in _segment_bounds(mag.shape[0], n_pyr):
@@ -198,7 +205,7 @@ def flow_stats(
         idx = jnp.clip(jnp.floor(an * 8.0), 0, 7).astype(jnp.int32)
         hist = jnp.stack(
             [(idx == k).sum().astype(jnp.float32) for k in range(8)]
-        )
+        ) * jnp.float32(hist_scale)
         feats.append(hist)
     flat = jnp.concatenate(
         [f.reshape(-1) if hasattr(f, "reshape") else jnp.array([f])
@@ -278,8 +285,15 @@ def device_cv_stage(
         b, t - 1, gh, gw
     )
 
+    # grid histograms carry (RASTER^2 / grid cells) weight each so the
+    # count-vs-magnitude balance inside the L2-normalized feature matches
+    # the host ladder's full-raster histograms (a mismatch would shift
+    # the visual-feature distribution between the two rungs)
+    hist_scale = float(RASTER * RASTER) / float(gh * gw)
     flow_feat = jax.vmap(
-        lambda m, a: flow_stats(m, a, n_pyr=n_pyr, dim=flow_dim)
+        lambda m, a: flow_stats(
+            m, a, n_pyr=n_pyr, dim=flow_dim, hist_scale=hist_scale
+        )
     )(mag, ang)
     cuts = jax.vmap(cut_scores_device)(gray)
     flow_mags = mag.mean(axis=(-1, -2))

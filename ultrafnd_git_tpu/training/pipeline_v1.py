@@ -158,6 +158,16 @@ class BatchFeatureExtractor:
         )
         return gray.reshape(b, t, h, w)
 
+    def _cv_pool(self):
+        """One long-lived pool — a fresh executor per batch would spawn
+        new threads each time and the thread-local TV-L1 solvers in
+        `thread_flow` would never see a cache hit."""
+        if getattr(self, "_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=8)
+        return self._pool
+
     def _device_cv_block(self, frames) -> Optional[tuple]:
         """Try the accelerator CV stage; None routes to the host ladder."""
         if self._device_cv is None:
@@ -239,12 +249,7 @@ class BatchFeatureExtractor:
         if device_out is not None:
             flow_feats, ela_feats, tamper_list = device_out
         else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(
-                max_workers=min(8, len(frames))
-            ) as pool:
-                cv_out = list(pool.map(cv_worker, frames))
+            cv_out = list(self._cv_pool().map(cv_worker, frames))
             flow_feats, ela_feats, tamper_list = zip(*cv_out)
         V = np.concatenate(
             [np.stack(flow_feats), np.stack(ela_feats)], axis=1
@@ -255,13 +260,9 @@ class BatchFeatureExtractor:
         U = self.tsync.align_batch(T, V)  # (B, 256)
         U_tt = self.tsync.align_batch(T, T)
 
-        def row_cos(a, b):
-            return np.sum(a * b, axis=-1) / (
-                (np.linalg.norm(a, axis=-1) + 1e-9)
-                * (np.linalg.norm(b, axis=-1) + 1e-9)
-            )
+        from ultrafnd_git_tpu.data.cache import alignment_delay
 
-        delay = np.clip(1.0 - row_cos(U_tt, U), 0.0, 1.0).astype(np.float32)
+        delay = alignment_delay(U_tt, U)
 
         # Real evidence scorers, wired in (fixes SURVEY §2.1 latent bug)
         full_text = [
@@ -495,23 +496,40 @@ def prefetched(iterator, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()  # consumer gone — producer must drain out
+
+    def _put(item) -> bool:
+        # bounded put: if the consumer abandoned the generator (raise /
+        # GC mid-epoch), a blocking put would pin this thread plus its
+        # decoded batches for the life of the process
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterator:
-                q.put(item)
-            q.put(sentinel)
+                if not _put(item):
+                    return
+            _put(sentinel)
         except BaseException as exc:  # surfaced on the consumer side
-            q.put(exc)
+            _put(exc)
 
     threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 # ----------------------------------------------------------------------
@@ -523,7 +541,14 @@ def train_and_evaluate(
     debug_mode: bool = False,
     cfg: Optional[V1Config] = None,
 ) -> Dict[str, float]:
-    cfg = cfg or V1Config(data_dir=data_dir, debug_mode=debug_mode)
+    if cfg is None:
+        cfg = V1Config(data_dir=data_dir, debug_mode=debug_mode)
+    else:
+        # positional args must not be silently ignored when cfg is given
+        if data_dir is not None and cfg.data_dir is None:
+            cfg.data_dir = data_dir
+        if debug_mode:
+            cfg.debug_mode = True
     host_rng = np.random.default_rng(cfg.seed)
     trainer = EnsembleTrainer(cfg)
 
@@ -539,7 +564,9 @@ def train_and_evaluate(
 
     if use_dummy:
         batches = _dummy_feature_batches(
-            cfg.dummy_samples, cfg.batch_size, cfg.seed
+            cfg.dummy_samples,
+            min(cfg.batch_size, cfg.dummy_samples),  # never zero batches
+            cfg.seed,
         )
         k = max(1, int(0.75 * len(batches)))
         train_batches, val_batches = batches[:k], batches[k:] or batches[:1]
@@ -614,11 +641,13 @@ def train_and_evaluate(
 
     best_acc, best_auc, no_improve = -1.0, 0.5, 0
     loss = 0.0  # stays 0.0 when epochs == 0 (eval-only call)
+    last_eval = None  # (acc, auc) of the most recent in-loop evaluation
     for epoch in range(1, cfg.epochs + 1):
         loss = epoch_train()
         line = f"[v1 Epoch {epoch:02d}/{cfg.epochs}] loss={loss:.4f}"
         if epoch % cfg.eval_every == 0 or epoch == cfg.epochs:
             acc, auc = evaluate()
+            last_eval = (acc, auc)
             line += f" | val acc={acc:.3f} auc={auc:.3f}"
             if acc > best_acc + 1e-6:
                 best_acc, best_auc, no_improve = acc, auc, 0
@@ -629,12 +658,20 @@ def train_and_evaluate(
             print("↳ Early stopping")
             break
 
-    acc, auc = evaluate()
-    best_acc = max(best_acc, acc)
+    # the last epoch always evaluates inside the loop — a second full
+    # validation pass (decode + flow over the whole split) would just
+    # recompute it; only early-stopped/epochs=0 runs still need one
+    if last_eval is not None and no_improve < cfg.early_stop_patience:
+        acc, auc = last_eval
+    else:
+        acc, auc = evaluate()
+    if acc > best_acc:
+        best_acc, best_auc = acc, auc
     return {
         "val_acc": acc,
         "val_auc": auc,
         "best_val_acc": best_acc,
+        "best_val_auc": best_auc,
         "loss": loss,
         "ensemble_size": cfg.ensemble_size,
         "steps": trainer.step_count,
