@@ -93,6 +93,88 @@ def write_media(records, n_media: int = 8) -> None:
     print(f"wrote media for {n_media} records under {vid_dir}")
 
 
+HARD_OUT = Path(__file__).resolve().parents[1] / "tests" / "fixtures" / "fakesv_hard"
+
+# Reference aux-path sensational terms (fakesv_dataset.py:184) — included with
+# class-skewed rates so the aux features carry (noisy) signal too.
+EMO_TERMS = ["恐惧", "警告", "危险", "外星", "消失", "危机", "谣言", "假"]
+
+
+def make_hard_fixture(
+    n: int = 640,
+    own_pool_p: float = 0.30,
+    cross_pool_p: float = 0.12,
+    label_flip_p: float = 0.10,
+    seed: int = 20260817,
+    out: Path = None,
+) -> Path:
+    """Non-saturating parity fixture (VERDICT r2 item 1).
+
+    The tiny fixture's titles carry the class word verbatim, so any trainer
+    pins AUC at 1.0 from epoch 1 and the 0.5-pt parity bar is unfalsifiable.
+    Here the class signal is *distributional*: every record's tokens come
+    from a shared neutral vocabulary, with class-leaning tokens mixed in at
+    overlapping rates (own-class 0.30 vs cross-class 0.12 per token), and
+    10% of annotations are label-flipped. Independent label noise at rate p
+    caps achievable AUC at 1-p (a perfect scorer mis-orders exactly the
+    flipped pairs), so a well-trained model lands in ~(0.75, 0.90) —
+    strictly inside (0.5, 1.0), where a 0.5-pt metric delta is meaningful.
+    """
+    out = out or HARD_OUT
+    rng = random.Random(seed)
+    out.mkdir(parents=True, exist_ok=True)
+
+    neutral = [f"话题{i:03d}" for i in range(120)]
+    # class-leaning pools (disjoint surface forms; overlap comes from the
+    # sampling mixture, not shared tokens)
+    fake_pool = [f"危言{i:02d}" for i in range(30)]
+    real_pool = [f"实证{i:02d}" for i in range(30)]
+    comment_pool = COMMENTS + [f"评论{i:02d}" for i in range(12)]
+
+    def sample_tokens(true_fake: bool, k: int):
+        own = fake_pool if true_fake else real_pool
+        other = real_pool if true_fake else fake_pool
+        toks = []
+        for _ in range(k):
+            u = rng.random()
+            if u < own_pool_p:
+                toks.append(rng.choice(own))
+            elif u < own_pool_p + cross_pool_p:
+                toks.append(rng.choice(other))
+            else:
+                toks.append(rng.choice(neutral))
+        return toks
+
+    records = []
+    for i in range(n):
+        true_fake = i % 2 == 0  # balanced true classes
+        title_toks = sample_tokens(true_fake, 8)
+        ocr_toks = sample_tokens(true_fake, 10)
+        # aux-path signal: sensational terms appear more often on true-fake
+        emo_rate = 0.35 if true_fake else 0.12
+        if rng.random() < emo_rate:
+            title_toks.append(rng.choice(EMO_TERMS))
+        if rng.random() < emo_rate:
+            ocr_toks.append(rng.choice(EMO_TERMS))
+        observed_fake = true_fake
+        if rng.random() < label_flip_p:
+            observed_fake = not observed_fake
+        rec = {
+            "video_id": f"hard_{i:05d}",
+            "title": " ".join(title_toks),
+            "ocr": " ".join(ocr_toks) if i % 11 else "",
+            "annotation": ("假" if observed_fake else "辟谣"),
+            "comments": rng.sample(comment_pool, rng.randint(0, 4)),
+        }
+        records.append(rec)
+
+    with open(out / "data_complete.json", "w", encoding="utf-8") as fh:
+        for rec in records:
+            fh.write(json.dumps(rec, ensure_ascii=False) + "\n")
+    print(f"wrote {len(records)} hard records to {out/'data_complete.json'}")
+    return out
+
+
 def main() -> None:
     rng = random.Random(1234)
     OUT.mkdir(parents=True, exist_ok=True)
@@ -118,4 +200,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--hard" in sys.argv:
+        make_hard_fixture()
+    else:
+        main()

@@ -197,6 +197,44 @@ def test_scan_epoch_matches_per_step_loop(fixture_root, tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
 
 
+def test_scan_epoch_matches_per_step_loop_on_mesh(fixture_root, tmp_path):
+    """scan-epoch under a single-process dp=8 mesh (VERDICT r2 item 2):
+    the (steps, B) matrices shard on the batch axis, so the scanned epoch
+    must match the per-step mesh loop exactly."""
+    t_scan = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path / "scan", epochs=1, save_best=False,
+            dp=8, mesh_backend="cpu",
+        )
+    )
+    t_loop = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path / "loop", epochs=1, save_best=False,
+            dp=8, mesh_backend="cpu", scan_epoch=False,
+        )
+    )
+    assert t_scan.mesh is not None  # the scan path really runs under a mesh
+
+    l1, m1 = t_scan._epoch_loop(t_scan.va_idx, "val")
+    l2, m2 = t_loop._epoch_loop(t_loop.va_idx, "val")
+    assert abs(l1 - l2) < 1e-6
+    assert abs(m1["auc"] - m2["auc"]) < 1e-9
+
+    np.random.seed(7)
+    l1, _ = t_scan._epoch_loop(t_scan.tr_idx, "train")
+    np.random.seed(7)
+    l2, _ = t_loop._epoch_loop(t_loop.tr_idx, "train")
+    assert abs(l1 - l2) < 1e-6
+    assert int(t_scan.state.step) == int(t_loop.state.step) > 0
+    import jax
+
+    for x, y in zip(
+        jax.tree.leaves(t_scan.state.params),
+        jax.tree.leaves(t_loop.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
 def test_shard_graph_agrees_with_replicated(fixture_root, tmp_path):
     """Row-sharded (N, N) adjacency — the O(N^2) growth path — computes
     the same losses as the replicated default on the virtual mesh."""

@@ -99,8 +99,11 @@ class TrainConfig:
     # host->device call carries ~90 ms of fixed latency (BASELINE.md
     # "transfer degradation"), so per-step dispatch dominates wall time
     # at FakeSV batch counts; the scan ships the whole epoch's indices in
-    # one upload. Single-process only — the mesh path keeps per-step
-    # dispatch (put_global_batch assembles per-host rows step by step).
+    # one upload. Works with or without a mesh when single-process (the
+    # (steps, B) matrices shard on the batch axis, so each scan slice is
+    # the same batch-sharded array the per-step path builds); only true
+    # multi-PROCESS runs fall back to per-step dispatch, because there
+    # each host contributes local rows batch by batch (put_global_batch).
     scan_epoch: bool = True
     profile_dir: Optional[str] = None  # jax.profiler trace output
     debug_nans: bool = False
@@ -599,21 +602,29 @@ class ForensicTrainer:
                 threshold=0.5, include_cm=False,
             )
 
-        if cfg.scan_epoch and self.mesh is None:
+        if cfg.scan_epoch and (self.mesh is None or jax.process_count() == 1):
             # one device dispatch per epoch: scan the jitted step over
             # the (steps, B) index/mask matrices — numerically identical
-            # to the per-step loop (same step fn, same RNG stream)
+            # to the per-step loop (same step fn, same RNG stream).
+            # Under a single-process mesh the matrices shard on the batch
+            # axis so each scan slice matches the per-step placement;
+            # multi-process keeps per-step dispatch (per-host local rows).
             chunks = np.stack([c for c, _, _ in batches]).astype(np.int32)
             masks = np.stack([m for _, m, _ in batches]).astype(np.float32)
+            if self.mesh is not None:
+                es = meshlib.epoch_batch_sharding(self.mesh)
+                chunks_d = jax.device_put(chunks, es)
+                masks_d = jax.device_put(masks, es)
+            else:
+                chunks_d = jnp.asarray(chunks)
+                masks_d = jnp.asarray(masks)
             if is_train:
                 self.state, (loss, p1, forensic) = self._train_epoch(
-                    self.state, jnp.asarray(chunks), jnp.asarray(masks),
-                    self.corpus,
+                    self.state, chunks_d, masks_d, self.corpus,
                 )
             else:
                 loss, p1, forensic = self._eval_epoch(
-                    eval_params, jnp.asarray(chunks), jnp.asarray(masks),
-                    self.corpus,
+                    eval_params, chunks_d, masks_d, self.corpus,
                 )
             loss_arr, p1_mat, f_mat = loss, p1, forensic
         else:
