@@ -65,6 +65,14 @@ def parse_args():
                         "TextTransformer over the cache's stable-hash token "
                         "ids replaces the frozen cached text features "
                         "(gradients flow through the tower in-step)")
+    p.add_argument("--text_tower_depth", type=int, default=2,
+                   help="Transformer blocks in the --train_text_tower tower")
+    p.add_argument("--text_tower_heads", type=int, default=12,
+                   help="Attention heads in the --train_text_tower tower")
+    p.add_argument("--freeze_gnn", action="store_true",
+                   help="Keep the GCN frozen after its degree-recon "
+                        "pretrain (the reference's effective semantics); "
+                        "default trains it end-to-end in the step")
     p.add_argument("--no_scan_epoch", action="store_true",
                    help="Dispatch one device call per batch instead of "
                         "one jitted scan per epoch (debugging aid; the "
@@ -193,6 +201,9 @@ def main():
         eval_only=args.eval_only,
         profile_dir=args.profile_dir,
         train_text_tower=args.train_text_tower,
+        text_tower_depth=args.text_tower_depth,
+        text_tower_heads=args.text_tower_heads,
+        train_gnn=not args.freeze_gnn,
     )
 
     trainer = ForensicTrainer(cfg)

@@ -157,3 +157,30 @@ def test_v2_cache_still_loads(tmp_path, fixture_data_root):
     np.testing.assert_allclose(loaded["text"], cache["text"])
     assert loaded["text_ids"].shape == (len(cache["labels"]), TOWER_IDS_LEN)
     assert np.all(loaded["text_ids"] == 0)  # zero-filled placeholder
+
+
+def test_injected_cache_not_reused_under_other_args(tmp_path, fixture_data_root):
+    """An injected cache persists with an 'injected' fingerprint, so a
+    later bootstrap with real args rebuilds instead of trusting a cache
+    that was never built from them (ADVICE r2)."""
+    from ultrafnd_git_tpu.data.cache import bootstrap_cache
+
+    fake = {
+        "ids": np.array(["a", "b"], dtype=object),
+        "labels": np.array([0, 1], dtype=np.int64),
+        "text": np.zeros((2, 8), np.float32),
+        "audio": np.zeros((2, 4), np.float32),
+        "visual": np.zeros((2, 4), np.float32),
+        "temporal": np.zeros((2, 4), np.float32),
+        "aux": np.zeros((2, 2), np.float32),
+        "ocr_sets": [set(), set()],
+        "split": (np.array([0]), np.array([1]), np.array([], dtype=int)),
+    }
+    out = tmp_path / "o"
+    got = bootstrap_cache(fixture_data_root, str(out), cache=fake)
+    assert got is fake
+    assert (out / "feature_cache.npz").exists()
+    # same args, no injection: the 'injected' stamp must NOT satisfy the
+    # fingerprint gate — this call rebuilds from the fixture (65 records)
+    rebuilt = bootstrap_cache(fixture_data_root, str(out))
+    assert rebuilt["labels"].shape[0] != 2

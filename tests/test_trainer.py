@@ -79,6 +79,41 @@ def test_trainer_resume(fixture_root, tmp_path):
     assert int(t2.state.step) > step1
 
 
+def test_trainer_freeze_gnn(fixture_root, tmp_path):
+    """train_gnn=False (reference semantics): GNN params are bit-frozen
+    through training — no gradient updates AND no weight-decay drift —
+    while fusion/classifier params still move."""
+    import jax
+
+    t = ForensicTrainer(
+        _cfg(fixture_root, tmp_path, epochs=1, train_gnn=False)
+    )
+    gnn_before = jax.tree.map(np.asarray, t.state.params["gnn"])
+    fusion_before = np.asarray(
+        jax.tree.leaves(t.state.params["fusion"])[0]
+    ).copy()
+    t.fit()
+    for a, b in zip(
+        jax.tree.leaves(gnn_before), jax.tree.leaves(t.state.params["gnn"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(
+        fusion_before, np.asarray(jax.tree.leaves(t.state.params["fusion"])[0])
+    )
+    res = t.test()
+
+    # eval-only with DEFAULT flags must adopt train_gnn=False from the
+    # checkpoint meta (multi_transform opt_state) and restore cleanly —
+    # identical test metrics, not a warn-and-score-fresh-params fallback
+    t2 = ForensicTrainer(
+        _cfg(fixture_root, tmp_path, epochs=0, eval_only=True)
+    )
+    assert t2.cfg.train_gnn is False
+    res2 = t2.test()
+    assert abs(res2["test_auc"] - res["test_auc"]) < 1e-9
+    assert abs(res2["test_acc"] - res["test_acc"]) < 1e-9
+
+
 def test_trainer_bf16_compute(fixture_root, tmp_path):
     """bf16-compute/f32-master: trains, params stay f32, metrics sane."""
     import jax.numpy as jnp

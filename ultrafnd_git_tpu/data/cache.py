@@ -83,17 +83,19 @@ def make_encoders(
     visual_dim: int = 512,
     temporal_dim: int = 256,
     seed: int = 42,
+    with_evidence: bool = True,
 ) -> Dict[str, Any]:
     """Encoder set for the cache contract, built once and reusable.
 
     The serving Predictor featurizes every request batch; constructing
     encoders (and their jitted lambdas) per call would re-trace — build
     once, pass to build_feature_cache(encoders=...).
-    """
-    from ultrafnd_git_tpu.models.affective import AffectiveForensics
-    from ultrafnd_git_tpu.models.semantic import SemanticForgeryAnalyzer
 
-    return {
+    `with_evidence=False` skips constructing the evidence scorers
+    (affective + semantic) — two model loads/forwards a `use_evidence=False`
+    checkpoint never reads.
+    """
+    enc = {
         "text": BERTContextEncoder(dim=text_dim),
         "audio": SpectralForensics(dim=audio_dim),
         "flow": OpticalFlow3DCNN(dim=visual_dim // 2),
@@ -101,9 +103,14 @@ def make_encoders(
         "tsync": TemporalSyncNet(
             in_dim=text_dim, out_dim=temporal_dim, seed=seed
         ),
-        "affective": AffectiveForensics.from_config(),
-        "semantic": SemanticForgeryAnalyzer.from_config(seed=seed),
     }
+    if with_evidence:
+        from ultrafnd_git_tpu.models.affective import AffectiveForensics
+        from ultrafnd_git_tpu.models.semantic import SemanticForgeryAnalyzer
+
+        enc["affective"] = AffectiveForensics.from_config()
+        enc["semantic"] = SemanticForgeryAnalyzer.from_config(seed=seed)
+    return enc
 
 
 def build_feature_cache(
@@ -116,8 +123,18 @@ def build_feature_cache(
     seed: int = 42,
     encoders: Optional[Dict[str, Any]] = None,
     ocr_clean_fallback: Optional[bool] = None,
+    with_evidence: bool = True,
+    with_tower_tokens: bool = True,
 ) -> Dict[str, Any]:
-    """Build the full tensor cache for the trainer + GNN in batched passes."""
+    """Build the full tensor cache for the trainer + GNN in batched passes.
+
+    Persisted trainer caches keep everything (with_evidence /
+    with_tower_tokens True, the defaults) so any later config can reuse
+    them. The serving featurizer disables the sections its checkpoint
+    never reads — evidence scorer forwards on every request batch were
+    pure hot-path waste for use_evidence=False checkpoints (VERDICT r2);
+    the corresponding keys are then absent from the returned dict.
+    """
     rng = np.random.default_rng(seed)
     n = len(raw)
     enc = encoders or make_encoders(
@@ -135,17 +152,20 @@ def build_feature_cache(
     # ---- stable-hash token ids (joint text-tower fine-tune path) -----------
     # Fixed (TOWER_IDS_LEN, TOWER_VOCAB) so persisted caches stay
     # compatible with any trainer config; ~N*64*4B, negligible.
-    from ultrafnd_git_tpu.models.transformer import hash_tokenize_batch
+    text_ids = text_mask = None
+    if with_tower_tokens:
+        from ultrafnd_git_tpu.models.transformer import hash_tokenize_batch
 
-    combined = [
-        " ".join(
-            [r["title"] or "", r["ocr"] or "", *(r["comments"] or [])[:10]]
-        ).strip()
-        for r in records
-    ]
-    text_ids, text_mask = hash_tokenize_batch(
-        combined, TOWER_IDS_LEN, TOWER_VOCAB
-    )
+        combined = [
+            " ".join(
+                [r["title"] or "", r["ocr"] or "",
+                 *(r["comments"] or [])[:10]]
+            ).strip()
+            for r in records
+        ]
+        text_ids, text_mask = hash_tokenize_batch(
+            combined, TOWER_IDS_LEN, TOWER_VOCAB
+        )
 
     # ---- audio: text-proxy batch -------------------------------------------
     aud_enc = enc["audio"]
@@ -189,16 +209,18 @@ def build_feature_cache(
     # ---- evidence: real scorer outputs (the wiring the reference intended
     # but never completed, SURVEY §2.1) — (N, 3) ordered
     # [semantic_conflict, emotion_intensity, temporal_delay] ----------------
-    titles = [r["title"] or "" for r in records]
-    ocrs = [r["ocr"] or "" for r in records]
-    texts_full = [
-        (r["title"] or "") + " " + (r["ocr"] or "") for r in records
-    ]
-    sem_gap = enc["semantic"].gap_magnitude(titles, ocrs)
-    emo_int = enc["affective"].analyze_batch(texts_full)["intensity"]
-    evidence = np.stack(
-        [sem_gap, emo_int, delay.astype(np.float32)], axis=1
-    ).astype(np.float32)
+    evidence = None
+    if with_evidence:
+        titles = [r["title"] or "" for r in records]
+        ocrs = [r["ocr"] or "" for r in records]
+        texts_full = [
+            (r["title"] or "") + " " + (r["ocr"] or "") for r in records
+        ]
+        sem_gap = enc["semantic"].gap_magnitude(titles, ocrs)
+        emo_int = enc["affective"].analyze_batch(texts_full)["intensity"]
+        evidence = np.stack(
+            [sem_gap, emo_int, delay.astype(np.float32)], axis=1
+        ).astype(np.float32)
 
     # ---- OCR token sets + split --------------------------------------------
     ocr_sets = ocr_sets_for_records(
@@ -206,7 +228,7 @@ def build_feature_cache(
     )
     split = make_split(labels, rng)
 
-    return {
+    out = {
         "ids": ids,
         "labels": labels,
         "text": T.astype(np.float32),
@@ -214,16 +236,26 @@ def build_feature_cache(
         "visual": V.astype(np.float32),
         "temporal": U.astype(np.float32),
         "aux": AUX,
-        "evidence": evidence,
-        "text_ids": text_ids,
-        "text_mask": text_mask,
         "ocr_sets": ocr_sets,
         "split": split,
     }
+    if evidence is not None:
+        out["evidence"] = evidence
+    if text_ids is not None:
+        out["text_ids"] = text_ids
+        out["text_mask"] = text_mask
+    return out
 
 
 # Reference-compatible alias
 build_gnn_cache_from_raw_dataset = build_feature_cache
+
+
+# Bump when feature-producing code changes (encoders, temporal MLP init,
+# aux recipes): a persisted cache built by older code must rebuild, or
+# eval/serving would silently mix old features with new-code expectations.
+# v2: round-3 torch-default init in the (untrained) temporal align MLP.
+FEATURES_VERSION = 2
 
 
 def cache_fingerprint(
@@ -237,6 +269,7 @@ def cache_fingerprint(
             "ocr_phrase_pkl": (
                 str(Path(ocr_phrase_pkl).resolve()) if ocr_phrase_pkl else None
             ),
+            "features": FEATURES_VERSION,
         },
         sort_keys=True,
     )
@@ -261,9 +294,14 @@ def bootstrap_cache(
     fp = cache_fingerprint(data_root, seed, ocr_phrase_pkl)
     if cache is not None:
         # persist an injected cache so the out_dir can serve later
-        # (Predictor loads feature_cache.npz from the out_dir)
+        # (Predictor loads feature_cache.npz from the out_dir). It is
+        # stamped "injected", NOT this call's (data_root, seed, pkl)
+        # fingerprint: the injected dict may have been built under
+        # different arguments, and stamping the current identity onto it
+        # would let a later run with these args silently reuse a cache
+        # that was never built from them — that run rebuilds instead.
         if cache_to_disk and not Path(cache_path).exists():
-            save_cache(cache, cache_path, fingerprint=fp)
+            save_cache(cache, cache_path, fingerprint="injected")
         return cache
     if cache_to_disk:
         cache = load_cache(cache_path, expected_fingerprint=fp)

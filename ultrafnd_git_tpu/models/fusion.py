@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ultrafnd_git_tpu.models.initializers import torch_dense
 from ultrafnd_git_tpu.utils.config import ConfigManager
 
 
@@ -58,21 +59,30 @@ class ForensicCoAttention(nn.Module):
     def __call__(
         self, x: jnp.ndarray, y: jnp.ndarray, evidence: jnp.ndarray
     ) -> jnp.ndarray:
-        q = nn.Dense(self.hidden, dtype=self.dtype, name="q")(x)
-        k = nn.Dense(self.hidden, dtype=self.dtype, name="k")(y)
-        v = nn.Dense(self.hidden, dtype=self.dtype, name="v")(y)
+        q = torch_dense(
+            self.hidden, x.shape[-1], dtype=self.dtype, name="q"
+        )(x)
+        k = torch_dense(
+            self.hidden, y.shape[-1], dtype=self.dtype, name="k"
+        )(y)
+        v = torch_dense(
+            self.hidden, y.shape[-1], dtype=self.dtype, name="v"
+        )(y)
 
         score = jnp.sum(q * k, axis=-1, keepdims=True) / jnp.sqrt(
             jnp.asarray(self.hidden, q.dtype)
         )
         attn = jax.nn.sigmoid(score)  # (B, 1)
 
-        e = nn.Dense(self.hidden, dtype=self.dtype, name="evidence_in")(
-            evidence
-        )
+        e = torch_dense(
+            self.hidden, evidence.shape[-1], dtype=self.dtype,
+            name="evidence_in",
+        )(evidence)
         e = _gelu(e)
         gate = jax.nn.sigmoid(
-            nn.Dense(1, dtype=self.dtype, name="evidence_out")(e)
+            torch_dense(
+                1, e.shape[-1], dtype=self.dtype, name="evidence_out"
+            )(e)
         )  # (B, 1)
 
         return gate * (attn * v) + (1.0 - gate) * 0.5 * (x + y)
@@ -106,18 +116,19 @@ class CrossModalTransformer(nn.Module):
         deterministic: bool = True,
     ) -> Dict[str, Any]:
         dt = self.dtype
-        t = nn.Dense(self.hidden, dtype=dt, name="text_proj")(
-            feats["text_features"]
-        )
-        a = nn.Dense(self.hidden, dtype=dt, name="audio_proj")(
-            feats["audio_features"]
-        )
-        v = nn.Dense(self.hidden, dtype=dt, name="visual_proj")(
-            feats["visual_features"]
-        )
-        u = nn.Dense(self.hidden, dtype=dt, name="temporal_proj")(
-            feats["temporal_features"]
-        )
+        t = torch_dense(
+            self.hidden, feats["text_features"].shape[-1], dtype=dt, name="text_proj"
+        )(feats["text_features"])
+        a = torch_dense(
+            self.hidden, feats["audio_features"].shape[-1], dtype=dt, name="audio_proj"
+        )(feats["audio_features"])
+        v = torch_dense(
+            self.hidden, feats["visual_features"].shape[-1], dtype=dt, name="visual_proj"
+        )(feats["visual_features"])
+        u = torch_dense(
+            self.hidden, feats["temporal_features"].shape[-1], dtype=dt,
+            name="temporal_proj",
+        )(feats["temporal_features"])
 
         # Evidence scalars; gradients are cut so the evidence path shapes
         # attention without steering the encoders. When real evidence-scorer
@@ -162,21 +173,28 @@ class CrossModalTransformer(nn.Module):
         gnn_feat = feats.get("gnn_feat") if self.use_gnn else None
         if self.use_gnn and gnn_feat is not None:
             parts.append(
-                nn.Dense(self.hidden, dtype=dt, name="gnn_proj")(gnn_feat)
+                torch_dense(
+                    self.hidden, gnn_feat.shape[-1], dtype=dt,
+                    name="gnn_proj",
+                )(gnn_feat)
             )
         fused_cat = jnp.concatenate(parts, axis=-1)
 
-        h = nn.Dense(2 * self.hidden, dtype=dt, name="fuse0")(fused_cat)
+        h = torch_dense(
+            2 * self.hidden, fused_cat.shape[-1], dtype=dt, name="fuse0"
+        )(fused_cat)
         h = _gelu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.hidden, dtype=dt, name="fuse1")(h)
+        h = torch_dense(
+            self.hidden, h.shape[-1], dtype=dt, name="fuse1"
+        )(h)
         h = _gelu(h)
         fused = nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
         # logits/probs always f32 (loss + calibration numerics)
-        logits = nn.Dense(2, dtype=jnp.float32, name="head")(
-            fused.astype(jnp.float32)
-        )
+        logits = torch_dense(
+            2, fused.shape[-1], dtype=jnp.float32, name="head"
+        )(fused.astype(jnp.float32))
 
         return {
             "fused": fused.astype(jnp.float32),

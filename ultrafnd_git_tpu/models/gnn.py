@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ultrafnd_git_tpu.models.initializers import torch_dense
 from ultrafnd_git_tpu.ops.jaccard import incidence_matrix
 
 
@@ -66,11 +67,12 @@ class SimpleGCN(nn.Module):
         neighbors span the whole graph).
         """
         a = normalize_adjacency(adj) if normalize else adj
-        h = nn.Dense(self.hid, name="lin1")(a @ x if ax is None else ax)
+        ax_ = a @ x if ax is None else ax
+        h = torch_dense(self.hid, ax_.shape[-1], name="lin1")(ax_)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         a2 = a if out_rows is None else a[out_rows]
-        return nn.Dense(self.out_dim, name="lin2")(a2 @ h)
+        return torch_dense(self.out_dim, h.shape[-1], name="lin2")(a2 @ h)
 
 
 class GNNModel(nn.Module):
@@ -89,9 +91,9 @@ class GNNModel(nn.Module):
         normalize: bool = True,
     ) -> jnp.ndarray:
         a = normalize_adjacency(adj) if normalize else adj
-        h = nn.relu(a @ nn.Dense(self.hid, name="lin1")(x))
+        h = nn.relu(a @ torch_dense(self.hid, x.shape[-1], name="lin1")(x))
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.Dense(self.out_dim, name="lin2")(a @ h)
+        return torch_dense(self.out_dim, h.shape[-1], name="lin2")(a @ h)
 
 
 # ----------------------------------------------------------------------

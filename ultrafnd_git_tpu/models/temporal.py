@@ -19,6 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ultrafnd_git_tpu.models.initializers import torch_dense
+
 
 def _pad_or_trunc(v: jnp.ndarray, dim: int) -> jnp.ndarray:
     """Pad with zeros / truncate last axis to `dim` (static shapes only)."""
@@ -54,10 +56,15 @@ class TemporalAlignMLP(nn.Module):
         feat = jnp.concatenate(
             [t, v, t - v, t * v, cosine01(t, v)], axis=-1
         )  # (B, 4D+1)
-        h = nn.Dense(2 * self.out_dim, name="proj_in")(feat)
+        # torch-default init matters doubly here: the reference never
+        # trains this MLP, so the init distribution IS the feature map
+        # (and the aux delay-proxy statistics downstream of it)
+        h = torch_dense(2 * self.out_dim, feat.shape[-1], name="proj_in")(
+            feat
+        )
         h = nn.gelu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.Dense(self.out_dim, name="proj_out")(h)
+        return torch_dense(self.out_dim, h.shape[-1], name="proj_out")(h)
 
 
 class TinyTCN(nn.Module):

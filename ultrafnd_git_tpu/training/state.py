@@ -38,12 +38,18 @@ def make_optimizer(
     steps_per_epoch: int,
     lr_decay_every_epochs: int = 3,
     lr_decay_rate: float = 0.7,
+    frozen_subtrees: tuple = (),
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clipping + epoch-staircase LR decay.
 
     Mirrors the reference's AdamW(lr, wd) + StepLR(step_size=3, gamma=0.7)
     + clip_grad_norm_(5.0) as one optax chain; the staircase decays every
     `lr_decay_every_epochs * steps_per_epoch` optimizer steps.
+
+    `frozen_subtrees` names top-level param subtrees (e.g. "gnn") whose
+    updates are zeroed entirely — matching torch's grad=None semantics
+    where AdamW skips the param (no moment update AND no weight decay;
+    merely zeroing gradients would still decay the weights).
     """
     schedule = optax.exponential_decay(
         init_value=lr,
@@ -55,7 +61,19 @@ def make_optimizer(
     if grad_clip and grad_clip > 0:
         chain.append(optax.clip_by_global_norm(grad_clip))
     chain.append(optax.adamw(schedule, weight_decay=weight_decay))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if frozen_subtrees:
+        frozen = frozenset(frozen_subtrees)
+
+        def labels(params):
+            return {
+                k: ("freeze" if k in frozen else "train") for k in params
+            }
+
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
+    return tx
 
 
 def create_train_state(

@@ -72,6 +72,14 @@ class TrainConfig:
     gnn_overlap_thresh: float = 0.12
     seed: int = 42
     use_gnn: bool = True
+    # Train the GCN end-to-end inside the step (True, the deliberate
+    # TPU-native default per SURVEY §2.2's recommendation) or keep it
+    # frozen after the degree-recon pretrain (False — the reference's
+    # effective semantics: its GCN params get no gradient during main
+    # training). Measured on the hard parity fixture the two are within
+    # noise of each other, so the flag exists for semantics parity, not
+    # accuracy; frozen mode also skips the graph backward pass.
+    train_gnn: bool = True
     use_evidence: bool = False  # feed real evidence-scorer outputs to fusion
     # Joint text-tower fine-tune: replace the cached text features with a
     # trainable on-device TextTransformer (models/transformer.py) over the
@@ -127,28 +135,39 @@ class ForensicTrainer:
         adopt_slot = (
             "latest" if cfg.resume else ("best" if cfg.eval_only else None)
         )
-        if adopt_slot and not cfg.train_text_tower:
+        if adopt_slot:
             import json as _json
 
             meta_p = os.path.join(cfg.out_dir, adopt_slot, "meta.json")
+            saved = {}
             if os.path.exists(meta_p):
                 try:
                     with open(meta_p, "r", encoding="utf-8") as fh:
                         saved = _json.load(fh).get("cfg", {})
                 except Exception:
                     saved = {}
-                if saved.get("train_text_tower"):
-                    print(
-                        "note: checkpoint was trained with "
-                        "--train_text_tower; adopting it"
-                    )
-                    cfg.train_text_tower = True
-                    cfg.text_tower_depth = int(
-                        saved.get("text_tower_depth", 2)
-                    )
-                    cfg.text_tower_heads = int(
-                        saved.get("text_tower_heads", 12)
-                    )
+            if saved.get("train_text_tower") and not cfg.train_text_tower:
+                print(
+                    "note: checkpoint was trained with "
+                    "--train_text_tower; adopting it"
+                )
+                cfg.train_text_tower = True
+                cfg.text_tower_depth = int(
+                    saved.get("text_tower_depth", 2)
+                )
+                cfg.text_tower_heads = int(
+                    saved.get("text_tower_heads", 12)
+                )
+            if saved and bool(saved.get("train_gnn", True)) != cfg.train_gnn:
+                # the frozen-GNN optimizer wraps the chain in
+                # multi_transform — opt_state structure must match the
+                # checkpoint or the guarded restore fails and eval/resume
+                # would silently run fresh params
+                print(
+                    "note: checkpoint was trained with "
+                    f"train_gnn={saved.get('train_gnn', True)}; adopting it"
+                )
+                cfg.train_gnn = bool(saved.get("train_gnn", True))
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
@@ -332,7 +351,8 @@ class ForensicTrainer:
         # ---- 5) optimizer + state ----------------------------------------
         steps_per_epoch = max(1, math.ceil(len(self.tr_idx) / B))
         self.tx = make_optimizer(
-            cfg.lr, cfg.weight_decay, cfg.grad_clip, steps_per_epoch
+            cfg.lr, cfg.weight_decay, cfg.grad_clip, steps_per_epoch,
+            frozen_subtrees=() if cfg.train_gnn else ("gnn",),
         )
         state = create_train_state(params, self.tx, k_state)
         if self.mesh is not None:
@@ -490,8 +510,13 @@ class ForensicTrainer:
         if "evidence" in corpus:
             feats["evidence"] = corpus["evidence"][idx]
         if self.cfg.use_gnn:
+            gnn_params = params["gnn"]
+            if not self.cfg.train_gnn:
+                # frozen-GNN mode: no backward through the graph channel
+                # (and the optimizer masks its updates, so no wd drift)
+                gnn_params = jax.lax.stop_gradient(gnn_params)
             feats["gnn_feat"] = self.gnn.apply(
-                {"params": params["gnn"]},
+                {"params": gnn_params},
                 corpus["xg"],
                 corpus["a_norm"],
                 deterministic=deterministic,
