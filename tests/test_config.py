@@ -46,3 +46,15 @@ def test_caching(tmp_path):
     assert cm.load_config(str(p))["x"] == 1
     p.write_text("x: 2\n")
     assert cm.load_config(str(p))["x"] == 1  # cached by abs path
+
+
+def test_caller_mutation_does_not_poison_cache(tmp_path):
+    """The shared cache hands out copies: a caller mutating its returned
+    config must not change what later loads of the same YAML see."""
+    p = tmp_path / "m.yaml"
+    p.write_text("x: 1\n")
+    cfg = ConfigManager().load_config(str(p))
+    cfg["x"] = 999
+    cfg["injected"] = True
+    clean = ConfigManager().load_config(str(p))
+    assert clean == {"x": 1}

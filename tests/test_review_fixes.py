@@ -237,3 +237,29 @@ def test_bench_scaling_run_one_tiny():
     r = run_one(64, batch=16)
     assert r["nodes"] == 64
     assert r["step_ms"] > 0 and np.isfinite(r["samples_per_s"])
+
+
+def test_checkpoint_meta_commits_after_state(tmp_path):
+    """Commit protocol (ADVICE r2): meta.json appears only once the async
+    state write has landed (tmp+rename), so meta presence implies a
+    complete slot; overwrites replace both state and meta atomically."""
+    import jax.numpy as jnp
+
+    from ultrafnd_git_tpu.training import checkpoint as ckpt
+
+    ckpt.save_checkpoint(str(tmp_path), "best", {"w": jnp.arange(4.0)},
+                         {"epoch": 1})
+    ckpt.wait_for_writes()
+    assert (tmp_path / "best" / "meta.json").exists()
+    assert not (tmp_path / "best" / "meta.json.tmp").exists()
+    got = ckpt.load_checkpoint(str(tmp_path), "best", {"w": jnp.zeros(4)})
+    assert got is not None and got[1]["epoch"] == 1
+
+    ckpt.save_checkpoint(str(tmp_path), "best", {"w": jnp.ones(4)},
+                         {"epoch": 2})
+    ckpt.wait_for_writes()
+    state2, meta2 = ckpt.load_checkpoint(
+        str(tmp_path), "best", {"w": jnp.zeros(4)}
+    )
+    assert meta2["epoch"] == 2
+    np.testing.assert_allclose(np.asarray(state2["w"]), np.ones(4))

@@ -13,20 +13,30 @@ enqueues the array writes on Orbax's background thread and returns, so the
 per-epoch `latest` write overlaps the next epoch's compute. Every read
 path barriers first (`load_checkpoint` calls `wait_for_writes`), and the
 AsyncCheckpointer itself serializes back-to-back saves, so in-process
-consistency is free. A crash mid-write leaves a partial slot whose restore
-fails loudly into the warn-and-start-fresh path below — the same behavior
-as any corrupt checkpoint.
+consistency is free.
+
+Commit protocol: meta.json presence implies a COMPLETE slot. The stale
+meta is deleted before the state write is enqueued, and the new meta is
+written (tmp + atomic rename) by a finalizer thread only after the Orbax
+write commits. A crash at any point therefore leaves either no meta
+(slot treated as absent) or a fully committed slot — never a fresh
+meta.json over a partial/destroyed state dir, which `--resume` and
+cross-process readers (Predictor, DeviceTextEncoder.from_checkpoint)
+would otherwise misread as a valid checkpoint.
 """
 from __future__ import annotations
 
 import json
+from concurrent.futures import Future, ThreadPoolExecutor
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import orbax.checkpoint as ocp
 
 _ASYNC: Optional[ocp.AsyncCheckpointer] = None
+_FINALIZERS: Optional[ThreadPoolExecutor] = None
+_PENDING: List[Future] = []
 
 
 def _ckptr() -> ocp.AsyncCheckpointer:
@@ -36,19 +46,45 @@ def _ckptr() -> ocp.AsyncCheckpointer:
     return _ASYNC
 
 
+def _finalizer_pool() -> ThreadPoolExecutor:
+    global _FINALIZERS
+    if _FINALIZERS is None:
+        # one worker: meta writes commit in save order
+        _FINALIZERS = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-meta"
+        )
+    return _FINALIZERS
+
+
 def wait_for_writes() -> None:
-    """Barrier: block until every enqueued checkpoint write has landed."""
+    """Barrier: block until every enqueued checkpoint write has landed
+    (Orbax array writes AND the post-commit meta.json finalizers)."""
     if _ASYNC is not None:
         _ASYNC.wait_until_finished()
+    while _PENDING:
+        _PENDING.pop(0).result()  # re-raises finalizer failures loudly
 
 
 def save_checkpoint(
     directory: str, name: str, state: Any, meta: Dict[str, Any]
 ) -> None:
     root = Path(directory).resolve() / name
-    _ckptr().save(root / "state", jax.device_get(state), force=True)
-    with open(root / "meta.json", "w", encoding="utf-8") as fh:
-        json.dump(meta, fh, ensure_ascii=False, indent=2)
+    root.mkdir(parents=True, exist_ok=True)
+    meta_path = root / "meta.json"
+    # the old meta must not describe the in-flight overwrite (force=True
+    # destroys the previous state dir before the new one commits)
+    meta_path.unlink(missing_ok=True)
+    ckptr = _ckptr()
+    ckptr.save(root / "state", jax.device_get(state), force=True)
+    payload = json.dumps(meta, ensure_ascii=False, indent=2)
+
+    def _commit_meta() -> None:
+        ckptr.wait_until_finished()  # state write has landed
+        tmp = meta_path.with_name("meta.json.tmp")
+        tmp.write_text(payload, encoding="utf-8")
+        tmp.replace(meta_path)  # atomic: meta presence == complete slot
+
+    _PENDING.append(_finalizer_pool().submit(_commit_meta))
 
 
 def load_checkpoint(

@@ -60,7 +60,11 @@ class ConfigManager:
                     cfg = {}
             self._cache[key] = cfg
 
-        return self._merge_defaults(self._cache[key], defaults)
+        # Always hand out a copy: the cache is shared process-wide, so a
+        # caller mutating its returned config must not poison every later
+        # load of the same YAML (with `defaults` the merge already built a
+        # fresh dict; the no-defaults path previously aliased the cache).
+        return self._merge_defaults(dict(self._cache[key]), defaults)
 
     @staticmethod
     def _merge_defaults(
