@@ -96,8 +96,10 @@ def bench_feature_stage(repeats=3):
             continue
         ext(batch)  # warm (jit compiles)
         t0 = time.perf_counter()
-        for _ in range(repeats):
-            ext(batch)
+        # production path: stream() double-buffers the device-CV stage
+        # across batches (upload N+1 under host work N)
+        for _ in ext.stream((batch, i) for i in range(repeats)):
+            pass
         dt = (time.perf_counter() - t0) / repeats
         results[label] = dt / n
         print(

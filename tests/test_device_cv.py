@@ -200,3 +200,42 @@ def test_extractor_uses_device_stage(monkeypatch):
     # text/audio/aux stages are CV-independent and must agree exactly
     np.testing.assert_allclose(feats["text"], feats_host["text"])
     np.testing.assert_allclose(feats["audio"], feats_host["audio"])
+
+
+def test_extractor_stream_matches_per_call(monkeypatch):
+    """stream() (cross-batch double buffering of the device-CV stage)
+    must produce the exact same features as one __call__ per batch, in
+    order, with metas passed through."""
+    from ultrafnd_git_tpu.training.pipeline_v1 import BatchFeatureExtractor
+
+    rng = np.random.default_rng(11)
+
+    def mk_batch(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "text_data": [
+                {"title": f"a{seed}", "ocr": "c", "comments": []},
+                {"title": "e", "ocr": "", "comments": ["x"]},
+            ],
+            "audio_waveform": [
+                r.standard_normal(8000).astype(np.float32) for _ in range(2)
+            ],
+            "video_frames": r.integers(
+                0, 256, (2, 6, 64, 64, 3), dtype=np.uint8
+            ),
+            "label": np.array([0, 1]),
+        }
+
+    batches = [mk_batch(s) for s in (1, 2, 3)]
+
+    monkeypatch.setenv("ULTRAFND_DEVICE_CV", "1")
+    ext = BatchFeatureExtractor(seed=0)
+    assert ext._device_cv is not None
+    serial = [ext(b) for b in batches]
+    streamed = list(ext.stream((b, i) for i, b in enumerate(batches)))
+    assert [m for _, _, m in streamed] == [0, 1, 2]
+    for (feats, _, _), ref in zip(streamed, serial):
+        for key in ref:
+            np.testing.assert_allclose(
+                feats[key], ref[key], atol=1e-6, err_msg=key
+            )

@@ -224,3 +224,54 @@ class TestV1EndToEnd:
         results = train_and_evaluate(cfg=cfg)
         assert results["steps"] > 0
         assert np.isfinite(results["loss"])
+
+
+def test_v1_accelerator_failure_falls_back_to_cpu(monkeypatch):
+    """VERDICT r2 item 8: the reference's v1 re-initializes on CPU when
+    the accelerator dies (ref run_train_eval.py:673-714). Our guarded
+    unit is the jitted step itself: inject one failure, training must
+    continue on the CPU device with the state intact."""
+    from ultrafnd_git_tpu.training.pipeline_v1 import EnsembleTrainer, V1Config
+
+    cfg = V1Config(batch_size=4, ensemble_size=2, epochs=1)
+    trainer = EnsembleTrainer(cfg)
+    rng = np.random.default_rng(0)
+    feats = {
+        "text": rng.standard_normal((4, 768)).astype(np.float32),
+        "audio": rng.standard_normal((4, 128)).astype(np.float32),
+        "visual": rng.standard_normal((4, 512)).astype(np.float32),
+        "temporal": rng.standard_normal((4, 256)).astype(np.float32),
+        "aux": rng.uniform(size=(4, 2)).astype(np.float32),
+        "evidence": rng.uniform(size=(4, 3)).astype(np.float32),
+    }
+    labels = np.array([0, 1, 0, 1], dtype=np.int64)
+
+    real_step = trainer._train_step
+    calls = {"n": 0}
+
+    def flaky_step(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected accelerator failure")
+        return real_step(*args, **kw)
+
+    trainer._train_step = flaky_step
+    host_rng = np.random.default_rng(1)
+    loss = trainer.train_batch(feats, labels, host_rng)
+    assert np.isfinite(loss)
+    assert trainer.device_failures == 1
+    assert trainer._cpu_dev is not None
+    assert calls["n"] == 2  # failed once, retried once
+    # subsequent steps and eval run on the CPU device without incident
+    loss2 = trainer.train_batch(feats, labels, host_rng)
+    assert np.isfinite(loss2)
+    probs = trainer.predict_batch(feats)
+    assert probs.shape == (4, 2)
+    assert trainer.device_failures == 1  # no further fallbacks
+    import jax
+
+    assert all(
+        d.platform == "cpu"
+        for leaf in jax.tree.leaves(trainer.params)
+        for d in leaf.devices()
+    )

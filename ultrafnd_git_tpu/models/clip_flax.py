@@ -269,8 +269,15 @@ class DeviceClipTextEncoder:
             )
             ids = np.asarray(enc["input_ids"], np.int32)
             mask = np.asarray(enc["attention_mask"], np.float32)
-            bpad = self.batch_size - ids.shape[0]
-            if bpad and s > 0:  # only pad follow-up remainder chunks
+            # pad EVERY chunk (first included) to a power-of-two batch
+            # bucket: serving featurize() sees arbitrary request counts,
+            # and each distinct small first-chunk size would compile a
+            # fresh program (tens of seconds over the tunnel)
+            from ultrafnd_git_tpu.models.bert_flax import _seq_bucket
+
+            bb = _seq_bucket(ids.shape[0], self.batch_size)
+            bpad = bb - ids.shape[0]
+            if bpad:
                 ids = np.pad(ids, ((0, bpad), (0, 0)))
                 mask = np.pad(mask, ((0, bpad), (0, 0)))
             feats = np.asarray(self._features(self.params, ids, mask))

@@ -348,13 +348,16 @@ class DeviceW2V2Encoder:
         for s in range(0, arr.shape[0], self.batch_size):
             chunk = arr[s : s + self.batch_size]
             valid = chunk.shape[0]
-            if valid < self.batch_size and s > 0:
-                # pad ragged trailing chunks to the standing jit shape —
-                # a fresh (batch, 80000) conv compile over the tunnel is
-                # tens of seconds, far more than the wasted rows
-                chunk = np.pad(
-                    chunk, ((0, self.batch_size - valid), (0, 0))
-                )
+            # pad EVERY ragged chunk (first included) up to a power-of-two
+            # batch bucket — a fresh (batch, 80000) conv compile over the
+            # tunnel is tens of seconds, and serving featurize() sees
+            # arbitrary request counts, so each distinct small first-chunk
+            # size would otherwise compile its own program
+            from ultrafnd_git_tpu.models.bert_flax import _seq_bucket
+
+            bb = _seq_bucket(valid, self.batch_size)
+            if bb > valid:
+                chunk = np.pad(chunk, ((0, bb - valid), (0, 0)))
             outs.append(
                 np.asarray(self._pooled(self.params, chunk))[:valid]
             )

@@ -168,18 +168,26 @@ class BatchFeatureExtractor:
             self._pool = ThreadPoolExecutor(max_workers=8)
         return self._pool
 
-    def _device_cv_block(self, frames) -> Optional[tuple]:
-        """Try the accelerator CV stage; None routes to the host ladder."""
+    def _cv_dispatch(self, batch: Dict[str, Any]):
+        """Start the device-CV stage: gray-convert + enqueue the async
+        upload/flow. Returns pending device futures, or None when the
+        host cv2 ladder should handle this batch."""
         if self._device_cv is None:
             return None
-        arr = np.asarray(frames)
+        arr = np.asarray(batch["video_frames"])
         if arr.ndim != 5 or arr.shape[1] < 2 or arr.shape[-1] != 3:
             return None
         try:
-            pending = self._device_cv.dispatch(self._gray_host(arr))
+            return self._device_cv.dispatch(self._gray_host(arr))
         except Exception as exc:
             print(f"⚠️  device CV stage failed ({exc!r}); host cv2 ladder")
             self._device_cv = None
+            return None
+
+    def _device_cv_block(self, frames, pending=None) -> Optional[tuple]:
+        """Complete the accelerator CV stage; None routes to the host ladder."""
+        arr = np.asarray(frames)
+        if pending is None:
             return None
         # ELA needs a JPEG codec — host-side on the middle frame only,
         # overlapped with the async upload + device flow above
@@ -192,7 +200,33 @@ class BatchFeatureExtractor:
             return None
         return out["flow_feat"], ela_feats, out["tamper"]
 
+    def stream(self, batches_with_meta):
+        """Featurize an iterable of (batch, meta) pairs with CROSS-BATCH
+        double buffering: batch N+1's device-CV dispatch (gray convert +
+        async upload + flow program) is enqueued BEFORE batch N's host
+        work (ELA JPEG pass, text/audio/temporal/evidence encoders), so
+        the N+1 transfer rides under it. On this environment the upload
+        runs at ~45 MB/s (BASELINE.md "transfer degradation") and was
+        ~70% of the per-batch wall with only within-batch overlap
+        (VERDICT r2 item 5). Yields (features, batch, meta) in order.
+        """
+        prev = None
+        for batch, meta in batches_with_meta:
+            cur = (batch, meta, self._cv_dispatch(batch))
+            if prev is not None:
+                pb, pm, pp = prev
+                yield self._extract(pb, pp), pb, pm
+            prev = cur
+        if prev is not None:
+            pb, pm, pp = prev
+            yield self._extract(pb, pp), pb, pm
+
     def __call__(self, batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
+        return self._extract(batch, self._cv_dispatch(batch))
+
+    def _extract(
+        self, batch: Dict[str, Any], cv_pending=None
+    ) -> Dict[str, np.ndarray]:
         texts: List[Dict[str, Any]] = batch["text_data"]
         records = [
             {
@@ -245,7 +279,9 @@ class BatchFeatureExtractor:
             )
             return flow_feat, self.ela.ela_lbp(clip), tamper
 
-        device_out = self._device_cv_block(frames)
+        if cv_pending is None:
+            cv_pending = self._cv_dispatch(batch)
+        device_out = self._device_cv_block(frames, cv_pending)
         if device_out is not None:
             flow_feats, ela_feats, tamper_list = device_out
         else:
@@ -334,7 +370,47 @@ class EnsembleTrainer:
         self._train_step = jax.jit(self._make_train_step())
         self._eval_logits = jax.jit(self._make_eval_logits())
 
+        # Whole-pipeline accelerator-failure ladder (reference parity:
+        # its v1 catches OOM at model creation and re-initializes
+        # everything on CPU, ref src/training/run_train_eval.py:673-714).
+        # Here the guarded unit is the jitted step itself: if it dies on
+        # a broken accelerator mid-run, the live train state moves to the
+        # host CPU device and training continues there.
+        self.device_failures = 0
+        self._cpu_dev = None  # set on first fallback
+
     # ------------------------------------------------------------------
+    def _fallback_to_cpu(self, exc: BaseException) -> bool:
+        """Move the live train state to CPU after an accelerator failure.
+
+        Returns False (caller re-raises) when already on CPU or no CPU
+        backend is reachable; otherwise True and the caller retries the
+        step with CPU-committed inputs (jit compiles a CPU executable
+        for the new placement automatically).
+        """
+        if self._cpu_dev is not None:
+            return False
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except Exception:
+            return False  # CPU platform unavailable — nothing to fall to
+        print(
+            f"⚠️  accelerator step failed ({exc!r}); re-initializing on "
+            "CPU and continuing (reference v1 OOM->CPU behavior)"
+        )
+        self.device_failures += 1
+        self._cpu_dev = cpu
+        self.params = jax.device_put(jax.device_get(self.params), cpu)
+        self.opt_state = jax.device_put(jax.device_get(self.opt_state), cpu)
+        self._rng = jax.device_put(jax.device_get(self._rng), cpu)
+        return True
+
+    def _place(self, x):
+        """Batch-array placement honoring an active CPU fallback."""
+        if self._cpu_dev is not None:
+            return jax.device_put(np.asarray(x), self._cpu_dev)
+        return jnp.asarray(x)
+
     def _member_logits(self, member_params, feats, aux, evidence, rng):
         det = rng is None
         rngs_f = rngs_c = None
@@ -423,37 +499,51 @@ class EnsembleTrainer:
         cfg = self.cfg
         lam, perm = mixup_arrays(host_rng, labels.shape[0], cfg.mixup_alpha)
         self._rng, key = jax.random.split(self._rng)
-        aux = jnp.asarray(feats["aux"])
-        evidence = jnp.asarray(feats["evidence"])
-        f = {
-            k: jnp.asarray(feats[k])
-            for k in ("text", "audio", "visual", "temporal")
-        }
-        self.params, self.opt_state, loss = self._train_step(
-            self.params,
-            self.opt_state,
-            f,
-            aux,
-            evidence,
-            jnp.asarray(labels.astype(np.int32)),
-            jnp.asarray(lam, jnp.float32),
-            jnp.asarray(perm),
-            key,
-        )
+
+        def run():
+            return self._train_step(
+                self.params,
+                self.opt_state,
+                {
+                    k: self._place(feats[k])
+                    for k in ("text", "audio", "visual", "temporal")
+                },
+                self._place(feats["aux"]),
+                self._place(feats["evidence"]),
+                self._place(labels.astype(np.int32)),
+                self._place(np.asarray(lam, np.float32)),
+                self._place(perm),
+                key,
+            )
+
+        try:
+            self.params, self.opt_state, loss = run()
+        except Exception as exc:
+            if not self._fallback_to_cpu(exc):
+                raise
+            self._rng, key = jax.random.split(self._rng)  # CPU-placed key
+            self.params, self.opt_state, loss = run()
         self.step_count += 1
         return float(loss)
 
     def predict_batch(self, feats: Dict[str, np.ndarray]) -> np.ndarray:
-        f = {
-            k: jnp.asarray(feats[k])
-            for k in ("text", "audio", "visual", "temporal")
-        }
-        logits = self._eval_logits(
-            self.params,
-            f,
-            jnp.asarray(feats["aux"]),
-            jnp.asarray(feats["evidence"]),
-        )
+        def run():
+            return self._eval_logits(
+                self.params,
+                {
+                    k: self._place(feats[k])
+                    for k in ("text", "audio", "visual", "temporal")
+                },
+                self._place(feats["aux"]),
+                self._place(feats["evidence"]),
+            )
+
+        try:
+            logits = run()
+        except Exception as exc:
+            if not self._fallback_to_cpu(exc):
+                raise
+            logits = run()
         return np.asarray(jax.nn.softmax(logits, axis=-1))
 
 
@@ -613,8 +703,12 @@ def train_and_evaluate(
                 yield multimodal_collate([ds[int(i)] for i in sel]), valid
 
         def featurized(ds, idx_list, pad_last=False):
-            for batch, valid in batch_items(ds, idx_list, pad_last=pad_last):
-                yield (extractor(batch), batch["label"]), valid
+            # extractor.stream double-buffers the device-CV stage across
+            # batches (N+1's upload dispatched before N's host work)
+            for feats, batch, valid in extractor.stream(
+                batch_items(ds, idx_list, pad_last=pad_last)
+            ):
+                yield (feats, batch["label"]), valid
 
         def epoch_train():
             losses = []
