@@ -153,8 +153,8 @@ def main() -> None:
 
         rng = np.random.default_rng(0)
 
-        def make_runner(batch: int):
-            step_fn = trainer._make_train_step()
+        def make_runner_for(tr, batch: int):
+            step_fn = tr._make_train_step()
 
             @jax.jit
             def run_steps_jit(state, idx_all, corpus):
@@ -169,7 +169,7 @@ def main() -> None:
             def run_steps(state, idx_all):
                 # corpus bound at CALL time (a jit-closure capture would
                 # embed it in the remote-compile payload)
-                return run_steps_jit(state, idx_all, trainer.corpus)
+                return run_steps_jit(state, idx_all, tr.corpus)
 
             def idx_batches(n_steps):
                 return jnp.asarray(
@@ -178,6 +178,9 @@ def main() -> None:
                 )
 
             return run_steps, idx_batches
+
+        def make_runner(batch: int):
+            return make_runner_for(trainer, batch)
 
         # ---- primary batch: warm, then >=5 timed scans -------------------
         run_steps, idx_batches = make_runner(BATCH)
@@ -225,29 +228,8 @@ def main() -> None:
             )
             tr16 = ForensicTrainer(cfg_bf16, cache=cache)
 
-            def make_runner16(batch: int):
-                step_fn = tr16._make_train_step()
-
-                @jax.jit
-                def run_steps16_jit(state, idx_all, corpus):
-                    ones = jnp.ones(batch, jnp.float32)
-
-                    def body(state, idx):
-                        state, out = step_fn(state, idx, ones, corpus)
-                        return state, out["loss"]
-
-                    return jax.lax.scan(body, state, idx_all)
-
-                def run_steps16(state, idx_all):
-                    return run_steps16_jit(state, idx_all, tr16.corpus)
-
-                return run_steps16
-
             for b16 in (BATCH, 8192):
-                runner = make_runner16(b16)
-                batches16 = lambda n: jnp.asarray(
-                    rng.integers(0, N_NODES, size=(n, b16)), jnp.int32
-                )
+                runner, batches16 = make_runner_for(tr16, b16)
                 s, ls = runner(tr16.state, batches16(ITERS))
                 jax.block_until_ready(ls)
                 _, times16, ls = _time_scan(runner, s, batches16, 2)
@@ -256,6 +238,42 @@ def main() -> None:
                 )
         except Exception:
             scaling["bf16_512"] = None
+
+        # ---- joint text-tower step (the FLOP-rich configuration) ---------
+        # VERDICT r2 item 4: --train_text_tower is where the chip does real
+        # MXU work (the depth-2 width-768 tower fwd+bwd dominates). Report
+        # p50 step time, samples/s, and MFU for bf16-compute (production
+        # setting) + f32 for reference.
+        tower = {}
+        try:
+            for label, bf16 in (("bf16", True), ("f32", False)):
+                cfg_t = TrainConfig(
+                    data_root="<synthetic>",
+                    out_dir=tmp,
+                    batch_size=BATCH,
+                    epochs=0,
+                    seed=0,
+                    train_text_tower=True,
+                    bf16_compute=bf16,
+                    cache_to_disk=False,
+                    save_best=False,
+                    log_metrics_jsonl=False,
+                )
+                trt = ForensicTrainer(cfg_t, cache=cache)
+                runner, batches_t = make_runner_for(trt, BATCH)
+                s, ls = runner(trt.state, batches_t(ITERS))
+                jax.block_until_ready(ls)
+                _, times_t, ls = _time_scan(runner, s, batches_t, 3)
+                p50_t = float(np.median(times_t))
+                flops_t = _compiled_flops(trt, BATCH)
+                tower[label] = {
+                    "ms_per_step": round(p50_t * 1e3, 2),
+                    "samples_per_s": round(BATCH / p50_t, 1),
+                    "step_gflops": round(flops_t / 1e9, 1),
+                    "mfu": round(flops_t / p50_t / PEAK_FLOPS, 4),
+                }
+        except Exception:
+            tower = None
 
         # ---- v1 feature-stage throughput (device-CV path) ----------------
         # Synthetic 8-clip batch through the BatchFeatureExtractor with
@@ -319,6 +337,7 @@ def main() -> None:
                     "achieved_tflops": round(achieved / 1e12, 2),
                     "mfu": round(achieved / PEAK_FLOPS, 4),
                     "batch_scaling": scaling,
+                    "tower_512": tower,
                     "v1_feature_ms_per_sample": v1_ms_per_sample,
                     "backend": jax.default_backend(),
                 }

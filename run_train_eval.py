@@ -147,10 +147,24 @@ def main():
             IntegratedTrainConfig,
         )
 
-        if args.train_text_tower:
+        ignored = [
+            name
+            for name, on in (
+                ("--train_text_tower", args.train_text_tower),
+                ("--dp", args.dp is not None),
+                ("--tp", args.tp > 1),
+                ("--bf16", args.bf16),
+                ("--resume", args.resume),
+                ("--shard_corpus", args.shard_corpus),
+                ("--shard_graph", args.shard_graph),
+                ("--freeze_gnn", args.freeze_gnn),
+            )
+            if on
+        ]
+        if ignored:
             print(
-                "⚠️  --train_text_tower applies to the v2 trainer only; "
-                "the integrated trainer ignores it"
+                f"⚠️  {' '.join(ignored)} apply to the v2 trainer only; "
+                "the integrated trainer ignores them"
             )
         icfg = IntegratedTrainConfig(
             data_root=str(data_root),
