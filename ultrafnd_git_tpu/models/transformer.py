@@ -118,7 +118,7 @@ class EncoderBlock(nn.Module):
     def __call__(
         self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
-        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
         h = MultiHeadAttention(
             self.width, self.heads, self.attention_backend,
             dtype=self.dtype, name="attn",
@@ -126,7 +126,7 @@ class EncoderBlock(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + h
 
-        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(self.mlp_ratio * self.width, dtype=self.dtype,
                      name="mlp_in")(h)
         h = nn.gelu(h, approximate=False)
@@ -154,14 +154,16 @@ class TextTransformer(nn.Module):
         mask: jnp.ndarray,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        x = nn.Embed(self.vocab_size, self.width, name="tok_embed")(ids)
+        x = nn.Embed(
+            self.vocab_size, self.width, dtype=self.dtype, name="tok_embed"
+        )(ids)
         pos = self.param(
             "pos_embed",
             nn.initializers.normal(0.02),
             (1, self.max_len, self.width),
         )
-        x = x + pos[:, : ids.shape[1]]
-        x = nn.LayerNorm(name="ln_embed")(x)
+        x = x + pos[:, : ids.shape[1]].astype(x.dtype)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln_embed")(x)
 
         for i in range(self.depth):
             x = EncoderBlock(
@@ -173,7 +175,7 @@ class TextTransformer(nn.Module):
                 name=f"block{i}",
             )(x, mask, deterministic=deterministic)
 
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(name="ln_final")(x)  # final LN + pooling f32
         # mean-pool with mask, L2-normalize (the encode() contract,
         # reference text_blocks.py:69-106)
         m = mask[..., None]
