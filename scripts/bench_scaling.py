@@ -27,7 +27,7 @@ enable_persistent_cache()
 from bench import BATCH, ITERS, synthetic_cache  # noqa: E402
 
 
-def run_one(n_nodes: int, batch: int) -> dict:
+def run_one(n_nodes: int, batch: int, iters: int = None) -> dict:
     import tempfile
 
     import jax
@@ -35,6 +35,7 @@ def run_one(n_nodes: int, batch: int) -> dict:
 
     from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
 
+    iters = iters or ITERS
     cache = synthetic_cache(n_nodes)
     with tempfile.TemporaryDirectory() as tmp:
         cfg = TrainConfig(
@@ -66,7 +67,7 @@ def run_one(n_nodes: int, batch: int) -> dict:
 
         def batches():
             return jnp.asarray(
-                rng.integers(0, n_nodes, size=(ITERS, batch)), jnp.int32
+                rng.integers(0, n_nodes, size=(iters, batch)), jnp.int32
             )
 
         state, losses = run_steps(trainer.state, batches(), trainer.corpus)
@@ -76,7 +77,7 @@ def run_one(n_nodes: int, batch: int) -> dict:
             t0 = time.perf_counter()
             state, losses = run_steps(state, batches(), trainer.corpus)
             jax.block_until_ready(losses)
-            times.append((time.perf_counter() - t0) / ITERS)
+            times.append((time.perf_counter() - t0) / iters)
         step_ms = float(np.median(times)) * 1e3
         return {
             "nodes": n_nodes,

@@ -56,8 +56,8 @@ def test_save_best_false_still_tracks_improvement(fixture_data_root, tmp_path):
     cfg = TrainConfig(
         data_root=fixture_data_root,
         out_dir=str(tmp_path),
-        batch_size=8,
-        epochs=2,
+        batch_size=16,
+        epochs=1,
         save_best=False,
         cache_to_disk=False,
         log_metrics_jsonl=False,
@@ -234,7 +234,7 @@ def test_bench_scaling_run_one_tiny():
             sys.path.insert(0, str(p))
     from bench_scaling import run_one
 
-    r = run_one(64, batch=16)
+    r = run_one(64, batch=16, iters=4)
     assert r["nodes"] == 64
     assert r["step_ms"] > 0 and np.isfinite(r["samples_per_s"])
 

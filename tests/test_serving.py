@@ -69,24 +69,12 @@ def test_predict_empty_and_missing_checkpoint(trained_out_dir, tmp_path):
         Predictor(str(tmp_path))  # no cache/checkpoint there
 
 
-def test_serving_text_tower_checkpoint(fixture_data_root, tmp_path):
+def test_serving_text_tower_checkpoint(tower_ckpt):
     """A --train_text_tower checkpoint serves through the SAME trained
     tower (hash/HF text features would be a different distribution than
-    the fusion saw in training)."""
-    cfg = TrainConfig(
-        data_root=fixture_data_root,
-        out_dir=str(tmp_path),
-        batch_size=8,
-        epochs=1,  # best == final so the param comparison below holds
-        seed=0,
-        cache_to_disk=True,
-        log_metrics_jsonl=False,
-        train_text_tower=True,
-    )
-    trainer = ForensicTrainer(cfg)
-    trainer.fit()
-
-    predictor = Predictor(str(tmp_path), batch_size=4)
+    the fusion saw in training). Uses the shared session checkpoint
+    (best == final after its 1 epoch, so the param comparison holds)."""
+    predictor = Predictor(tower_ckpt["out"], batch_size=4)
     assert predictor.text_tower is not None
     results = predictor.predict([FAKE_REC, REAL_REC])
     assert len(results) == 2
@@ -96,7 +84,6 @@ def test_serving_text_tower_checkpoint(fixture_data_root, tmp_path):
     import jax
 
     served = jax.tree.leaves(predictor.params["text_tower"])[0]
-    trained = jax.tree.leaves(trainer.state.params["text_tower"])[0]
     np.testing.assert_allclose(
-        np.asarray(served), np.asarray(trained), atol=1e-6
+        np.asarray(served), tower_ckpt["tower_leaf"], atol=1e-6
     )

@@ -38,26 +38,16 @@ def test_single_and_batch_agree():
 
 
 @pytest.mark.slow
-def test_from_checkpoint_serves_trained_tower(fixture_data_root, tmp_path):
+def test_from_checkpoint_serves_trained_tower(
+    fixture_data_root, tower_ckpt, tmp_path
+):
     """DeviceTextEncoder.from_checkpoint restores the jointly-trained
-    tower and serves non-random features (closes the fine-tune loop)."""
+    tower and serves non-random features (closes the fine-tune loop).
+    Restores the shared session checkpoint (tests/conftest.py)."""
     from ultrafnd_git_tpu.models.transformer import DeviceTextEncoder
     from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
 
-    cfg = TrainConfig(
-        data_root=fixture_data_root,
-        out_dir=str(tmp_path),
-        batch_size=8,
-        epochs=1,
-        seed=0,
-        cache_to_disk=True,
-        log_metrics_jsonl=False,
-        train_text_tower=True,
-    )
-    trainer = ForensicTrainer(cfg)
-    trainer.fit()
-
-    enc = DeviceTextEncoder.from_checkpoint(str(tmp_path))
+    enc = DeviceTextEncoder.from_checkpoint(tower_ckpt["out"])
     assert enc.trained  # no untrained-features warning path
     out = enc.encode_batch(["外星人 入侵 警告", "官方 辟谣 证据"])
     assert out.shape == (2, 768)

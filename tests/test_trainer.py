@@ -295,28 +295,15 @@ def test_shard_graph_agrees_with_replicated(fixture_root, tmp_path):
     assert np.isfinite(loss)
 
 
-def test_train_text_tower_joint(fixture_root, tmp_path):
+def test_train_text_tower_joint(tower_ckpt):
     """--train_text_tower: the on-device TextTransformer joins the train
     state and receives gradients (the reference's frozen-encoder
-    architecture never could)."""
-    import jax
-
-    t = ForensicTrainer(
-        _cfg(
-            fixture_root, tmp_path, epochs=2, batch_size=8,
-            train_text_tower=True,
-        )
-    )
-    assert "text_tower" in t.state.params
-    before = np.asarray(
-        jax.tree.leaves(t.state.params["text_tower"])[0]
-    ).copy()
-    best = t.fit()
-    assert best > 0.5
-    after = np.asarray(jax.tree.leaves(t.state.params["text_tower"])[0])
-    assert not np.allclose(before, after)  # tower actually trained
-    res = t.test()
-    assert res["test_auc"] > 0.5
+    architecture never could). Asserts on the shared session checkpoint
+    (tests/conftest.py:tower_ckpt) instead of training its own."""
+    assert tower_ckpt["best"] > 0.5
+    # tower actually trained (params moved from init)
+    assert not np.allclose(tower_ckpt["before_leaf"], tower_ckpt["tower_leaf"])
+    assert tower_ckpt["test"]["test_auc"] > 0.5
 
 
 def test_train_text_tower_on_mesh(fixture_root, tmp_path):
@@ -332,21 +319,19 @@ def test_train_text_tower_on_mesh(fixture_root, tmp_path):
     assert int(t.state.step) > 0
 
 
-def test_resume_with_text_tower(fixture_root, tmp_path):
+def test_resume_with_text_tower(fixture_root, tower_ckpt, tmp_path):
     """Resume restores the tower pytree; a flag-less resume adopts the
-    setting from the latest checkpoint's meta."""
-    t1 = ForensicTrainer(
-        _cfg(
-            fixture_root, tmp_path, epochs=1, batch_size=8,
-            train_text_tower=True,
-        )
-    )
-    t1.fit()
-    step1 = int(t1.state.step)
+    setting from the latest checkpoint's meta. Resumes a COPY of the
+    shared session checkpoint (resume mutates the out_dir)."""
+    import shutil
+
+    out = tmp_path / "resume"
+    shutil.copytree(tower_ckpt["out"], out)
+    step1 = tower_ckpt["step"]
 
     # note: NO train_text_tower flag here — adopted from the checkpoint
     t2 = ForensicTrainer(
-        _cfg(fixture_root, tmp_path, epochs=2, batch_size=8, resume=True)
+        _cfg(fixture_root, out, epochs=2, batch_size=8, seed=0, resume=True)
     )
     assert t2.cfg.train_text_tower  # adopted
     assert "text_tower" in t2.state.params
