@@ -95,9 +95,13 @@ def write_media(records, n_media: int = 8) -> None:
 
 HARD_OUT = Path(__file__).resolve().parents[1] / "tests" / "fixtures" / "fakesv_hard"
 
-# Reference aux-path sensational terms (fakesv_dataset.py:184) — included with
-# class-skewed rates so the aux features carry (noisy) signal too.
-EMO_TERMS = ["恐惧", "警告", "危险", "外星", "消失", "危机", "谣言", "假"]
+# The aux-path sensational terms, imported from the cache builder itself so
+# the fixture's class-skewed emotion signal can never silently decouple from
+# the aux feature it exists to exercise (ref fakesv_dataset.py:184).
+import sys  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from ultrafnd_git_tpu.data.cache import EMO_TERMS  # noqa: E402
 
 
 def make_hard_fixture(

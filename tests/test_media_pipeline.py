@@ -275,3 +275,57 @@ def test_v1_accelerator_failure_falls_back_to_cpu(monkeypatch):
         for leaf in jax.tree.leaves(trainer.params)
         for d in leaf.devices()
     )
+
+
+def test_v1_accelerator_failure_at_materialization():
+    """Jitted dispatch is async on real accelerators: a dying device
+    usually surfaces at the FETCH of the result, not the call. Poison
+    the returned loss so float() raises (review r3); the ladder must
+    still fall back to CPU, retry from the last good state, and
+    continue."""
+    import jax
+
+    from ultrafnd_git_tpu.training.pipeline_v1 import EnsembleTrainer, V1Config
+
+    cfg = V1Config(batch_size=4, ensemble_size=2, epochs=1)
+    trainer = EnsembleTrainer(cfg)
+    rng = np.random.default_rng(0)
+    feats = {
+        "text": rng.standard_normal((4, 768)).astype(np.float32),
+        "audio": rng.standard_normal((4, 128)).astype(np.float32),
+        "visual": rng.standard_normal((4, 512)).astype(np.float32),
+        "temporal": rng.standard_normal((4, 256)).astype(np.float32),
+        "aux": rng.uniform(size=(4, 2)).astype(np.float32),
+        "evidence": rng.uniform(size=(4, 3)).astype(np.float32),
+    }
+    labels = np.array([0, 1, 0, 1], dtype=np.int64)
+
+    class _PoisonLoss:
+        def __float__(self):
+            raise RuntimeError("injected async failure at fetch")
+
+    real_step = trainer._train_step
+    calls = {"n": 0}
+
+    def flaky_step(*args, **kw):
+        calls["n"] += 1
+        p, o, loss = real_step(*args, **kw)
+        if calls["n"] == 1:
+            return p, o, _PoisonLoss()
+        return p, o, loss
+
+    trainer._train_step = flaky_step
+    loss = trainer.train_batch(feats, labels, np.random.default_rng(1))
+    assert np.isfinite(loss)
+    assert trainer.device_failures == 1
+    assert calls["n"] == 2  # poisoned fetch once, retried once
+    # state was committed from the SUCCESSFUL retry, on the CPU device
+    assert all(
+        d.platform == "cpu"
+        for leaf in jax.tree.leaves(trainer.params)
+        for d in leaf.devices()
+    )
+    # the re-init path used when the live state is unfetchable builds a
+    # structurally identical fresh state
+    p2, o2 = trainer._build_state()
+    assert jax.tree.structure(p2) == jax.tree.structure(trainer.params)

@@ -263,3 +263,105 @@ def test_checkpoint_meta_commits_after_state(tmp_path):
     )
     assert meta2["epoch"] == 2
     np.testing.assert_allclose(np.asarray(state2["w"]), np.ones(4))
+
+
+def test_stale_feature_cache_policy(tmp_path):
+    """Feature-code version bump (review r3): fresh training rebuilds,
+    but eval_only/resume/serving REUSE the cache — it is the exact
+    feature map the out_dir's checkpoint was trained on, and rebuilding
+    would silently score that checkpoint on a different distribution."""
+    from ultrafnd_git_tpu.data import cache as cm
+
+    n = 4
+    c = {
+        "ids": np.array([f"v{i}" for i in range(n)], dtype=object),
+        "labels": np.zeros(n, np.int64),
+        "text": np.zeros((n, 768), np.float32),
+        "audio": np.zeros((n, 128), np.float32),
+        "visual": np.zeros((n, 512), np.float32),
+        "temporal": np.zeros((n, 256), np.float32),
+        "aux": np.zeros((n, 2), np.float32),
+        "ocr_sets": [set() for _ in range(n)],
+        "split": (np.array([0, 1]), np.array([2]), np.array([3])),
+    }
+    path = str(tmp_path / "feature_cache.npz")
+    fp = cm.cache_fingerprint("dr", 1, None)
+    old = cm.FEATURES_VERSION
+    cm.FEATURES_VERSION = old - 1  # simulate an older-feature-code writer
+    try:
+        cm.save_cache(c, path, fingerprint=fp)
+    finally:
+        cm.FEATURES_VERSION = old
+    # fresh training: rebuild with current feature code
+    assert cm.load_cache(path, expected_fingerprint=fp) is None
+    # eval_only/resume/serving: reuse for checkpoint consistency
+    got = cm.load_cache(path, expected_fingerprint=fp, stale_features="reuse")
+    assert got is not None and got["text"].shape == (n, 768)
+    # a config mismatch still rebuilds even under the reuse policy
+    assert (
+        cm.load_cache(
+            path,
+            expected_fingerprint=cm.cache_fingerprint("other", 2, None),
+            stale_features="reuse",
+        )
+        is None
+    )
+    # a current-version cache loads clean under the default policy
+    cm.save_cache(c, path, fingerprint=fp)
+    assert cm.load_cache(path, expected_fingerprint=fp) is not None
+
+
+def test_fingerprint_parser_handles_legacy_formats():
+    """Fingerprints written before the feature version was split out
+    carry 'features' inside the JSON; absent means v1; non-JSON
+    fingerprints ('injected', empty) parse to (None, None)."""
+    import json as _json
+
+    from ultrafnd_git_tpu.data import cache as cm
+
+    cfg, feat = cm._parse_fingerprint(
+        _json.dumps(
+            {"data_root": "/x", "seed": 1, "ocr_phrase_pkl": None,
+             "features": 2}
+        )
+    )
+    assert feat == 2 and "features" not in cfg
+    cfg2, feat2 = cm._parse_fingerprint(
+        _json.dumps({"data_root": "/x", "seed": 1, "ocr_phrase_pkl": None})
+    )
+    assert feat2 == 1
+    assert cfg2 == {"data_root": "/x", "seed": 1, "ocr_phrase_pkl": None}
+    assert cm._parse_fingerprint("injected") == (None, None)
+    assert cm._parse_fingerprint("") == (None, None)
+
+
+def test_save_checkpoint_waits_for_prior_slot_finalizer(tmp_path):
+    """A pending finalizer from the SAME slot's previous save must land
+    before the next save unlinks meta.json — otherwise it could re-create
+    meta.json over the in-flight force=True state overwrite, and a crash
+    would leave a valid-looking meta over a destroyed state dir
+    (review r3)."""
+    import threading
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax.numpy as jnp
+
+    from ultrafnd_git_tpu.training import checkpoint as ckpt
+
+    slot = tmp_path.resolve() / "best"
+    gate = threading.Event()
+    pool = ThreadPoolExecutor(max_workers=1)
+    prev = pool.submit(gate.wait, 10.0)
+    ckpt._LAST_SLOT_FINALIZER[slot] = prev
+    threading.Timer(0.3, gate.set).start()
+    t0 = time.perf_counter()
+    ckpt.save_checkpoint(
+        str(tmp_path), "best", {"w": jnp.ones(2)}, {"epoch": 7}
+    )
+    waited = time.perf_counter() - t0
+    ckpt.wait_for_writes()
+    pool.shutdown(wait=True)
+    assert waited >= 0.25  # blocked on the prior slot finalizer
+    got = ckpt.load_checkpoint(str(tmp_path), "best", {"w": jnp.zeros(2)})
+    assert got is not None and got[1]["epoch"] == 7

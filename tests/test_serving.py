@@ -87,3 +87,20 @@ def test_serving_text_tower_checkpoint(tower_ckpt):
     np.testing.assert_allclose(
         np.asarray(served), tower_ckpt["tower_leaf"], atol=1e-6
     )
+
+
+def test_multi_chunk_fallback_ids_stay_request_global(trained_out_dir):
+    """Records without video_id/id get q_{i} fallback ids; per-chunk
+    featurization must offset them per chunk, or multi-chunk requests
+    return colliding ids (review r3). Also: the featurize prefetch pool
+    is long-lived, not rebuilt per predict() call."""
+    predictor = Predictor(trained_out_dir, batch_size=2)
+    recs = [
+        {"title": FAKE_REC["title"], "ocr": FAKE_REC["ocr"], "comments": []}
+        for _ in range(6)
+    ]
+    results = predictor.predict(recs)  # CPU backend: 3 chunks of 2
+    assert [r["id"] for r in results] == [f"q_{i}" for i in range(6)]
+    pool = predictor._featurize_pool_obj
+    predictor.predict(recs[:2])
+    assert predictor._featurize_pool_obj is pool

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -261,7 +261,15 @@ FEATURES_VERSION = 2
 def cache_fingerprint(
     data_root: str, seed: int, ocr_phrase_pkl: Optional[str]
 ) -> str:
-    """Config identity of a persisted cache (reuse gate)."""
+    """Config identity of a persisted cache (reuse gate).
+
+    Deliberately EXCLUDES the feature-code version: a config mismatch
+    always rebuilds, but a version mismatch is policy (`load_cache
+    stale_features`) — an out_dir's cache is the exact feature map its
+    checkpoint was trained on, so eval/resume/serving reuse it rather
+    than silently scoring the old checkpoint on a new feature
+    distribution.
+    """
     return json.dumps(
         {
             "data_root": str(Path(data_root).resolve()),
@@ -269,10 +277,24 @@ def cache_fingerprint(
             "ocr_phrase_pkl": (
                 str(Path(ocr_phrase_pkl).resolve()) if ocr_phrase_pkl else None
             ),
-            "features": FEATURES_VERSION,
         },
         sort_keys=True,
     )
+
+
+def _parse_fingerprint(fp: str) -> Tuple[Optional[Dict[str, Any]], Optional[int]]:
+    """(config dict without 'features', features version) from a stored
+    fingerprint; (None, None) for non-JSON fingerprints ('injected',
+    pre-fingerprint empty). Fingerprints written before the version was
+    split out carry 'features' inside the JSON; absent means v1."""
+    try:
+        d = json.loads(fp)
+        if not isinstance(d, dict):
+            return None, None
+    except Exception:
+        return None, None
+    feat = d.pop("features", 1)
+    return d, int(feat)
 
 
 def bootstrap_cache(
@@ -282,8 +304,13 @@ def bootstrap_cache(
     seed: int = 42,
     cache_to_disk: bool = True,
     cache: Optional[Dict[str, Any]] = None,
+    reuse_stale_features: bool = False,
 ) -> Dict[str, Any]:
     """Trainer cache ladder: injected > on-disk (out_dir) > rebuilt.
+
+    `reuse_stale_features=True` (eval_only/resume) keeps an on-disk cache
+    built by an older feature-code version — the checkpoint being
+    restored was trained on it (see load_cache).
 
     Shared by both trainers so their bootstrap behavior cannot drift.
     An on-disk cache is reused only when its fingerprint (data_root,
@@ -304,7 +331,11 @@ def bootstrap_cache(
             save_cache(cache, cache_path, fingerprint="injected")
         return cache
     if cache_to_disk:
-        cache = load_cache(cache_path, expected_fingerprint=fp)
+        cache = load_cache(
+            cache_path,
+            expected_fingerprint=fp,
+            stale_features="reuse" if reuse_stale_features else "rebuild",
+        )
     if cache is None:
         raw = FakeSVRawDataset(data_root)
         cache = build_feature_cache(
@@ -328,6 +359,7 @@ def save_cache(
     np.savez_compressed(
         p,
         version=np.int64(CACHE_VERSION),
+        features_version=np.int64(FEATURES_VERSION),
         fingerprint=np.str_(fingerprint),
         ids=np.array([str(x) for x in cache["ids"]]),
         labels=cache["labels"],
@@ -357,8 +389,20 @@ def save_cache(
 
 
 def load_cache(
-    path: str, expected_fingerprint: Optional[str] = None
+    path: str,
+    expected_fingerprint: Optional[str] = None,
+    stale_features: str = "rebuild",
 ) -> Optional[Dict[str, Any]]:
+    """Load a persisted cache; None means absent/unusable (caller rebuilds).
+
+    `stale_features` decides what a feature-code version mismatch means:
+      * "rebuild" (default, fresh training): return None so the caller
+        rebuilds with current feature code;
+      * "reuse" (eval_only/resume/serving): return the cache with a loud
+        warning — it is the exact feature map the out_dir's checkpoint
+        was trained on, and rebuilding would silently score that
+        checkpoint on a different feature distribution.
+    """
     p = Path(path)
     if not p.exists():
         return None
@@ -375,9 +419,13 @@ def load_cache(
                 f"note: cache at {p} is v2 (no token ids); "
                 "--train_text_tower needs a rebuilt cache"
             )
+        stored = str(z["fingerprint"]) if "fingerprint" in z else ""
+        stored_cfg, stored_feat = _parse_fingerprint(stored)
+        if "features_version" in z:
+            stored_feat = int(z["features_version"])
         if expected_fingerprint is not None:
-            stored = str(z["fingerprint"]) if "fingerprint" in z else ""
-            if stored and stored != expected_fingerprint:
+            exp_cfg, _ = _parse_fingerprint(expected_fingerprint)
+            if stored and stored_cfg != exp_cfg:
                 print(
                     f"⚠️  cache at {p} was built under a different config "
                     "(data_root/seed/ocr_phrase_pkl) — rebuilding"
@@ -388,6 +436,22 @@ def load_cache(
                     f"⚠️  cache at {p} predates config fingerprints; "
                     "reusing — delete it to force a rebuild"
                 )
+        if stored_feat is not None and stored_feat != FEATURES_VERSION:
+            if stale_features == "reuse":
+                print(
+                    f"⚠️  cache at {p} was built by older feature code "
+                    f"(v{stored_feat}, current v{FEATURES_VERSION}); "
+                    "reusing it because the checkpoint in this out_dir "
+                    "was trained on exactly these features. NOTE: serving "
+                    "featurizes NEW records with current code — delete "
+                    "feature_cache.npz and retrain to refresh"
+                )
+            else:
+                print(
+                    f"note: cache at {p} was built by older feature code "
+                    f"(v{stored_feat}); rebuilding with current features"
+                )
+                return None
         ocr_sets: List[set] = [set(json.loads(s)) for s in z["ocr_sets"]]
         return {
             "ids": np.array(list(z["ids"]), dtype=object),

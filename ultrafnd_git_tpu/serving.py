@@ -52,7 +52,10 @@ class Predictor:
         self.batch_size = int(batch_size)
 
         cache_path = self.out_dir / "feature_cache.npz"
-        self.cache = load_cache(str(cache_path))
+        # "reuse": the corpus cache is the feature map the checkpoint was
+        # trained on; a feature-code version mismatch warns loudly (new
+        # request records ARE featurized with current code)
+        self.cache = load_cache(str(cache_path), stale_features="reuse")
         if self.cache is None:
             raise FileNotFoundError(
                 f"no feature cache at {cache_path} — train first (the "
@@ -306,15 +309,25 @@ class Predictor:
         )
         return rows, self_w
 
-    def featurize(self, records: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
-        """records with title/ocr/comments -> trainer-contract features."""
+    def featurize(
+        self, records: Sequence[Dict[str, Any]], id_offset: int = 0
+    ) -> Dict[str, Any]:
+        """records with title/ocr/comments -> trainer-contract features.
+
+        `id_offset` keeps fallback ids request-global when predict()
+        featurizes per chunk — without it every chunk would restart at
+        q_0 and multi-chunk requests would return colliding ids for
+        records that carry no video_id/id of their own.
+        """
         from ultrafnd_git_tpu.data.cache import build_feature_cache
 
         class _Raw:  # minimal FakeSVRawDataset-shaped adapter
             def __init__(self, recs):
                 self._recs = [
                     {
-                        "id": r.get("video_id") or r.get("id") or f"q_{i}",
+                        "id": r.get("video_id")
+                        or r.get("id")
+                        or f"q_{id_offset + i}",
                         "title": r.get("title") or "",
                         "ocr": r.get("ocr") or "",
                         "comments": list(r.get("comments") or []),
@@ -377,22 +390,32 @@ class Predictor:
             (s, min(s + max_rows, n)) for s in range(0, n, max_rows)
         ]
 
-        from concurrent.futures import ThreadPoolExecutor
-
         out: List[Dict[str, Any]] = []
-        with ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="featurize"
-        ) as pool:
-            fut = pool.submit(
-                self.featurize, records[bounds[0][0] : bounds[0][1]]
-            )
-            for ci, (s, e) in enumerate(bounds):
-                chunk_cache = fut.result()
-                if ci + 1 < len(bounds):
-                    ns, ne = bounds[ci + 1]
-                    fut = pool.submit(self.featurize, records[ns:ne])
-                out.extend(self._score_chunk(chunk_cache, e - s))
+        pool = self._featurize_pool()
+        fut = pool.submit(
+            self.featurize, records[bounds[0][0] : bounds[0][1]], 0
+        )
+        for ci, (s, e) in enumerate(bounds):
+            chunk_cache = fut.result()
+            if ci + 1 < len(bounds):
+                ns, ne = bounds[ci + 1]
+                fut = pool.submit(self.featurize, records[ns:ne], ns)
+            out.extend(self._score_chunk(chunk_cache, e - s))
         return out
+
+    def _featurize_pool(self):
+        """One long-lived prefetch worker (thread creation per predict()
+        call was on the latency path; same reasoning as pipeline_v1's
+        _cv_pool)."""
+        pool = getattr(self, "_featurize_pool_obj", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="featurize"
+            )
+            self._featurize_pool_obj = pool
+        return pool
 
     def _score_chunk(
         self, feats_cache: Dict[str, Any], count: int

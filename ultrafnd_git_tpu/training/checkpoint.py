@@ -37,6 +37,7 @@ import orbax.checkpoint as ocp
 _ASYNC: Optional[ocp.AsyncCheckpointer] = None
 _FINALIZERS: Optional[ThreadPoolExecutor] = None
 _PENDING: List[Future] = []
+_LAST_SLOT_FINALIZER: Dict[Path, Future] = {}
 
 
 def _ckptr() -> ocp.AsyncCheckpointer:
@@ -71,6 +72,15 @@ def save_checkpoint(
     root = Path(directory).resolve() / name
     root.mkdir(parents=True, exist_ok=True)
     meta_path = root / "meta.json"
+    # A still-pending finalizer from THIS slot's previous save could
+    # otherwise re-create meta.json after the unlink below, while the new
+    # force=True write is destroying the state dir — exactly the
+    # fresh-meta-over-partial-state condition the protocol exists to
+    # prevent. Cheap: Orbax's AsyncCheckpointer already serializes
+    # back-to-back saves, so this only adds the meta-file write itself.
+    prev = _LAST_SLOT_FINALIZER.get(root)
+    if prev is not None:
+        prev.result()  # re-raises an earlier finalizer failure loudly
     # the old meta must not describe the in-flight overwrite (force=True
     # destroys the previous state dir before the new one commits)
     meta_path.unlink(missing_ok=True)
@@ -84,7 +94,9 @@ def save_checkpoint(
         tmp.write_text(payload, encoding="utf-8")
         tmp.replace(meta_path)  # atomic: meta presence == complete slot
 
-    _PENDING.append(_finalizer_pool().submit(_commit_meta))
+    fut = _finalizer_pool().submit(_commit_meta)
+    _PENDING.append(fut)
+    _LAST_SLOT_FINALIZER[root] = fut
 
 
 def load_checkpoint(

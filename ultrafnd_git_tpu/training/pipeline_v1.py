@@ -337,33 +337,43 @@ class EnsembleTrainer:
         self.clf = DeepTruthClassifier.from_config()
 
         b = cfg.batch_size
+        # Host (numpy) init templates: build_state may re-run under a CPU
+        # default device after an accelerator failure, and jnp constants
+        # created here would stay committed to the original device.
         dummy = {
-            "text_features": jnp.zeros((b, 768)),
-            "audio_features": jnp.zeros((b, 128)),
-            "visual_features": jnp.zeros((b, 512)),
-            "temporal_features": jnp.zeros((b, 256)),
+            "text_features": np.zeros((b, 768), np.float32),
+            "audio_features": np.zeros((b, 128), np.float32),
+            "visual_features": np.zeros((b, 512), np.float32),
+            "temporal_features": np.zeros((b, 256), np.float32),
         }
-        base = jax.random.PRNGKey(cfg.seed)
-
         def init_member(key):
             kf, kc = jax.random.split(key)
             return {
                 "fusion": self.fusion.init(kf, dummy)["params"],
                 "clf": self.clf.init(
-                    kc, jnp.zeros((b, self.fusion.hidden)), jnp.zeros((b, 2))
+                    kc,
+                    np.zeros((b, self.fusion.hidden), np.float32),
+                    np.zeros((b, 2), np.float32),
                 )["params"],
             }
 
-        keys = jax.random.split(base, cfg.ensemble_size)
-        # Stacked pytree: every leaf gains a leading (E,) member axis.
-        self.params = jax.vmap(init_member)(keys)
+        def build_state():
+            # Keys are created here (not captured) so a re-init after an
+            # accelerator failure never reads arrays on the dead device.
+            keys = jax.random.split(
+                jax.random.PRNGKey(cfg.seed), cfg.ensemble_size
+            )
+            # Stacked pytree: every leaf gains a leading (E,) member axis.
+            params = jax.vmap(init_member)(keys)
+            return params, self.tx.init(params)
 
         # NOTE: clipping happens per ensemble member inside the step (a
         # chained clip_by_global_norm here would compute one JOINT norm
         # over the stacked pytree, coupling the supposedly independent
         # members through the optimizer).
         self.tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
-        self.opt_state = self.tx.init(self.params)
+        self._build_state = build_state  # reused by the CPU failure ladder
+        self.params, self.opt_state = build_state()
         self.step_count = 0
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -400,9 +410,28 @@ class EnsembleTrainer:
         )
         self.device_failures += 1
         self._cpu_dev = cpu
-        self.params = jax.device_put(jax.device_get(self.params), cpu)
-        self.opt_state = jax.device_put(jax.device_get(self.opt_state), cpu)
-        self._rng = jax.device_put(jax.device_get(self._rng), cpu)
+        try:
+            self.params = jax.device_put(jax.device_get(self.params), cpu)
+            self.opt_state = jax.device_put(
+                jax.device_get(self.opt_state), cpu
+            )
+        except Exception:
+            # The live state itself is unfetchable (poisoned by the async
+            # failure or the device is gone) — the reference's answer is
+            # to re-initialize everything on CPU and keep training
+            # (ref src/training/run_train_eval.py:673-714); do the same.
+            print(
+                "⚠️  live train state unrecoverable from the failed "
+                "device; re-initializing parameters on CPU"
+            )
+            with jax.default_device(cpu):
+                self.params, self.opt_state = self._build_state()
+        try:
+            self._rng = jax.device_put(jax.device_get(self._rng), cpu)
+        except Exception:
+            self._rng = jax.device_put(
+                jax.random.PRNGKey(self.cfg.seed + 1), cpu
+            )
         return True
 
     def _place(self, x):
@@ -516,15 +545,22 @@ class EnsembleTrainer:
                 key,
             )
 
+        # Materialize the loss INSIDE the try: jitted dispatch is async,
+        # so a dying accelerator usually surfaces at the fetch, not the
+        # call. self.params/opt_state are only committed after the fetch
+        # succeeds, so the ladder retries from the last good state.
         try:
-            self.params, self.opt_state, loss = run()
+            params, opt_state, loss = run()
+            loss = float(loss)
         except Exception as exc:
             if not self._fallback_to_cpu(exc):
                 raise
             self._rng, key = jax.random.split(self._rng)  # CPU-placed key
-            self.params, self.opt_state, loss = run()
+            params, opt_state, loss = run()
+            loss = float(loss)
+        self.params, self.opt_state = params, opt_state
         self.step_count += 1
-        return float(loss)
+        return loss
 
     def predict_batch(self, feats: Dict[str, np.ndarray]) -> np.ndarray:
         def run():
@@ -538,13 +574,13 @@ class EnsembleTrainer:
                 self._place(feats["evidence"]),
             )
 
+        # np.asarray materializes inside the try — see train_batch.
         try:
-            logits = run()
+            return np.asarray(jax.nn.softmax(run(), axis=-1))
         except Exception as exc:
             if not self._fallback_to_cpu(exc):
                 raise
-            logits = run()
-        return np.asarray(jax.nn.softmax(logits, axis=-1))
+            return np.asarray(jax.nn.softmax(run(), axis=-1))
 
 
 # ----------------------------------------------------------------------

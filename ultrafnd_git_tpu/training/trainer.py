@@ -182,6 +182,9 @@ class ForensicTrainer:
             seed=cfg.seed,
             cache_to_disk=cfg.cache_to_disk,
             cache=cache,
+            # a restored checkpoint was trained on the on-disk cache's
+            # feature map — keep it even across a feature-code bump
+            reuse_stale_features=bool(cfg.eval_only or cfg.resume),
         )
         self.tr_idx, self.va_idx, self.te_idx = (
             np.asarray(s) for s in self.cache["split"]
