@@ -78,6 +78,11 @@ def parse_args():
                         "one jitted scan per epoch (debugging aid; the "
                         "scan is numerically identical and ~2x faster "
                         "wall-clock on a tunneled chip)")
+    p.add_argument("--no_fast_dropout_rng", action="store_true",
+                   help="Generate in-step dropout masks with threefry "
+                        "instead of the rbg PRNG (bit-exact replays "
+                        "across compiler versions; rbg is -14% joint "
+                        "tower step time)")
     p.add_argument("--shard_graph", action="store_true",
                    help="Shard the (N, N) GCN adjacency rows over the "
                         "'data' mesh axis — the O(N^2) object is the "
@@ -158,6 +163,7 @@ def main():
                 ("--shard_corpus", args.shard_corpus),
                 ("--shard_graph", args.shard_graph),
                 ("--freeze_gnn", args.freeze_gnn),
+                ("--no_fast_dropout_rng", args.no_fast_dropout_rng),
             )
             if on
         ]
@@ -210,6 +216,7 @@ def main():
         shard_corpus=args.shard_corpus,
         shard_graph=args.shard_graph,
         scan_epoch=not args.no_scan_epoch,
+        fast_dropout_rng=not args.no_fast_dropout_rng,
         bf16_compute=args.bf16,
         resume=args.resume,
         eval_only=args.eval_only,

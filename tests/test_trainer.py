@@ -338,3 +338,19 @@ def test_resume_with_text_tower(fixture_root, tower_ckpt, tmp_path):
     assert int(t2.state.step) == step1
     t2.fit()
     assert int(t2.state.step) > step1
+
+
+def test_fast_dropout_rng_both_paths_train(fixture_root, tmp_path):
+    """fast_dropout_rng=True (rbg in-step dropout, the default) and
+    False (threefry, bit-exact replays) both train to a finite best
+    metric; the checkpointed state.rng stays threefry in both."""
+    t1 = ForensicTrainer(
+        _cfg(fixture_root, tmp_path / "a", epochs=1, fast_dropout_rng=False)
+    )
+    b1 = t1.fit()
+    t2 = ForensicTrainer(_cfg(fixture_root, tmp_path / "b", epochs=1))
+    assert t2.cfg.fast_dropout_rng  # default on
+    b2 = t2.fit()
+    assert np.isfinite(b1) and np.isfinite(b2)
+    # state.rng is a raw threefry key in both (checkpoint compatibility)
+    assert t1.state.rng.shape == t2.state.rng.shape == (2,)

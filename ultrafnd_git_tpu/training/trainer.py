@@ -113,6 +113,11 @@ class TrainConfig:
     # multi-PROCESS runs fall back to per-step dispatch, because there
     # each host contributes local rows batch by batch (put_global_batch).
     scan_epoch: bool = True
+    # In-step dropout masks via the rbg PRNG instead of threefry: -14%
+    # joint tower_512 step time measured (44.7 -> 38.4 ms); see
+    # _make_train_step. False = threefry everywhere (bit-exact replays
+    # across compiler versions).
+    fast_dropout_rng: bool = True
     profile_dir: Optional[str] = None  # jax.profiler trace output
     debug_nans: bool = False
     log_metrics_jsonl: bool = True
@@ -557,6 +562,19 @@ class ForensicTrainer:
     def _make_train_step(self):
         def step(state: TrainState, idx, mask, corpus):
             rng = jax.random.fold_in(state.rng, state.step)
+            if self.cfg.fast_dropout_rng:
+                # Dropout-mask bits via the rbg PRNG: threefry mask
+                # generation for the (B, L, W)-scale tower masks costs
+                # 6.3 ms/step at the tower_512 protocol (44.7 -> 38.4 ms
+                # measured, -14%). Only the IN-STEP dropout stream is
+                # converted — init/shuffling stay threefry, and the
+                # checkpointed state.rng is unchanged. Deterministic for
+                # a given seed, but the rbg bitstream is not guaranteed
+                # stable across compiler versions (set
+                # fast_dropout_rng=False for bit-exact replays).
+                rng = jax.random.wrap_key_data(
+                    jnp.concatenate([rng, rng]), impl="rbg"
+                )
 
             def loss_fn(params):
                 ce, p1, forensic = self._forward(
