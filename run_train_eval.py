@@ -158,8 +158,6 @@ def main():
                 ("--train_text_tower", args.train_text_tower),
                 ("--dp", args.dp is not None),
                 ("--tp", args.tp > 1),
-                ("--bf16", args.bf16),
-                ("--resume", args.resume),
                 ("--shard_corpus", args.shard_corpus),
                 ("--shard_graph", args.shard_graph),
                 ("--freeze_gnn", args.freeze_gnn),
@@ -187,6 +185,8 @@ def main():
             use_evidence=args.use_evidence,
             profile_dir=args.profile_dir,
             scan_epoch=not args.no_scan_epoch,
+            bf16_compute=args.bf16,
+            resume=args.resume,
         )
         itrainer = IntegratedForensicTrainer(icfg)
         results = (

@@ -80,6 +80,38 @@ def test_label_smoothing_changes_loss(trainer_factory):
     assert l_smooth > l_hard
 
 
+def test_resume_continues_from_latest(trainer_factory, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("integ_resume"))
+    t1 = trainer_factory(out_dir=out, epochs=1)
+    t1.train()
+    step_after_e1 = int(t1.state.step)
+    assert step_after_e1 > 0
+
+    # resume picks up epoch counter, best score, and optimizer step
+    t2 = trainer_factory(out_dir=out, epochs=2, resume=True)
+    assert t2.start_epoch == 2
+    assert t2.best_score == pytest.approx(t1.best_score)
+    assert int(t2.state.step) == step_after_e1
+    t2.train()
+    assert int(t2.state.step) > step_after_e1
+
+    # without resume, a fresh trainer starts over
+    t3 = trainer_factory(out_dir=out, epochs=2)
+    assert t3.start_epoch == 1 and int(t3.state.step) == 0
+
+
+def test_bf16_compute_runs_and_keeps_f32_params(trainer_factory):
+    t = trainer_factory(save_best=False, bf16_compute=True, epochs=1)
+    import jax
+    import jax.numpy as jnp
+
+    for leaf in jax.tree.leaves(t.state.params):
+        assert leaf.dtype == jnp.float32  # master params stay f32
+    thr = t._annealed_thresh(0)
+    loss, acc, auc = t._run_split(t.train_idx[:16], thr, train=True)
+    assert np.isfinite(loss)
+
+
 def test_scan_epoch_matches_per_step_loop(trainer_factory):
     """scan_epoch runs the same step over the same RNG stream — losses,
     metrics and final params must match the per-step dispatch loop."""

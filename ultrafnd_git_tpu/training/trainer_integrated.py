@@ -30,7 +30,12 @@ TPU-first design:
     a TRACED SCALAR — annealing never recompiles and never touches host;
   * one jitted step: sub-graph GCN -> fusion -> classifier -> weighted,
     label-smoothed CE -> backward -> AdamW(cosine) update;
-  * ragged last batch padded + masked (fixed shapes, no recompilation).
+  * ragged last batch padded + masked (fixed shapes, no recompilation);
+  * `resume` restarts from the per-epoch `latest` checkpoint slot (the
+    cosine schedule continues from the restored optimizer step, the
+    annealed threshold from the restored epoch) and `bf16_compute`
+    applies the same bf16-activations / f32-master lever as the v2
+    trainer. Mesh sharding (`--dp/--tp`) remains v2-only.
 """
 from __future__ import annotations
 
@@ -79,6 +84,8 @@ class IntegratedTrainConfig:
     gnn_overlap_thresh: float = 0.12
     # Checkpointing
     save_best: bool = True
+    resume: bool = False  # restart from the `latest` checkpoint if present
+    bf16_compute: bool = False  # bf16 matmuls with f32 master params
     # Loss options
     label_smoothing: float = 0.05
     class_weighting: bool = False
@@ -196,6 +203,12 @@ class IntegratedForensicTrainer:
         if not cfg.use_gnn:
             self.fusion = self.fusion.clone(use_gnn=False)
         self.clf = DeepTruthClassifier.from_config(cfg.classifier_config)
+        if cfg.bf16_compute:
+            # bf16-compute / f32-master (same lever as the v2 trainer):
+            # params, optimizer state, and checkpoints stay float32; only
+            # the fusion/classifier matmul activations run bf16.
+            self.fusion = self.fusion.clone(dtype=jnp.bfloat16)
+            self.clf = self.clf.clone(dtype=jnp.bfloat16)
         self.gnn = GNNModel(hid=256, out_dim=cfg.gnn_dim, dropout=0.1)
 
         b = cfg.batch_size
@@ -238,8 +251,21 @@ class IntegratedForensicTrainer:
         self.tx = optax.chain(*chain)
         self.state = create_train_state(params, self.tx, k_state)
 
+        self.start_epoch = 1
         self.best_score = -1.0
         self.no_improve = 0
+        if cfg.resume:
+            restored = load_checkpoint_guarded(
+                cfg.out_dir, "latest", self.state, "integrated",
+                "starting fresh",
+            )
+            if restored is not None:
+                self.state, meta = restored
+                self.start_epoch = int(meta.get("epoch", 0)) + 1
+                self.best_score = float(meta.get("best_val_auc", -1.0))
+                self.no_improve = int(meta.get("no_improve", 0))
+                # the cosine schedule and the annealed Jaccard threshold
+                # both continue from the restored step/epoch
         self._frozen = cfg.freeze_epochs > 0  # parity no-op
 
         self._train_step = jax.jit(self._make_step(train=True), donate_argnums=0)
@@ -461,7 +487,7 @@ class IntegratedForensicTrainer:
             best=self.best_score,
             no_improve=self.no_improve,
         )
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(self.start_epoch, cfg.epochs + 1):
             thr = self._annealed_thresh(epoch - 1)
             if self._frozen and epoch > cfg.freeze_epochs:
                 print("→ Unfreezing encoders")  # parity no-op
@@ -497,6 +523,11 @@ class IntegratedForensicTrainer:
             tracker.update(val_auc, self.state, epoch, asdict(cfg))
             self.best_score = tracker.best
             self.no_improve = tracker.no_improve
+            # `latest` every epoch: restart-from-latest fault recovery
+            ckpt.save_checkpoint(
+                cfg.out_dir, "latest", self.state,
+                tracker.meta(epoch, asdict(cfg)),
+            )
             if tracker.should_stop:
                 tracker.announce_stop()
                 break
