@@ -8,7 +8,10 @@ Usage:
 `--input` takes `data_complete.json` semantics (one JSON array or JSONL of
 records with title/ocr/comments). Output is one JSON object per record:
 {id, prob_fake, label, semantic_conflict, temporal_delay,
-emotion_intensity}.
+emotion_intensity}; with `--explain`, each line also carries an "explain"
+object with classifier attributions (Gradient x Input by default,
+`--explain_method shap` for the SHAP ladder incl. the native jitted
+KernelSHAP rung).
 """
 import argparse
 import json
@@ -46,6 +49,16 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--checkpoint", default="best", choices=("best", "latest"))
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--explain", action="store_true",
+                    help="Attach per-record classifier attributions "
+                         "(adds an 'explain' object per line)")
+    ap.add_argument("--explain_method", default="grad",
+                    choices=("grad", "shap"),
+                    help="grad = Gradient x Input (fast); shap = SHAP "
+                         "ladder (shap package -> native jitted "
+                         "KernelSHAP -> SmoothGrad)")
+    ap.add_argument("--top_k", type=int, default=8,
+                    help="Fused dimensions listed per record with --explain")
     args = ap.parse_args()
 
     if args.cpu:
@@ -60,7 +73,13 @@ def main() -> None:
         batch_size=args.batch_size,
         checkpoint_name=args.checkpoint,
     )
-    results = predictor.predict(load_records(Path(args.input)))
+    records = load_records(Path(args.input))
+    if args.explain:
+        results = predictor.explain(
+            records, method=args.explain_method, top_k=args.top_k
+        )
+    else:
+        results = predictor.predict(records)
 
     sink = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
     try:

@@ -62,6 +62,52 @@ def test_predict_batches_pad_without_recompiles(trained_out_dir):
     assert len(probs) == 1
 
 
+def test_explain_grad_contract(trained_out_dir):
+    predictor = Predictor(trained_out_dir, batch_size=4)
+    results = predictor.explain([FAKE_REC, REAL_REC], method="grad", top_k=3)
+    plain = predictor.predict([FAKE_REC, REAL_REC])
+    assert len(results) == 2
+    for r, p in zip(results, plain):
+        assert r["prob_fake"] == pytest.approx(p["prob_fake"])  # same scores
+        e = r["explain"]
+        assert e["method"] == "grad_x_input"
+        assert set(e["aux"]) == {"temporal_delay", "emotion"}
+        assert len(e["top_fused_dims"]) == 3
+        # grad-x-input magnitudes, sorted descending by |value|
+        mags = [abs(v) for _, v in e["top_fused_dims"]]
+        assert mags == sorted(mags, reverse=True)
+        assert np.isfinite(e["fused_attr_l1"])
+
+
+def test_explain_shap_additivity_ties_to_served_probability(trained_out_dir):
+    predictor = Predictor(trained_out_dir, batch_size=4)
+    results = predictor.explain(
+        [FAKE_REC, REAL_REC], method="shap", n_coalitions=128,
+        background_size=2,
+    )
+    for r in results:
+        e = r["explain"]
+        assert e["method"] == "kernel-shap"  # native rung (no shap pkg)
+        total = e["base_value"] + e["aux"]["temporal_delay"] + e["aux"][
+            "emotion"
+        ] + sum(
+            v for _, v in e["top_fused_dims"]
+        )
+        # efficiency axiom: base + ALL values == prob_fake; top_fused_dims
+        # is truncated, so reconstruct from the full sum instead
+        full = e["base_value"] + e["fused_signed_sum"] + e["aux"][
+            "temporal_delay"
+        ] + e["aux"]["emotion"]
+        assert full == pytest.approx(r["prob_fake"], abs=1e-3)
+        del total
+
+
+def test_explain_rejects_unknown_method(trained_out_dir):
+    predictor = Predictor(trained_out_dir, batch_size=4)
+    with pytest.raises(ValueError):
+        predictor.explain([FAKE_REC], method="lime")
+
+
 def test_predict_empty_and_missing_checkpoint(trained_out_dir, tmp_path):
     predictor = Predictor(trained_out_dir)
     assert predictor.predict([]) == []

@@ -81,15 +81,21 @@ def solve_kernel_shap(
     coalitions: (M, F) shared 0/1 design
     fx:         (R,) full-model outputs f(x_r)
     base:       scalar mean background output
+    ridge:      kept for API stability; the SVD solve below needs no
+                explicit regularization
     returns     (R, F) shap values; base + phi.sum(-1) == fx exactly.
     """
+    del ridge
     a = coalitions[:, :-1] - coalitions[:, -1:]  # (M, F-1)
-    gram = a.T @ a + ridge * jnp.eye(a.shape[1], dtype=a.dtype)
-    chol = jax.scipy.linalg.cho_factor(gram)
     # y - base - z_F * (fx - base), per row
     adj = y - base - coalitions[None, :, -1] * (fx - base)[:, None]
-    rhs = adj @ a  # (R, F-1)
-    head = jax.scipy.linalg.cho_solve(chol, rhs.T).T  # (R, F-1)
+    # SVD minimum-norm least squares, ONE factorization shared by every
+    # explained row. A Cholesky of A^T A NaNs out when M < F (coalition
+    # budget below the feature count leaves the gram rank-deficient, and
+    # no f32-representable ridge separates its nullspace from rounding
+    # noise); lstsq handles that case exactly with the minimum-norm
+    # solution and is equally accurate when M >> F.
+    head = jnp.linalg.lstsq(a, adj.T)[0].T  # (R, F-1)
     last = (fx - base) - head.sum(axis=1)
     return jnp.concatenate([head, last[:, None]], axis=1)
 

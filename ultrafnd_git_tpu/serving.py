@@ -273,7 +273,9 @@ class Predictor:
                 aux,
                 deterministic=True,
             )
-            return co["probs"], fo["forensic"]
+            # fused rides along for explain(); predict() never transfers
+            # it off-device, so the extra output is free on the hot path
+            return co["probs"], fo["forensic"], fo["fused"]
 
         return score
 
@@ -418,9 +420,17 @@ class Predictor:
         return pool
 
     def _score_chunk(
-        self, feats_cache: Dict[str, Any], count: int
-    ) -> List[Dict[str, Any]]:
-        """Score one featurized chunk (all rows of `feats_cache`)."""
+        self,
+        feats_cache: Dict[str, Any],
+        count: int,
+        collect_fused: bool = False,
+    ):
+        """Score one featurized chunk (all rows of `feats_cache`).
+
+        With collect_fused=True, returns (rows, fused (count, H), aux
+        (count, 2)) for the explain() path; otherwise just the rows —
+        the fused output then never leaves the device.
+        """
         b = max(1, self.batch_size)
         bucket = b
         while bucket < count:
@@ -468,7 +478,7 @@ class Predictor:
             xg_new = np.concatenate(
                 [xg_new, np.repeat(xg_new[-1:], pad, axis=0)]
             )
-        probs, forensic = self._score(
+        probs, forensic, fused = self._score(
             self.params,
             feats,
             aux,
@@ -491,7 +501,7 @@ class Predictor:
         )
         probs = np.asarray(probs)[:count]
         forensic = {k: np.asarray(v)[:count] for k, v in forensic.items()}
-        return [
+        rows = [
             {
                 "id": str(feats_cache["ids"][i]),
                 "prob_fake": float(probs[i, 1]),
@@ -506,3 +516,104 @@ class Predictor:
             }
             for i in range(count)
         ]
+        if collect_fused:
+            return (
+                rows,
+                np.asarray(fused)[:count],
+                np.asarray(aux)[:count],
+            )
+        return rows
+
+    def explain(
+        self,
+        records: Sequence[Dict[str, Any]],
+        method: str = "grad",
+        top_k: int = 8,
+        n_coalitions: Optional[int] = None,
+        background_size: int = 32,
+    ) -> List[Dict[str, Any]]:
+        """Score records AND attach classifier attributions per record.
+
+        The reference exposes interpretability only as methods on the
+        classifier (`deep_truth_classifier.py:189-272`) with no serving
+        path to reach them; here the same attributions ride the serving
+        featurize->score pipeline. `method`:
+          * "grad" — Gradient x Input on the class-1 logit (one backward
+            per batch; cheap enough for the hot path);
+          * "shap" — `explain_shap`'s ladder (shap package -> native
+            jitted KernelSHAP -> SmoothGrad). For "kernel-shap" results
+            the SHAP efficiency axiom ties the attributions to the served
+            probability exactly: base + sum(values) == prob_fake.
+
+        Attributions are over the classifier's input — the fused-512
+        embedding plus the 2 aux scalars [temporal_delay, emotion] — the
+        exact surface the reference explains. Each row gains an "explain"
+        dict: {method, aux: {...}, top_fused_dims: [[dim, value], ...],
+        fused_attr_l1, and base_value for kernel-shap}.
+        """
+        if method not in ("grad", "shap"):
+            raise ValueError(f"unknown explain method: {method!r}")
+        if not records:
+            return []
+        from ultrafnd_git_tpu.training import interpret
+
+        records = list(records)
+        rows: List[Dict[str, Any]] = []
+        fused_parts, aux_parts = [], []
+        b = max(1, self.batch_size)
+        for s in range(0, len(records), b):
+            chunk = records[s : s + b]
+            r, f, a = self._score_chunk(
+                self.featurize(chunk, s), len(chunk), collect_fused=True
+            )
+            rows.extend(r)
+            fused_parts.append(f)
+            aux_parts.append(a)
+        fused = np.concatenate(fused_parts).astype(np.float32)
+        aux = np.concatenate(aux_parts).astype(np.float32)
+
+        base_values = None
+        if method == "grad":
+            values, _ = interpret.feature_importance(
+                self.clf, self.params["clf"], fused, aux
+            )
+            method_used = "grad_x_input"
+        else:
+            out = interpret.explain_shap(
+                self.clf,
+                self.params["clf"],
+                fused,
+                aux,
+                max_samples=len(records),
+                n_coalitions=n_coalitions,
+                background_size=background_size,
+            )
+            values = out["values"]
+            method_used = out["method"]
+            base_values = out.get("base_values")
+
+        h = fused.shape[1]
+        for i, row in enumerate(rows):
+            v = np.asarray(values[i])
+            fused_v, aux_v = v[:h], v[h:]
+            order = np.argsort(-np.abs(fused_v))[: max(0, int(top_k))]
+            info = {
+                "method": method_used,
+                # aux layout is [temporal_delay, emotion] (cache contract,
+                # reference fakesv_dataset.py:179-189)
+                "aux": {
+                    "temporal_delay": float(aux_v[0]) if aux_v.size else 0.0,
+                    "emotion": float(aux_v[1]) if aux_v.size > 1 else 0.0,
+                },
+                "top_fused_dims": [
+                    [int(d), float(fused_v[d])] for d in order
+                ],
+                "fused_attr_l1": float(np.abs(fused_v).sum()),
+                # signed total over ALL fused dims — with kernel-shap,
+                # base_value + fused_signed_sum + aux == prob_fake exactly
+                "fused_signed_sum": float(fused_v.sum()),
+            }
+            if base_values is not None:
+                info["base_value"] = float(base_values[i])
+            row["explain"] = info
+        return rows
