@@ -63,7 +63,6 @@ def test_explain_shap_falls_back_and_reports_method():
     out = explain_shap(model, params, fused, aux, max_samples=4, n_coalitions=128)
     # ladder: shap package -> native kernel-shap -> smooth-grad; in this
     # image (no shap) the native rung must be the one that fires.
-    assert out["method"] in ("shap", "kernel-shap", "smooth-grad")
     assert out["method"] == "kernel-shap"
     assert out["values"].shape[1] == F + A
     assert out["values"].shape[0] <= 4

@@ -88,18 +88,30 @@ def test_explain_shap_additivity_ties_to_served_probability(trained_out_dir):
     for r in results:
         e = r["explain"]
         assert e["method"] == "kernel-shap"  # native rung (no shap pkg)
-        total = e["base_value"] + e["aux"]["temporal_delay"] + e["aux"][
-            "emotion"
-        ] + sum(
-            v for _, v in e["top_fused_dims"]
-        )
-        # efficiency axiom: base + ALL values == prob_fake; top_fused_dims
-        # is truncated, so reconstruct from the full sum instead
+        # efficiency axiom: base + ALL values == prob_fake (top_fused_dims
+        # is truncated, so reconstruct from the signed full sum)
         full = e["base_value"] + e["fused_signed_sum"] + e["aux"][
             "temporal_delay"
         ] + e["aux"]["emotion"]
         assert full == pytest.approx(r["prob_fake"], abs=1e-3)
-        del total
+
+
+def test_explain_shap_single_record_is_nondegenerate(trained_out_dir):
+    # the background is the training corpus, NOT the request batch — a
+    # single-record request must still get real (non-zero) attributions
+    predictor = Predictor(trained_out_dir, batch_size=4)
+    [r] = predictor.explain(
+        [FAKE_REC], method="shap", n_coalitions=128, background_size=4
+    )
+    e = r["explain"]
+    assert e["method"] == "kernel-shap"
+    assert e["fused_attr_l1"] > 0.0
+    full = e["base_value"] + e["fused_signed_sum"] + e["aux"][
+        "temporal_delay"
+    ] + e["aux"]["emotion"]
+    assert full == pytest.approx(r["prob_fake"], abs=1e-3)
+    # base is the corpus-background mean probability, not this record's
+    assert e["base_value"] != pytest.approx(r["prob_fake"], abs=1e-6)
 
 
 def test_explain_rejects_unknown_method(trained_out_dir):

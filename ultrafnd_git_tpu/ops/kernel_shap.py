@@ -29,13 +29,12 @@ for a model f, an explained row x, and a background set B,
 
 TPU-first design:
   * coalitions are drawn once and SHARED by every explained row, so the
-    normal-matrix Cholesky is factored once and reused for all rows
-    (the per-row work is one triangular solve);
+    design matrix is factored once (one SVD) and reused for all rows;
   * model evaluations run as `lax.scan` over fixed-size coalition chunks
     with the (rows, chunk, background) product flattened into one batched
     forward per chunk — fixed shapes, one compile, MXU-friendly batches;
-  * everything (sampling, evals, Cholesky, solves) lives inside a single
-    jit; no host round-trips between stages.
+  * everything (sampling, evals, factorization, solves) lives inside a
+    single jit; no host round-trips between stages.
 """
 from __future__ import annotations
 
@@ -73,7 +72,6 @@ def solve_kernel_shap(
     coalitions: jnp.ndarray,
     fx: jnp.ndarray,
     base: jnp.ndarray,
-    ridge: float = 1e-6,
 ) -> jnp.ndarray:
     """Constrained LS solve shared across explained rows.
 
@@ -81,11 +79,8 @@ def solve_kernel_shap(
     coalitions: (M, F) shared 0/1 design
     fx:         (R,) full-model outputs f(x_r)
     base:       scalar mean background output
-    ridge:      kept for API stability; the SVD solve below needs no
-                explicit regularization
     returns     (R, F) shap values; base + phi.sum(-1) == fx exactly.
     """
-    del ridge
     a = coalitions[:, :-1] - coalitions[:, -1:]  # (M, F-1)
     # y - base - z_F * (fx - base), per row
     adj = y - base - coalitions[None, :, -1] * (fx - base)[:, None]
@@ -101,7 +96,7 @@ def solve_kernel_shap(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("f", "n_coalitions", "chunk", "ridge")
+    jax.jit, static_argnames=("f", "n_coalitions", "chunk")
 )
 def _kernel_shap_jit(
     f: Callable[..., jnp.ndarray],
@@ -111,7 +106,6 @@ def _kernel_shap_jit(
     key: jax.Array,
     n_coalitions: int,
     chunk: int,
-    ridge: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     rows, n_feat = x.shape
     n_bg = background.shape[0]
@@ -136,7 +130,7 @@ def _kernel_shap_jit(
     y = jnp.moveaxis(y_chunks, 0, 1).reshape(rows, n_chunks * chunk)[:, :m]
     fx = f(params, x)
     base = f(params, background).mean()
-    phi = solve_kernel_shap(y, z, fx, base, ridge)
+    phi = solve_kernel_shap(y, z, fx, base)
     return phi, jnp.full((rows,), base)
 
 
@@ -147,7 +141,6 @@ def kernel_shap(
     background,
     n_coalitions: int | None = None,
     chunk: int = 256,
-    ridge: float = 1e-6,
     seed: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SHAP values of `f` at rows `x` against `background`.
@@ -178,5 +171,4 @@ def kernel_shap(
         jax.random.PRNGKey(seed),
         int(n_coalitions),
         int(chunk),
-        float(ridge),
     )

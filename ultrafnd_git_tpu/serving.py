@@ -367,8 +367,15 @@ class Predictor:
         serialization between them was the serving wall-clock (VERDICT
         r2 item 6). Single-chunk requests degenerate to the serial path.
         """
+        return self._pipeline(records, collect_fused=False)[0]
+
+    def _pipeline(self, records: Sequence[Dict[str, Any]],
+                  collect_fused: bool):
+        """Shared featurize->score loop (prefetch + backend-aware
+        chunking) behind predict() and explain(). Returns (rows, fused,
+        aux); the latter two are None unless collect_fused."""
         if not records:
-            return []
+            return [], None, None
         records = list(records)
         n = len(records)
         # Chunk size is backend-aware. Accelerators: one dispatch per
@@ -393,6 +400,8 @@ class Predictor:
         ]
 
         out: List[Dict[str, Any]] = []
+        fused_parts: List[np.ndarray] = []
+        aux_parts: List[np.ndarray] = []
         pool = self._featurize_pool()
         fut = pool.submit(
             self.featurize, records[bounds[0][0] : bounds[0][1]], 0
@@ -402,8 +411,23 @@ class Predictor:
             if ci + 1 < len(bounds):
                 ns, ne = bounds[ci + 1]
                 fut = pool.submit(self.featurize, records[ns:ne], ns)
-            out.extend(self._score_chunk(chunk_cache, e - s))
-        return out
+            res = self._score_chunk(
+                chunk_cache, e - s, collect_fused=collect_fused
+            )
+            if collect_fused:
+                rows, f, a = res
+                fused_parts.append(f)
+                aux_parts.append(a)
+            else:
+                rows = res
+            out.extend(rows)
+        if collect_fused:
+            return (
+                out,
+                np.concatenate(fused_parts).astype(np.float32),
+                np.concatenate(aux_parts).astype(np.float32),
+            )
+        return out, None, None
 
     def _featurize_pool(self):
         """One long-lived prefetch worker (thread creation per predict()
@@ -524,6 +548,63 @@ class Predictor:
             )
         return rows
 
+    def _explain_background(self, k: int) -> np.ndarray:
+        """(K, hidden+2) SHAP background from the TRAINING corpus.
+
+        Evenly-spaced corpus rows pushed through the restored fusion
+        (with their transductive GCN embeddings, and the trained tower's
+        text features on tower checkpoints) — a fixed reference
+        distribution, computed once and cached. Using the request batch
+        itself (the reference's KernelExplainer call does this, ref
+        :252) makes attributions depend on what else was in the request
+        and degenerates to all-zeros for single-record requests.
+        """
+        cached = getattr(self, "_explain_bg", None)
+        if cached is not None and cached.shape[0] >= k:
+            return cached[:k]
+        n = int(self.cache["labels"].shape[0])
+        idx = np.unique(
+            np.linspace(0, n - 1, num=min(k, n)).astype(np.int64)
+        )
+
+        def rows(key, dtype=np.float32):
+            return jnp.asarray(self.cache[key][idx].astype(dtype))
+
+        feats = {
+            "audio_features": rows("audio"),
+            "visual_features": rows("visual"),
+            "temporal_features": rows("temporal"),
+        }
+        if self.text_tower is not None:
+            feats["text_features"] = self.text_tower.apply(
+                {"params": self.params["text_tower"]},
+                rows("text_ids", np.int32),
+                rows("text_mask"),
+                deterministic=True,
+            )
+        else:
+            feats["text_features"] = rows("text")
+        if self.use_evidence:
+            feats["evidence"] = rows("evidence")
+        if self.use_gnn:
+            p = self.params["gnn"]
+            z = (self.A_NORM @ self.H_CORPUS) @ p["lin2"]["kernel"] + p[
+                "lin2"
+            ]["bias"]
+            feats["gnn_feat"] = z[idx]
+        fo = self.fusion.apply(
+            {"params": self.params["fusion"]}, feats, deterministic=True
+        )
+        bg = np.concatenate(
+            [
+                np.asarray(fo["fused"], np.float32),
+                self.cache["aux"][idx].astype(np.float32),
+            ],
+            axis=1,
+        )
+        self._explain_bg = bg
+        return bg
+
     def explain(
         self,
         records: Sequence[Dict[str, Any]],
@@ -557,26 +638,26 @@ class Predictor:
             return []
         from ultrafnd_git_tpu.training import interpret
 
-        records = list(records)
-        rows: List[Dict[str, Any]] = []
-        fused_parts, aux_parts = [], []
-        b = max(1, self.batch_size)
-        for s in range(0, len(records), b):
-            chunk = records[s : s + b]
-            r, f, a = self._score_chunk(
-                self.featurize(chunk, s), len(chunk), collect_fused=True
-            )
-            rows.extend(r)
-            fused_parts.append(f)
-            aux_parts.append(a)
-        fused = np.concatenate(fused_parts).astype(np.float32)
-        aux = np.concatenate(aux_parts).astype(np.float32)
+        rows, fused, aux = self._pipeline(list(records), collect_fused=True)
 
         base_values = None
         if method == "grad":
+            # pad to the same power-of-two bucket ladder as scoring so
+            # novel request sizes reuse a handful of compiled grad
+            # programs (retracing costs seconds over the tunnel)
+            n = fused.shape[0]
+            bucket = max(1, self.batch_size)
+            while bucket < n:
+                bucket *= 2
+            pad = bucket - n
+            fz, az = fused, aux
+            if pad:
+                fz = np.concatenate([fz, np.repeat(fz[-1:], pad, axis=0)])
+                az = np.concatenate([az, np.repeat(az[-1:], pad, axis=0)])
             values, _ = interpret.feature_importance(
-                self.clf, self.params["clf"], fused, aux
+                self.clf, self.params["clf"], fz, az
             )
+            values = values[:n]
             method_used = "grad_x_input"
         else:
             out = interpret.explain_shap(
@@ -584,9 +665,12 @@ class Predictor:
                 self.params["clf"],
                 fused,
                 aux,
-                max_samples=len(records),
+                max_samples=len(rows),
                 n_coalitions=n_coalitions,
-                background_size=background_size,
+                # a FIXED corpus-derived background: explaining requests
+                # against themselves makes attributions batch-dependent
+                # and identically zero for single-record requests
+                background=self._explain_background(background_size),
             )
             values = out["values"]
             method_used = out["method"]

@@ -23,6 +23,7 @@ SmoothGrad — which is the behavior that loop intends.)
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -149,15 +150,29 @@ def explain_shap(
     seed: int = 0,
     n_coalitions: Optional[int] = None,
     background_size: int = 32,
+    background: Optional[np.ndarray] = None,
+    row_chunk: int = 16,
 ) -> Dict[str, Any]:
     """SHAP values of class-1 probability, three-rung ladder.
 
     Rungs: `shap.KernelExplainer` (exact reference behavior, when the
     optional package exists) -> native jitted KernelSHAP
     (`ops/kernel_shap.py`, always available, additivity exact) ->
-    SmoothGrad (the reference's only fallback). Returns
-    {"method": "shap" | "kernel-shap" | "smooth-grad",
-     "values": (B, F[+A]), and for kernel-shap "base_values": (B,)}.
+    SmoothGrad (the reference's only fallback; its failure is logged —
+    SmoothGrad magnitudes do NOT satisfy the additivity contract).
+    Returns {"method": "shap" | "kernel-shap" | "smooth-grad",
+    "values": (B, F[+A]), and for kernel-shap "base_values": (B,)}.
+
+    `background`: explicit (K, F[+A]) reference rows. Defaults to the
+    first `background_size` explained rows (the reference's own choice,
+    ref :252) — callers with few/homogeneous rows should pass a real
+    background: explaining a row against itself yields zero attributions
+    by construction.
+
+    Explained rows go through the kernel in fixed `row_chunk` batches
+    (padded, so every request size reuses ONE compiled program) — the
+    per-step intermediate is row_chunk*coalition_chunk*K*F floats, which
+    an unchunked request of hundreds of rows would blow past HBM.
     """
     fused = np.asarray(fused, np.float32)[:max_samples]
     aux_np = None if aux is None else np.asarray(aux, np.float32)[:max_samples]
@@ -166,6 +181,11 @@ def explain_shap(
         fused
         if aux_np is None
         else np.concatenate([fused, aux_np], axis=-1)
+    )
+    bg = (
+        np.asarray(background, np.float32)
+        if background is not None
+        else x[:background_size]
     )
     try:
         import shap  # type: ignore
@@ -176,28 +196,42 @@ def explain_shap(
             out = model.apply({"params": params}, fb, ab, deterministic=True)
             return np.asarray(out["probs"][:, 1])
 
-        explainer = shap.KernelExplainer(f, x[:background_size])
+        explainer = shap.KernelExplainer(f, bg)
         vals = explainer.shap_values(x, nsamples="auto")
         if isinstance(vals, list):
             vals = vals[1]
         return {"method": "shap", "values": np.asarray(vals)}
-    except Exception:
-        pass  # package missing or failed -> native rung
+    except ImportError:
+        pass  # optional package absent -> native rung
+    except Exception as exc:  # package present but failed
+        warnings.warn(f"shap.KernelExplainer failed ({exc!r}); "
+                      "falling back to native KernelSHAP")
     try:
-        phi, base = kernel_shap(
-            _prob1_fn(model, fused_dim),
-            params,
-            x,
-            x[:background_size],
-            n_coalitions=n_coalitions,
-            seed=seed,
-        )
+        fn = _prob1_fn(model, fused_dim)
+        chunk_rows = max(1, int(row_chunk))
+        phis, bases = [], []
+        for s in range(0, x.shape[0], chunk_rows):
+            xc = x[s : s + chunk_rows]
+            pad = chunk_rows - xc.shape[0]
+            if pad:
+                xc = np.concatenate([xc, np.repeat(xc[-1:], pad, axis=0)])
+            phi, base = kernel_shap(
+                fn, params, xc, bg,
+                n_coalitions=n_coalitions, chunk=128, seed=seed,
+            )
+            keep = chunk_rows - pad
+            phis.append(np.asarray(phi)[:keep])
+            bases.append(np.asarray(base)[:keep])
         return {
             "method": "kernel-shap",
-            "values": np.asarray(phi),
-            "base_values": np.asarray(base),
+            "values": np.concatenate(phis),
+            "base_values": np.concatenate(bases),
         }
-    except Exception:
+    except Exception as exc:
+        warnings.warn(
+            f"native KernelSHAP failed ({exc!r}); returning SmoothGrad "
+            "magnitudes (unsigned, no additivity guarantee)"
+        )
         return {
             "method": "smooth-grad",
             "values": smooth_grad(model, params, fused, aux_np, seed=seed),
