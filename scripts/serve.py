@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Serve a trained out_dir over HTTP (stdlib-only; see ultrafnd_git_tpu/server.py).
+
+Usage:
+  python scripts/serve.py --out_dir outputs --port 8080
+  curl -s localhost:8080/healthz
+  curl -s -X POST localhost:8080/predict -d '{"records": [{"video_id": "x", "title": "...", "ocr": "...", "comments": []}]}'
+  curl -s -X POST localhost:8080/explain -d '{"records": [...], "method": "shap"}'
+"""
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="ultrafnd_git_tpu — HTTP serving")
+    ap.add_argument("--out_dir", required=True,
+                    help="Trained output dir (best checkpoint + cache)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--checkpoint", default="best", choices=("best", "latest"))
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--verbose", action="store_true",
+                    help="Log one line per HTTP request")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ultrafnd_git_tpu.server import make_server
+    from ultrafnd_git_tpu.serving import Predictor
+
+    predictor = Predictor(
+        args.out_dir,
+        batch_size=args.batch_size,
+        checkpoint_name=args.checkpoint,
+    )
+    server = make_server(
+        predictor, host=args.host, port=args.port, quiet=not args.verbose
+    )
+    host, port = server.server_address[:2]
+    print(f"serving {args.out_dir} on http://{host}:{port} "
+          "(POST /predict, POST /explain, GET /healthz)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("\nshutting down")
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""HTTP serving: live ThreadingHTTPServer against a trained out_dir."""
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+pytestmark = pytest.mark.slow  # trains a checkpoint to serve from
+
+from ultrafnd_git_tpu.server import make_server
+from ultrafnd_git_tpu.serving import Predictor
+from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
+
+RECORDS = [
+    {
+        "video_id": "h_fake",
+        "title": "外星人 入侵 地球 警告 危险",
+        "ocr": "外星 飞船 出现 危险 逃离",
+        "comments": ["太可怕了 赶紧转发"],
+    },
+    {
+        "video_id": "h_real",
+        "title": "辟谣 外星人 谣言 不实",
+        "ocr": "专家 辟谣 谣言 证据 科学",
+        "comments": ["官方已经辟谣了"],
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def live_server(fixture_data_root, tmp_path_factory):
+    out = tmp_path_factory.mktemp("http_serve")
+    cfg = TrainConfig(
+        data_root=fixture_data_root,
+        out_dir=str(out),
+        batch_size=8,
+        epochs=2,
+        seed=0,
+        cache_to_disk=True,
+        log_metrics_jsonl=False,
+    )
+    ForensicTrainer(cfg).fit()
+    server = make_server(Predictor(str(out), batch_size=4), port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+    thread.join(timeout=5)
+
+
+def _post(url: str, payload: dict) -> tuple:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def test_healthz(live_server):
+    with urllib.request.urlopen(f"{live_server}/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert r.status == 200
+    assert body["status"] == "ok"
+    assert "backend" in body
+
+
+def test_predict_endpoint_matches_library(live_server):
+    status, body = _post(f"{live_server}/predict", {"records": RECORDS})
+    assert status == 200
+    preds = body["predictions"]
+    assert [p["id"] for p in preds] == ["h_fake", "h_real"]
+    for p in preds:
+        assert 0.0 <= p["prob_fake"] <= 1.0
+        assert p["label"] in (0, 1)
+
+
+def test_explain_endpoint(live_server):
+    status, body = _post(
+        f"{live_server}/explain",
+        {"records": RECORDS[:1], "method": "grad", "top_k": 2},
+    )
+    assert status == 200
+    [p] = body["predictions"]
+    assert p["explain"]["method"] == "grad_x_input"
+    assert len(p["explain"]["top_fused_dims"]) == 2
+
+
+def test_error_paths_stay_up(live_server):
+    # malformed JSON
+    req = urllib.request.Request(
+        f"{live_server}/predict", data=b"not json{",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+    # records not a list
+    status, body = _post(f"{live_server}/predict", {"records": "nope"})
+    assert status == 400 and "error" in body
+
+    # unknown explain method -> 400, not a crash
+    status, body = _post(
+        f"{live_server}/explain", {"records": RECORDS, "method": "lime"}
+    )
+    assert status == 400 and "error" in body
+
+    # unknown path
+    status, body = _post(f"{live_server}/nope", {"records": []})
+    assert status == 404
+
+    # server still healthy and counted the good requests
+    with urllib.request.urlopen(f"{live_server}/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["requests"] >= 2
