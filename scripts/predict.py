@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--checkpoint", default="best", choices=("best", "latest"))
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 matmul activations (accelerator serving; "
+                         "scores move within the bf16 envelope)")
     ap.add_argument("--explain", action="store_true",
                     help="Attach per-record classifier attributions "
                          "(adds an 'explain' object per line)")
@@ -72,6 +75,7 @@ def main() -> None:
         args.out_dir,
         batch_size=args.batch_size,
         checkpoint_name=args.checkpoint,
+        bf16=args.bf16,
     )
     records = load_records(Path(args.input))
     if args.explain:

@@ -25,6 +25,8 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--checkpoint", default="best", choices=("best", "latest"))
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 matmul activations (accelerator serving)")
     ap.add_argument("--verbose", action="store_true",
                     help="Log one line per HTTP request")
     args = ap.parse_args()
@@ -41,6 +43,7 @@ def main() -> None:
         args.out_dir,
         batch_size=args.batch_size,
         checkpoint_name=args.checkpoint,
+        bf16=args.bf16,
     )
     server = make_server(
         predictor, host=args.host, port=args.port, quiet=not args.verbose

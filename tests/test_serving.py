@@ -120,6 +120,18 @@ def test_explain_rejects_unknown_method(trained_out_dir):
         predictor.explain([FAKE_REC], method="lime")
 
 
+def test_bf16_serving_tracks_f32_scores(trained_out_dir):
+    p32 = Predictor(trained_out_dir, batch_size=4)
+    p16 = Predictor(trained_out_dir, batch_size=4, bf16=True)
+    r32 = p32.predict([FAKE_REC, REAL_REC])
+    r16 = p16.predict([FAKE_REC, REAL_REC])
+    for a, b in zip(r32, r16):
+        # bf16 envelope, not bit equality
+        assert abs(a["prob_fake"] - b["prob_fake"]) < 0.05
+    # ordering (the decision-relevant property) is preserved
+    assert r16[0]["prob_fake"] > r16[1]["prob_fake"]
+
+
 def test_predict_empty_and_missing_checkpoint(trained_out_dir, tmp_path):
     predictor = Predictor(trained_out_dir)
     assert predictor.predict([]) == []

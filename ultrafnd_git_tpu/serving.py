@@ -47,9 +47,17 @@ class Predictor:
         out_dir: str,
         batch_size: int = 64,
         checkpoint_name: str = "best",
+        bf16: bool = False,
     ):
+        """bf16=True runs fusion/classifier/tower matmul activations in
+        bfloat16 (restored params stay f32) — the serving analogue of the
+        trainer's --bf16 lever. One MXU pass instead of three on TPU;
+        scores move within the bf16 envelope (|d prob| ~ 1e-2), so the
+        default stays bit-faithful f32. On CPU backends bf16 is emulated
+        and SLOWER — only worth enabling on an accelerator."""
         self.out_dir = Path(out_dir)
         self.batch_size = int(batch_size)
+        self.bf16 = bool(bf16)
 
         cache_path = self.out_dir / "feature_cache.npz"
         # "reuse": the corpus cache is the feature map the checkpoint was
@@ -124,6 +132,11 @@ class Predictor:
                 "classifier_config", "configs/model_configs/classifier.yaml"
             )
         )
+        if self.bf16:
+            self.fusion = self.fusion.clone(dtype=jnp.bfloat16)
+            self.clf = self.clf.clone(dtype=jnp.bfloat16)
+            if self.text_tower is not None:
+                self.text_tower = self.text_tower.clone(dtype=jnp.bfloat16)
         self.gnn = SimpleGCN(hid=2 * gnn_dim, out_dim=gnn_dim, dropout=0.2)
 
         # Device-resident corpus context for the inductive graph extension
