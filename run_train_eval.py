@@ -94,6 +94,13 @@ def parse_args():
                         "unset or single-process)")
     p.add_argument("--resume", action="store_true",
                    help="Resume from the latest checkpoint in out_dir")
+    p.add_argument("--select_metric", default="auc",
+                   choices=("auc", "acc", "f1", "precision", "recall"),
+                   help="Validation metric for best-checkpoint selection "
+                        "and early stop. auc = reference rule (default); "
+                        "acc/f1 avoid the measured epoch-1 'boundary "
+                        "collapse' lock-in (BASELINE.md accuracy-parity "
+                        "notes) when thresholded predictions matter")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="Write a jax.profiler trace here during fit()")
     return p.parse_args()
@@ -162,6 +169,7 @@ def main():
                 ("--shard_graph", args.shard_graph),
                 ("--freeze_gnn", args.freeze_gnn),
                 ("--no_fast_dropout_rng", args.no_fast_dropout_rng),
+                ("--select_metric", args.select_metric != "auc"),
             )
             if on
         ]
@@ -217,6 +225,7 @@ def main():
         shard_graph=args.shard_graph,
         scan_epoch=not args.no_scan_epoch,
         fast_dropout_rng=not args.no_fast_dropout_rng,
+        select_metric=args.select_metric,
         bf16_compute=args.bf16,
         resume=args.resume,
         eval_only=args.eval_only,

@@ -62,6 +62,23 @@ def test_eval_only_reuses_cache(fixture_root, tmp_path):
     assert EXPECTED_KEYS <= set(res)
 
 
+def test_select_metric_drives_selection_and_validates(fixture_root, tmp_path):
+    # invalid metric fails loudly at fit() time
+    t = ForensicTrainer(
+        _cfg(fixture_root, tmp_path / "bad", epochs=1, select_metric="loss")
+    )
+    with pytest.raises(ValueError, match="select_metric"):
+        t.fit()
+    # "acc" (alias for accuracy) trains end-to-end and checkpoints
+    t2 = ForensicTrainer(
+        _cfg(fixture_root, tmp_path / "acc", epochs=2, select_metric="acc")
+    )
+    best = t2.fit()
+    assert best > 0.5  # best val ACCURACY on the separable fixture
+    res = t2.test()
+    assert EXPECTED_KEYS <= set(res)
+
+
 def test_trainer_no_gnn(fixture_root, tmp_path):
     t = ForensicTrainer(_cfg(fixture_root, tmp_path, use_gnn=False, epochs=1))
     t.fit()

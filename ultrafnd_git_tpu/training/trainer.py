@@ -92,6 +92,14 @@ class TrainConfig:
     save_best: bool = True
     grad_clip: float = 5.0
     early_stop_patience: int = 3
+    # Validation metric driving best-checkpoint selection + early stop.
+    # "auc" is the reference rule (forensic_trainer.py:350-366) and the
+    # parity default. Measured caveat with it (BASELINE.md "Accuracy
+    # parity"): val AUC often peaks at epoch 1-2 while the decision
+    # boundary is still unsettled, so the selected checkpoint can rank
+    # well yet predict near-constant labels ("boundary collapse") —
+    # "acc" or "f1" select for thresholded behavior instead.
+    select_metric: str = "auc"
     # --- TPU-native extras (absent in the reference) ---
     cache_to_disk: bool = True  # persist feature cache; eval-only reuses it
     resume: bool = False  # restart from the `latest` checkpoint if present
@@ -709,6 +717,12 @@ class ForensicTrainer:
 
     def fit(self) -> float:
         cfg = self.cfg
+        sel = {"acc": "accuracy"}.get(cfg.select_metric, cfg.select_metric)
+        if sel not in ("auc", "accuracy", "f1", "precision", "recall"):
+            raise ValueError(
+                f"select_metric={cfg.select_metric!r} — use one of "
+                "auc/acc/f1/precision/recall"
+            )
         tracker = ImprovementTracker(
             cfg.out_dir,
             "v2",
@@ -742,7 +756,7 @@ class ForensicTrainer:
                 )
 
                 tracker.update(
-                    float(va_metrics.get("auc", 0.5)),
+                    float(va_metrics.get(sel, 0.5)),
                     self.state,
                     epoch,
                     asdict(cfg),
