@@ -44,78 +44,27 @@ def reference_modules():
         sys.path.remove(str(REFERENCE))
 
 
-def _t2n(t):
-    # copy=True matters: .numpy() returns a VIEW aliasing the live torch
-    # parameter, so a later optimizer step would silently mutate any
-    # "snapshot" taken through a no-copy asarray
-    return np.array(t.detach().cpu().numpy(), dtype=np.float32, copy=True)
-
-
-def _linear(sd, name):
-    """torch Linear -> flax Dense param dict (kernel is the transpose)."""
-    return {
-        "kernel": _t2n(sd[f"{name}.weight"]).T,
-        "bias": _t2n(sd[f"{name}.bias"]),
-    }
-
-
-def _coattn(sd, name):
-    return {
-        "q": _linear(sd, f"{name}.q"),
-        "k": _linear(sd, f"{name}.k"),
-        "v": _linear(sd, f"{name}.v"),
-        "evidence_in": _linear(sd, f"{name}.evidence_proj.0"),
-        "evidence_out": _linear(sd, f"{name}.evidence_proj.2"),
-    }
+# The torch->Flax mapping itself is a first-class package capability
+# (scripts/import_reference_checkpoint.py imports reference-trained
+# best.pt checkpoints with it); these tests exercise the SAME functions.
+from ultrafnd_git_tpu.utils.torch_transfer import (  # noqa: E402
+    classifier_params_from_state_dict,
+    fusion_params_from_state_dict,
+    to_numpy as _t2n,
+)
 
 
 def fusion_params_from_reference(ref_fusion):
-    sd = ref_fusion.state_dict()
-    return {
-        "text_proj": _linear(sd, "text_proj"),
-        "audio_proj": _linear(sd, "audio_proj"),
-        "visual_proj": _linear(sd, "visual_proj"),
-        "temporal_proj": _linear(sd, "temporal_proj"),
-        "gnn_proj": _linear(sd, "gnn_proj"),
-        "attn_tv": _coattn(sd, "attn_tv"),
-        "attn_ta": _coattn(sd, "attn_ta"),
-        "attn_vu": _coattn(sd, "attn_vu"),
-        "fuse0": _linear(sd, "fuse_mlp.0"),
-        "fuse1": _linear(sd, "fuse_mlp.3"),
-        "head": _linear(sd, "classifier"),
-    }
+    return fusion_params_from_state_dict(ref_fusion.state_dict())
 
 
 def classifier_params_from_reference(ref_clf):
-    sd = ref_clf.state_dict()
-    trees = len(ref_clf.node.trees)
-    depth = ref_clf.node.trees[0].depth
-    gates = np.stack(
-        [
-            np.stack(
-                [_t2n(sd[f"node.trees.{t}.gates.{k}"]) for k in range(depth)]
-            )
-            for t in range(trees)
-        ]
-    )  # (T, K, F)
-    thresh = np.stack(
-        [
-            np.concatenate(
-                [_t2n(sd[f"node.trees.{t}.thresh.{k}"]) for k in range(depth)]
-            )
-            for t in range(trees)
-        ]
-    )  # (T, K)
-    leaf = np.stack(
-        [_t2n(sd[f"node.trees.{t}.leaf_logits"]) for t in range(trees)]
-    )  # (T, L, C)
-    return {
-        "pre0": _linear(sd, "pre.0"),
-        "pre1": _linear(sd, "pre.3"),
-        "node": {"gates": gates, "thresh": thresh, "leaf_logits": leaf},
-        "bypass": _linear(sd, "bypass"),
-        "temperature": _t2n(sd["temperature"]),
-    }
+    node = getattr(ref_clf, "node", None)
+    trees = len(node.trees) if node is not None else None
+    depth = node.trees[0].depth if node is not None else None
+    return classifier_params_from_state_dict(
+        ref_clf.state_dict(), trees=trees, depth=depth
+    )
 
 
 class TestFusionParity:
