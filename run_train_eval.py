@@ -101,6 +101,15 @@ def parse_args():
                         "acc/f1 avoid the measured epoch-1 'boundary "
                         "collapse' lock-in (BASELINE.md accuracy-parity "
                         "notes) when thresholded predictions matter")
+    p.add_argument("--hash_salt", type=str, default="",
+                   help="Salt for every stable-hash featurization (offline "
+                        "hash embeddings, proxies, tower token ids). The "
+                        "hash features are a random projection whose "
+                        "collision draw measurably moves acc/F1 "
+                        "(BASELINE.md accuracy-parity notes); the salt "
+                        "makes the draw tunable like a seed. Recorded in "
+                        "the cache fingerprint + checkpoint; eval/serving "
+                        "adopt it automatically")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="Write a jax.profiler trace here during fit()")
     return p.parse_args()
@@ -195,6 +204,7 @@ def main():
             scan_epoch=not args.no_scan_epoch,
             bf16_compute=args.bf16,
             resume=args.resume,
+            hash_salt=args.hash_salt,
         )
         itrainer = IntegratedForensicTrainer(icfg)
         results = (
@@ -226,6 +236,7 @@ def main():
         scan_epoch=not args.no_scan_epoch,
         fast_dropout_rng=not args.no_fast_dropout_rng,
         select_metric=args.select_metric,
+        hash_salt=args.hash_salt,
         bf16_compute=args.bf16,
         resume=args.resume,
         eval_only=args.eval_only,

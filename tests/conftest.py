@@ -126,6 +126,8 @@ def _memoize_fixture_cache_builds():
     def memoized(raw, ocr_phrase_pkl=None, *args, **kwargs):
         if not isinstance(raw, FakeSVRawDataset) or args:
             return orig(raw, ocr_phrase_pkl, *args, **kwargs)
+        from ultrafnd_git_tpu.ops.hashing import get_hash_salt
+
         key = (
             str(raw.root),
             len(raw),
@@ -135,6 +137,7 @@ def _memoize_fixture_cache_builds():
             kwargs.get("with_tower_tokens", True),
             kwargs.get("ocr_clean_fallback"),
             kwargs.get("encoders") is None,
+            get_hash_salt(),  # salted builds are a different feature draw
         )
         if not key[-1]:  # custom encoders -> different features; no memo
             return orig(raw, ocr_phrase_pkl, **kwargs)

@@ -38,6 +38,7 @@ from ultrafnd_git_tpu.data.splits import make_split
 from ultrafnd_git_tpu.models.audio import SpectralForensics
 from ultrafnd_git_tpu.models.temporal import TemporalSyncNet
 from ultrafnd_git_tpu.models.text import BERTContextEncoder
+from ultrafnd_git_tpu.ops.hashing import get_hash_salt
 from ultrafnd_git_tpu.models.visual import DeepForgeryDetector, OpticalFlow3DCNN
 
 # Sensational-term lexicon for the emotion-intensity proxy
@@ -270,16 +271,21 @@ def cache_fingerprint(
     than silently scoring the old checkpoint on a new feature
     distribution.
     """
-    return json.dumps(
-        {
-            "data_root": str(Path(data_root).resolve()),
-            "seed": int(seed),
-            "ocr_phrase_pkl": (
-                str(Path(ocr_phrase_pkl).resolve()) if ocr_phrase_pkl else None
-            ),
-        },
-        sort_keys=True,
-    )
+    cfg: Dict[str, Any] = {
+        "data_root": str(Path(data_root).resolve()),
+        "seed": int(seed),
+        "ocr_phrase_pkl": (
+            str(Path(ocr_phrase_pkl).resolve()) if ocr_phrase_pkl else None
+        ),
+    }
+    # The featurization salt changes every hash-derived feature, so a
+    # salted cache must never be reused under a different salt. Included
+    # only when set, so unsalted fingerprints stay byte-identical to
+    # pre-salt caches (no spurious rebuilds of existing out_dirs).
+    salt = get_hash_salt()
+    if salt:
+        cfg["hash_salt"] = salt
+    return json.dumps(cfg, sort_keys=True)
 
 
 def _parse_fingerprint(fp: str) -> Tuple[Optional[Dict[str, Any]], Optional[int]]:

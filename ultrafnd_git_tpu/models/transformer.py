@@ -287,6 +287,11 @@ class DeviceTextEncoder:
                 f"checkpoint at {root} was not trained with "
                 "--train_text_tower; nothing to serve"
             )
+        # Tokenize with the hash draw the tower was trained under —
+        # token ids come from the (salted) stable hash.
+        from ultrafnd_git_tpu.ops.hashing import set_hash_salt
+
+        set_hash_salt(str(saved_cfg.get("hash_salt", "")))
         restored = ocp.PyTreeCheckpointer().restore(
             str((root / checkpoint_name / "state").resolve())
         )

@@ -62,13 +62,14 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
-    lib.ufnd_hash_embed_batch.restype = None
-    lib.ufnd_hash_embed_batch.argtypes = [
+    lib.ufnd_hash_embed_batch_basis.restype = None
+    lib.ufnd_hash_embed_batch_basis.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
         ctypes.c_int64,
         ctypes.c_int64,
+        ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_float),
     ]
     return lib
@@ -108,10 +109,21 @@ def fnv1a_64_native(token: str) -> Optional[int]:
     return int(lib.ufnd_fnv1a64(buf, len(data)))
 
 
+_FNV_OFFSET = 0xCBF29CE484222325
+
+
 def hash_embed_batch_native(
-    texts: Sequence[str], dim: int, max_tokens: Optional[int] = None
+    texts: Sequence[str],
+    dim: int,
+    max_tokens: Optional[int] = None,
+    basis: int = _FNV_OFFSET,
 ) -> Optional[np.ndarray]:
-    """Batched hash embedding in C++; None if the native lib is absent."""
+    """Batched hash embedding in C++; None if the native lib is absent.
+
+    `basis` is the FNV starting state — FNV_OFFSET for the canonical
+    hash, or fnv1a(salt) for a salted featurization draw
+    (ops/hashing.set_hash_salt threads it through automatically).
+    """
     lib = get_lib()
     if lib is None:
         return None
@@ -122,12 +134,13 @@ def hash_embed_batch_native(
     buf = np.frombuffer(b"".join(encoded) or b"\x00", dtype=np.uint8).copy()
 
     out = np.zeros((len(encoded), dim), dtype=np.float32)
-    lib.ufnd_hash_embed_batch(
+    lib.ufnd_hash_embed_batch_basis(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(encoded),
         dim,
         -1 if max_tokens is None else int(max_tokens),
+        ctypes.c_uint64(basis),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out

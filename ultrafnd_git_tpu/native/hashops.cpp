@@ -26,13 +26,22 @@ extern "C" {
 static const uint64_t FNV_OFFSET = 0xCBF29CE484222325ULL;
 static const uint64_t FNV_PRIME = 0x100000001B3ULL;
 
-uint64_t ufnd_fnv1a64(const uint8_t* data, int64_t len) {
-    uint64_t h = FNV_OFFSET;
+// `basis` is the FNV starting state: FNV_OFFSET for the unsalted hash,
+// or fnv1a(salt) for a salted draw — by FNV's prefix property,
+// continuing from fnv1a(salt) equals hashing salt||token in one pass
+// (ops/hashing.set_hash_salt).
+uint64_t ufnd_fnv1a64_basis(const uint8_t* data, int64_t len,
+                            uint64_t basis) {
+    uint64_t h = basis;
     for (int64_t i = 0; i < len; ++i) {
         h ^= (uint64_t)data[i];
         h *= FNV_PRIME;
     }
     return h;
+}
+
+uint64_t ufnd_fnv1a64(const uint8_t* data, int64_t len) {
+    return ufnd_fnv1a64_basis(data, len, FNV_OFFSET);
 }
 
 // Decode one UTF-8 codepoint at buf[i]; advances *i. Invalid bytes are
@@ -74,10 +83,11 @@ static inline bool is_py_space(uint32_t cp) {
 }
 
 // texts packed as buf[offsets[i] .. offsets[i+1]); out is (n, dim) zeroed
-// by the caller. max_tokens < 0 means unlimited.
-void ufnd_hash_embed_batch(const uint8_t* buf, const int64_t* offsets,
-                           int64_t n, int64_t dim, int64_t max_tokens,
-                           float* out) {
+// by the caller. max_tokens < 0 means unlimited. basis: see
+// ufnd_fnv1a64_basis (FNV_OFFSET = unsalted).
+void ufnd_hash_embed_batch_basis(const uint8_t* buf, const int64_t* offsets,
+                                 int64_t n, int64_t dim, int64_t max_tokens,
+                                 uint64_t basis, float* out) {
     for (int64_t r = 0; r < n; ++r) {
         const int64_t start = offsets[r];
         const int64_t end = offsets[r + 1];
@@ -105,7 +115,8 @@ void ufnd_hash_embed_batch(const uint8_t* buf, const int64_t* offsets,
                 tok_end = k;
             }
             if (max_tokens >= 0 && tok_count >= max_tokens) break;
-            uint64_t h = ufnd_fnv1a64(buf + tok_start, tok_end - tok_start);
+            uint64_t h = ufnd_fnv1a64_basis(buf + tok_start,
+                                            tok_end - tok_start, basis);
             row[(int64_t)(h % (uint64_t)dim)] += 1.0f;
             ++tok_count;
             i = tok_end;
@@ -118,6 +129,13 @@ void ufnd_hash_embed_batch(const uint8_t* buf, const int64_t* offsets,
             for (int64_t c = 0; c < dim; ++c) row[c] *= inv;
         }
     }
+}
+
+void ufnd_hash_embed_batch(const uint8_t* buf, const int64_t* offsets,
+                           int64_t n, int64_t dim, int64_t max_tokens,
+                           float* out) {
+    ufnd_hash_embed_batch_basis(buf, offsets, n, dim, max_tokens,
+                                FNV_OFFSET, out);
 }
 
 }  // extern "C"

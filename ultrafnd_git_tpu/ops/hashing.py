@@ -23,14 +23,53 @@ _FNV_OFFSET = 0xCBF29CE484222325
 _FNV_PRIME = 0x100000001B3
 _MASK64 = 0xFFFFFFFFFFFFFFFF
 
+# Featurization salt (TrainConfig.hash_salt / --hash_salt). The offline
+# hash features are a RANDOM PROJECTION whose draw is fixed by the hash
+# function; the measured accuracy sensitivity across draws (BASELINE.md
+# "Accuracy parity, attributed": the same trainer swings several points
+# of acc between the reference's PYTHONHASHSEED draw and our FNV draw)
+# makes the draw itself a hyperparameter worth controlling. A salt
+# re-draws EVERY stable-hash featurization (bag-of-token embeddings,
+# unit-score proxies, tower token ids) coherently, while OCR token sets —
+# and therefore the Jaccard graph — are raw strings and never move.
+# FNV's prefix property makes the salted hash exact: continuing from
+# fnv1a(salt) equals hashing salt||token in one pass.
+_SALT = ""
+_BASIS = _FNV_OFFSET
 
-def fnv1a_64(token: str) -> int:
-    """64-bit FNV-1a hash of a unicode string (UTF-8 bytes)."""
-    h = _FNV_OFFSET
+
+def _fnv1a_64_raw(token: str, basis: int) -> int:
+    h = basis
     for b in token.encode("utf-8"):
         h ^= b
         h = (h * _FNV_PRIME) & _MASK64
     return h
+
+
+def set_hash_salt(salt: str) -> None:
+    """Set the process-wide featurization salt ("" = canonical draw).
+
+    Must be set BEFORE featurizing (the trainer/Predictor do this from
+    TrainConfig / the checkpoint cfg); features built under different
+    salts never mix — the cache fingerprint includes the salt.
+    """
+    global _SALT, _BASIS
+    salt = salt or ""
+    if salt == _SALT:
+        return
+    _SALT = salt
+    _BASIS = _fnv1a_64_raw(salt, _FNV_OFFSET) if salt else _FNV_OFFSET
+    _CACHE.clear()
+
+
+def get_hash_salt() -> str:
+    return _SALT
+
+
+def fnv1a_64(token: str) -> int:
+    """64-bit FNV-1a hash of a unicode string (UTF-8 bytes), under the
+    process-wide salt (unsalted by default)."""
+    return _fnv1a_64_raw(token, _BASIS)
 
 
 class _TokenHashCache:
@@ -54,6 +93,10 @@ class _TokenHashCache:
             h = fnv1a_64(token)
             self._raw[token] = h
         return h % dim
+
+    def clear(self) -> None:
+        """Drop memoized hashes (set_hash_salt: the draw changed)."""
+        self._raw.clear()
 
 
 _CACHE = _TokenHashCache()
@@ -96,7 +139,9 @@ def hash_embed_batch(
     # numpy path below is the reference implementation and the fallback.
     from ultrafnd_git_tpu import native
 
-    native_out = native.hash_embed_batch_native(texts, dim, max_tokens)
+    native_out = native.hash_embed_batch_native(
+        texts, dim, max_tokens, basis=_BASIS
+    )
     if native_out is not None:
         return native_out
 

@@ -89,6 +89,17 @@ class Predictor:
             )
         self.use_gnn = bool(saved_cfg.get("use_gnn", True))
         self.use_evidence = bool(saved_cfg.get("use_evidence", False))
+        # Featurize requests under the SAME hash draw the checkpoint was
+        # trained with (TrainConfig.hash_salt) — a different salt would
+        # silently score new records on a different random projection.
+        # The salt is process-wide, so featurize() re-asserts it per call
+        # (two Predictors with different salts in one process stay
+        # correct; their featurize calls must not interleave mid-batch,
+        # which the per-call set covers for the whole-batch granularity).
+        from ultrafnd_git_tpu.ops.hashing import set_hash_salt
+
+        self._hash_salt = str(saved_cfg.get("hash_salt", ""))
+        set_hash_salt(self._hash_salt)
         gnn_dim = int(saved_cfg.get("gnn_dim", 128))
         # Tower checkpoints (--train_text_tower): text features come from
         # the trained on-device TextTransformer over token ids, exactly
@@ -335,6 +346,9 @@ class Predictor:
         records that carry no video_id/id of their own.
         """
         from ultrafnd_git_tpu.data.cache import build_feature_cache
+        from ultrafnd_git_tpu.ops.hashing import set_hash_salt
+
+        set_hash_salt(self._hash_salt)  # see __init__ (process-wide state)
 
         class _Raw:  # minimal FakeSVRawDataset-shaped adapter
             def __init__(self, recs):

@@ -38,6 +38,7 @@ import numpy as np
 import optax
 
 from ultrafnd_git_tpu.data.cache import bootstrap_cache
+from ultrafnd_git_tpu.ops.hashing import set_hash_salt
 from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
 from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
 from ultrafnd_git_tpu.models.gnn import SimpleGCN
@@ -100,6 +101,15 @@ class TrainConfig:
     # well yet predict near-constant labels ("boundary collapse") —
     # "acc" or "f1" select for thresholded behavior instead.
     select_metric: str = "auc"
+    # Featurization salt for every stable-hash-derived feature (offline
+    # hash embeddings, unit-score proxies, tower token ids). "" is the
+    # canonical FNV draw. The hash features are a random projection whose
+    # collision pattern is a DRAW, and the draw measurably moves acc/F1
+    # on hash-featurized corpora (BASELINE.md "Accuracy parity,
+    # attributed") — the salt makes the draw a tunable seed. Recorded in
+    # the cache fingerprint and checkpoint cfg; serving and eval adopt it
+    # automatically. OCR token sets (and so the Jaccard graph) never move.
+    hash_salt: str = ""
     # --- TPU-native extras (absent in the reference) ---
     cache_to_disk: bool = True  # persist feature cache; eval-only reuses it
     resume: bool = False  # restart from the `latest` checkpoint if present
@@ -181,11 +191,24 @@ class ForensicTrainer:
                     f"train_gnn={saved.get('train_gnn', True)}; adopting it"
                 )
                 cfg.train_gnn = bool(saved.get("train_gnn", True))
+            if saved and saved.get("hash_salt", "") != cfg.hash_salt:
+                # the salt IS the featurization draw — evaluating/resuming
+                # a checkpoint under a different draw silently scores it
+                # on features it never saw (a rebuilt cache, new records)
+                print(
+                    "note: checkpoint was trained with hash_salt="
+                    f"{saved.get('hash_salt', '')!r}; adopting it"
+                )
+                cfg.hash_salt = str(saved.get("hash_salt", ""))
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
         self.rng = jax.random.PRNGKey(cfg.seed)
         np.random.seed(cfg.seed)
+
+        # the salt must be live BEFORE any featurization (cache build,
+        # fingerprint, tower tokenization) — see ops/hashing.set_hash_salt
+        set_hash_salt(cfg.hash_salt)
 
         # ---- 1) feature cache (injected > on-disk > rebuilt) --------------
         self.cache = bootstrap_cache(

@@ -53,6 +53,7 @@ from ultrafnd_git_tpu.data.cache import bootstrap_cache
 from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
 from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
 from ultrafnd_git_tpu.models.gnn import GNNModel
+from ultrafnd_git_tpu.ops.hashing import set_hash_salt
 from ultrafnd_git_tpu.ops.jaccard import pairwise_jaccard
 from ultrafnd_git_tpu.training import checkpoint as ckpt  # noqa: F401 (tests patch via this module)
 from ultrafnd_git_tpu.training.loop import (
@@ -99,6 +100,8 @@ class IntegratedTrainConfig:
     # TPU-native extras
     cache_to_disk: bool = True
     early_stop_patience: int = 3
+    # Featurization salt (see trainer.TrainConfig.hash_salt)
+    hash_salt: str = ""
     # One jitted lax.scan per epoch instead of per-batch dispatch (the
     # tunnel adds ~90 ms fixed latency per host->device call — see
     # trainer.TrainConfig.scan_epoch). The annealed threshold is already
@@ -120,6 +123,7 @@ class IntegratedForensicTrainer:
         os.makedirs(cfg.out_dir, exist_ok=True)
         np.random.seed(cfg.seed)
         self.rng = jax.random.PRNGKey(cfg.seed)
+        set_hash_salt(cfg.hash_salt)  # before any featurization
 
         # ---- cache (shared ladder with the v2 trainer) ----------------------
         self.cache = bootstrap_cache(
