@@ -55,14 +55,23 @@ def parse_args() -> argparse.Namespace:
 
 
 def load_best_pt(path: str):
+    import pickle
+
     import torch
 
     try:
         return torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        # older torch, or payloads with non-tensor leaves the safe
-        # unpickler rejects; the reference writes plain dicts of tensors
-        # + a primitive cfg dict, so this is the compatible fallback
+    except (TypeError, pickle.UnpicklingError) as e:
+        # TypeError: torch too old for weights_only; UnpicklingError:
+        # payloads with non-tensor leaves the safe unpickler rejects
+        # (the reference writes dicts of tensors + a primitive cfg
+        # dict). Anything else (corrupt file, IO) propagates — do NOT
+        # retry those with the full unpickler. This fallback executes
+        # the file's pickle program: only import checkpoints you trust.
+        print(
+            f"warning: safe (weights_only) load failed ({e}); retrying "
+            "with the full unpickler — only do this for trusted files"
+        )
         return torch.load(path, map_location="cpu", weights_only=False)
 
 
@@ -161,11 +170,16 @@ def main() -> int:
         "imported_from": str(Path(args.best_pt).resolve()),
     }
     ckpt.save_checkpoint(cfg.out_dir, "best", state, meta)
+    # mirror into `latest` too: --resume fine-tuning restores THAT slot
+    # (trainer.py adopt_slot) — without it resume would silently start
+    # from fresh random params
+    # meta epoch=0 -> resume's start_epoch=1, a fresh fine-tune schedule
+    ckpt.save_checkpoint(cfg.out_dir, "latest", state, meta)
     ckpt.wait_for_writes()
-    print(f"imported {args.best_pt} -> {cfg.out_dir}/best "
+    print(f"imported {args.best_pt} -> {cfg.out_dir}/{{best,latest}} "
           f"(fusion+clf{'+gnn' if 'gnn' in imported else ''})")
-    print("consume it with: run_train_eval.py --eval_only, "
-          "scripts/predict.py, or scripts/serve.py "
+    print("consume it with: run_train_eval.py --eval_only, --resume "
+          "fine-tuning, scripts/predict.py, or scripts/serve.py "
           f"--out_dir {cfg.out_dir}")
 
     if args.eval:

@@ -65,6 +65,57 @@ def test_native_and_python_paths_agree_under_salt(monkeypatch):
     np.testing.assert_allclose(with_native, without_native, atol=1e-6)
 
 
+def test_native_scalar_follows_salt():
+    from ultrafnd_git_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    hashing.set_hash_salt("scalar-draw")
+    # drop-in parity with the python path under a live salt
+    assert native.fnv1a_64_native("令牌 token") == hashing.fnv1a_64(
+        "令牌 token"
+    )
+    # explicit basis overrides the process-wide draw
+    from ultrafnd_git_tpu.ops.hashing import basis_for_salt
+
+    hashing.set_hash_salt("")
+    assert native.fnv1a_64_native(
+        "tok", basis=basis_for_salt("other")
+    ) == hashing.fnv1a_64("tok", basis_for_salt("other"))
+
+
+def test_tokenize_explicit_salt_is_pinned_not_global():
+    from ultrafnd_git_tpu.models.transformer import hash_tokenize_batch
+
+    texts = ["外星人 入侵 地球 警告"]
+    hashing.set_hash_salt("live-draw")
+    live, _ = hash_tokenize_batch(texts, max_len=8)
+    # explicit salt pins the draw WITHOUT touching process state
+    pinned, _ = hash_tokenize_batch(texts, max_len=8, salt="")
+    assert hashing.get_hash_salt() == "live-draw"
+    hashing.set_hash_salt("")
+    canonical, _ = hash_tokenize_batch(texts, max_len=8)
+    np.testing.assert_array_equal(pinned, canonical)
+    assert not np.array_equal(live, canonical)
+
+
+@pytest.mark.slow
+def test_tower_from_checkpoint_never_clobbers_global_salt(tower_ckpt):
+    """Loading a tower checkpoint pins ITS training draw per-instance;
+    the process-wide salt (another component's draw) must survive."""
+    from ultrafnd_git_tpu.models.transformer import DeviceTextEncoder
+
+    hashing.set_hash_salt("other-components-draw")
+    enc = DeviceTextEncoder.from_checkpoint(tower_ckpt["out"])
+    assert hashing.get_hash_salt() == "other-components-draw"
+    assert enc.hash_salt == ""  # the session tower was trained unsalted
+    under_live = enc.encode_batch(["官方 辟谣 证据"])
+    hashing.set_hash_salt("")
+    under_canonical = enc.encode_batch(["官方 辟谣 证据"])
+    # tokenization is pinned to the tower's own draw either way
+    np.testing.assert_allclose(under_live, under_canonical, atol=1e-6)
+
+
 def test_cache_fingerprint_isolates_salts(tmp_path):
     from ultrafnd_git_tpu.data.cache import cache_fingerprint
 

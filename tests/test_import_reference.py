@@ -119,6 +119,12 @@ def test_import_then_serve_matches_reference_logits(
     assert meta["trainer"] == "v2"
     assert meta["imported_from"] == str(best_pt.resolve())
     assert meta["cfg"]["data_root"] == fixture_data_root  # not the Mac path
+    # `latest` mirrored too: --resume fine-tuning restores THAT slot; epoch
+    # 0 makes resume start a fresh schedule (start_epoch = epoch + 1 = 1)
+    latest = json.loads((out_dir / "latest" / "meta.json").read_text())
+    assert latest["imported_from"] == meta["imported_from"]
+    assert latest["epoch"] == 0
+    assert (out_dir / "latest" / "state").exists()
 
     import jax.numpy as jnp
 

@@ -100,6 +100,27 @@ def test_resume_continues_from_latest(trainer_factory, tmp_path_factory):
     assert t3.start_epoch == 1 and int(t3.state.step) == 0
 
 
+def test_resume_adopts_checkpoint_hash_salt(trainer_factory, tmp_path_factory):
+    """--resume without re-passing --hash_salt must adopt the draw the
+    checkpoint was trained under (mirrors the v2 trainer), not silently
+    re-featurize under the canonical one."""
+    from ultrafnd_git_tpu.ops import hashing
+
+    out = str(tmp_path_factory.mktemp("integ_salt"))
+    t1 = trainer_factory(out_dir=out, epochs=1, hash_salt="integ-draw")
+    t1.train()
+    hashing.set_hash_salt("")
+    try:
+        t2 = trainer_factory(out_dir=out, epochs=2, resume=True)
+        assert t2.cfg.hash_salt == "integ-draw"
+        assert hashing.get_hash_salt() == "integ-draw"
+        np.testing.assert_allclose(
+            np.asarray(t2.TEXT), np.asarray(t1.TEXT), atol=1e-6
+        )
+    finally:
+        hashing.set_hash_salt("")
+
+
 def test_bf16_compute_runs_and_keeps_f32_params(trainer_factory):
     t = trainer_factory(save_best=False, bf16_compute=True, epochs=1)
     import jax

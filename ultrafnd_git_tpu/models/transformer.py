@@ -60,15 +60,26 @@ def hash_tokenize_batch(
     texts: Sequence[str],
     max_len: int = 256,
     vocab_size: int = 32768,
+    salt: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Stable hash ids (see _hash_tokens). Returns (ids, mask), (N, L)."""
+    """Stable hash ids (see _hash_tokens). Returns (ids, mask), (N, L).
+
+    `salt=None` tokenizes under the process-wide draw (the trainer's
+    `--hash_salt`); an explicit salt string pins the draw WITHOUT
+    touching process state — used by DeviceTextEncoder.from_checkpoint
+    so a tower trained under one salt can serve inside a process whose
+    live featurization uses another.
+    """
+    from ultrafnd_git_tpu.ops.hashing import basis_for_salt
+
+    basis = None if salt is None else basis_for_salt(salt)
     ids = np.zeros((len(texts), max_len), dtype=np.int32)
     mask = np.zeros((len(texts), max_len), dtype=np.float32)
     for i, text in enumerate(texts):
         toks = _hash_tokens(text)[:max_len]
         for j, t in enumerate(toks):
             # id 0 is reserved for padding
-            ids[i, j] = 1 + (fnv1a_64(t) % (vocab_size - 1))
+            ids[i, j] = 1 + (fnv1a_64(t, basis) % (vocab_size - 1))
         mask[i, : len(toks)] = 1.0
     return ids, mask
 
@@ -230,6 +241,10 @@ class DeviceTextEncoder:
             self.params = None
         self.trained = False
         self._warned = False
+        # None = tokenize under the process-wide draw; from_checkpoint
+        # pins the salt the tower was TRAINED under (never mutates the
+        # process-wide salt — other components keep their own draw)
+        self.hash_salt: Optional[str] = None
         self._apply = jax.jit(
             lambda p, i, m: self.module.apply(
                 {"params": p}, i, m, deterministic=True
@@ -287,11 +302,6 @@ class DeviceTextEncoder:
                 f"checkpoint at {root} was not trained with "
                 "--train_text_tower; nothing to serve"
             )
-        # Tokenize with the hash draw the tower was trained under —
-        # token ids come from the (salted) stable hash.
-        from ultrafnd_git_tpu.ops.hashing import set_hash_salt
-
-        set_hash_salt(str(saved_cfg.get("hash_salt", "")))
         restored = ocp.PyTreeCheckpointer().restore(
             str((root / checkpoint_name / "state").resolve())
         )
@@ -307,6 +317,10 @@ class DeviceTextEncoder:
             init_params=False,  # load_params below installs the real ones
         )
         enc.load_params(jax.tree.map(jnp.asarray, tower_params))
+        # Tokenize with the hash draw the tower was TRAINED under (token
+        # ids come from the salted stable hash) — pinned per-instance so
+        # loading a tower never clobbers the process-wide salt mid-build.
+        enc.hash_salt = str(saved_cfg.get("hash_salt", ""))
         return enc
 
     def encode_batch(
@@ -335,7 +349,7 @@ class DeviceTextEncoder:
             if pad:
                 chunk = chunk + [""] * pad
             ids, mask = hash_tokenize_batch(
-                chunk, self.max_len, self.vocab_size
+                chunk, self.max_len, self.vocab_size, salt=self.hash_salt
             )
             enc = np.asarray(
                 self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))

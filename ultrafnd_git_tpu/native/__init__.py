@@ -57,10 +57,11 @@ def _build() -> Optional[ctypes.CDLL]:
     except OSError:
         return None
 
-    lib.ufnd_fnv1a64.restype = ctypes.c_uint64
-    lib.ufnd_fnv1a64.argtypes = [
+    lib.ufnd_fnv1a64_basis.restype = ctypes.c_uint64
+    lib.ufnd_fnv1a64_basis.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
+        ctypes.c_uint64,
     ]
     lib.ufnd_hash_embed_batch_basis.restype = None
     lib.ufnd_hash_embed_batch_basis.argtypes = [
@@ -98,15 +99,21 @@ def reset() -> None:  # test hook
 # Bindings
 # ----------------------------------------------------------------------
 
-def fnv1a_64_native(token: str) -> Optional[int]:
+def fnv1a_64_native(token: str, basis: Optional[int] = None) -> Optional[int]:
+    """Scalar FNV-1a in C++; drop-in for ops.hashing.fnv1a_64 —
+    `basis=None` follows the process-wide salt, like the python path."""
     lib = get_lib()
     if lib is None:
         return None
+    if basis is None:
+        from ultrafnd_git_tpu.ops.hashing import get_hash_basis
+
+        basis = get_hash_basis()
     data = token.encode("utf-8")
     buf = (ctypes.c_uint8 * max(1, len(data))).from_buffer_copy(
         data or b"\x00"
     )
-    return int(lib.ufnd_fnv1a64(buf, len(data)))
+    return int(lib.ufnd_fnv1a64_basis(buf, len(data), ctypes.c_uint64(basis)))
 
 
 _FNV_OFFSET = 0xCBF29CE484222325

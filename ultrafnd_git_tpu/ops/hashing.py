@@ -15,7 +15,7 @@ embedding assembly is a numpy scatter-add over all records at once.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Sequence
+from typing import Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
 
@@ -66,10 +66,23 @@ def get_hash_salt() -> str:
     return _SALT
 
 
-def fnv1a_64(token: str) -> int:
+def get_hash_basis() -> int:
+    """FNV starting state of the process-wide draw (see set_hash_salt)."""
+    return _BASIS
+
+
+def basis_for_salt(salt: str) -> int:
+    """FNV starting state for an EXPLICIT salt, independent of the
+    process-wide one — for components pinned to their own draw (e.g. a
+    tower checkpoint trained under a different salt than the live one)."""
+    return _fnv1a_64_raw(salt, _FNV_OFFSET) if salt else _FNV_OFFSET
+
+
+def fnv1a_64(token: str, basis: Optional[int] = None) -> int:
     """64-bit FNV-1a hash of a unicode string (UTF-8 bytes), under the
-    process-wide salt (unsalted by default)."""
-    return _fnv1a_64_raw(token, _BASIS)
+    process-wide salt (unsalted by default) or an explicit `basis`
+    (`basis_for_salt`)."""
+    return _fnv1a_64_raw(token, _BASIS if basis is None else basis)
 
 
 class _TokenHashCache:

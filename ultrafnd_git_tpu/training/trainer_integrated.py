@@ -39,6 +39,7 @@ TPU-first design:
 """
 from __future__ import annotations
 
+import json
 import math
 import os
 from dataclasses import asdict, dataclass, field
@@ -123,6 +124,24 @@ class IntegratedForensicTrainer:
         os.makedirs(cfg.out_dir, exist_ok=True)
         np.random.seed(cfg.seed)
         self.rng = jax.random.PRNGKey(cfg.seed)
+        if cfg.resume:
+            # the salt IS the featurization draw — resuming under a
+            # different one would rebuild the cache on features the
+            # restored weights never saw (mirrors the v2 adoption,
+            # trainer.py)
+            meta_p = os.path.join(cfg.out_dir, "latest", "meta.json")
+            if os.path.exists(meta_p):
+                try:
+                    with open(meta_p, "r", encoding="utf-8") as fh:
+                        saved = json.load(fh).get("cfg", {})
+                except Exception:
+                    saved = {}
+                if saved and saved.get("hash_salt", "") != cfg.hash_salt:
+                    print(
+                        "note: checkpoint was trained with hash_salt="
+                        f"{saved.get('hash_salt', '')!r}; adopting it"
+                    )
+                    cfg.hash_salt = str(saved.get("hash_salt", ""))
         set_hash_salt(cfg.hash_salt)  # before any featurization
 
         # ---- cache (shared ladder with the v2 trainer) ----------------------
