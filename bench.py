@@ -125,8 +125,45 @@ def _time_scan(run_steps, state, idx_batches, n_runs):
     return state, per_step, losses
 
 
+def _probe_backend(timeout: float = 240.0) -> bool:
+    """True if the configured PJRT backend answers within `timeout`.
+
+    Probed in a SUBPROCESS: a hung tunnel blocks jax backend init under
+    a lock, so an in-process watchdog thread could not recover — the
+    parent must decide BEFORE first device use. (Observed failure mode:
+    the tunneled chip stops answering and even jax.devices() hangs
+    forever; without this guard the bench emits no JSON at all.)
+    """
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=timeout,
+        )
+        return out.returncode == 0
+    except Exception:
+        return False
+
+
 def main() -> None:
     import tempfile
+
+    platform_note = None
+    if not _probe_backend():
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        platform_note = (
+            "configured accelerator backend unresponsive (probe timeout); "
+            "benchmarked on host CPU instead — numbers NOT comparable to "
+            "accelerator rounds"
+        )
+        import sys
+
+        print(f"warning: {platform_note}", file=sys.stderr, flush=True)
 
     from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
 
@@ -340,6 +377,11 @@ def main() -> None:
                     "tower_512": tower,
                     "v1_feature_ms_per_sample": v1_ms_per_sample,
                     "backend": jax.default_backend(),
+                    **(
+                        {"backend_note": platform_note}
+                        if platform_note
+                        else {}
+                    ),
                 }
             )
         )
