@@ -324,14 +324,20 @@ def test_train_text_tower_joint(tower_ckpt):
 
 
 def test_train_text_tower_on_mesh(fixture_root, tmp_path):
-    """Tower params replicate over the mesh; the joint step runs dp x tp."""
+    """Tower params replicate over the mesh; the joint step runs dp x tp.
+
+    depth=1/heads=4 keeps the assertion (the joint tower step compiles
+    and runs under a dp x tp mesh) while roughly halving the dominant
+    cost of this test — tracing + executing the 8-virtual-device tower
+    step on one host core (was the slowest test in the suite)."""
     t = ForensicTrainer(
         _cfg(
-            fixture_root, tmp_path, epochs=1, batch_size=16, dp=4, tp=2,
+            fixture_root, tmp_path, epochs=1, batch_size=8, dp=4, tp=2,
             mesh_backend="cpu", train_text_tower=True, save_best=False,
+            text_tower_depth=1, text_tower_heads=4,
         )
     )
-    loss, _ = t._epoch_loop(t.tr_idx[:32], "train")
+    loss, _ = t._epoch_loop(t.tr_idx[:16], "train")
     assert np.isfinite(loss)
     assert int(t.state.step) > 0
 
