@@ -62,6 +62,17 @@ from ultrafnd_git_tpu.training.state import (
 
 @dataclass
 class TrainConfig:
+    """Train-run configuration (CLI flags map 1:1 onto these fields).
+
+    NOTE: ForensicTrainer.__init__ ADOPTS checkpoint-bound fields from
+    the slot it will restore (``--resume`` -> latest, ``--eval_only`` ->
+    best): train_text_tower/depth/heads, train_gnn, hash_salt. The
+    instance you pass in is updated in place so that everything you
+    inspect afterwards reflects the run that actually executed; pass a
+    fresh instance (or dataclasses.replace copy) if you need the
+    original values preserved.
+    """
+
     data_root: str
     ocr_phrase_pkl: Optional[str] = None
     out_dir: str = "outputs"
