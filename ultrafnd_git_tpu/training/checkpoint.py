@@ -120,5 +120,30 @@ def load_checkpoint(
         return None
 
 
+def load_checkpoint_raw(
+    directory: str, name: str
+) -> Optional[Tuple[Any, Dict[str, Any]]]:
+    """Restore (state_tree, meta) WITHOUT a template pytree.
+
+    Orbax's PyTreeCheckpointHandler can restore the stored structure
+    as plain nested dicts of host arrays. Used by consumers that only
+    need the weights and must not pay for building a full TrainState
+    template (e.g. exporting a checkpoint without the feature cache
+    the trainer/Predictor templates require)."""
+    wait_for_writes()
+    root = Path(directory).resolve() / name
+    meta_path = root / "meta.json"
+    if not meta_path.exists():
+        return None
+    try:
+        state = _ckptr().restore(root / "state")
+        with open(meta_path, "r", encoding="utf-8") as fh:
+            meta = json.load(fh)
+        return state, meta
+    except Exception as exc:
+        print(f"⚠️  failed to restore checkpoint {root}: {exc!r}")
+        return None
+
+
 def checkpoint_exists(directory: str, name: str) -> bool:
     return (Path(directory).resolve() / name / "meta.json").exists()

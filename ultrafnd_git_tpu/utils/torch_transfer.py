@@ -154,6 +154,141 @@ def gcn_params_from_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     }
 
 
+# ---------------------------------------------------------------------------
+# Inverse direction: Flax params -> reference-shaped torch state dicts.
+#
+# Together with scripts/export_reference_checkpoint.py these make the
+# interop bidirectional: a model trained HERE can be handed back to the
+# unmodified reference CLI (`torch.load` + strict `load_state_dict`,
+# `src/training/forensic_trainer.py:370-377`). All outputs are plain
+# ``{name: np.ndarray}`` maps in the reference's state-dict layout —
+# callers torch-ify them (`torch.from_numpy`); this module stays
+# torch-free by design.
+# ---------------------------------------------------------------------------
+
+
+def _linear_state(
+    out: Dict[str, np.ndarray], name: str, p: Mapping[str, Any]
+) -> None:
+    """Flax ``Dense`` params -> torch ``nn.Linear`` state entries."""
+    out[f"{name}.weight"] = np.ascontiguousarray(
+        np.asarray(p["kernel"], dtype=np.float32).T
+    )
+    out[f"{name}.bias"] = np.asarray(p["bias"], dtype=np.float32)
+
+
+def _coattn_state(
+    out: Dict[str, np.ndarray], name: str, p: Mapping[str, Any]
+) -> None:
+    _linear_state(out, f"{name}.q", p["q"])
+    _linear_state(out, f"{name}.k", p["k"])
+    _linear_state(out, f"{name}.v", p["v"])
+    _linear_state(out, f"{name}.evidence_proj.0", p["evidence_in"])
+    _linear_state(out, f"{name}.evidence_proj.2", p["evidence_out"])
+
+
+def fusion_state_dict_from_params(
+    params: Mapping[str, Any]
+) -> Dict[str, np.ndarray]:
+    """Our fusion params -> reference ``CrossModalTransformer`` state dict.
+
+    Includes the ``semantic.{text,vision}_proj.0`` entries the reference
+    module registers but never uses in its fusion forward
+    (`cross_modal_transformer.py:105-107` instantiates the analyzer "for
+    potential future use"; its projections are only consumed by the
+    analyzer's own forward, which the v2 trainer never calls). We have no
+    analogue to export, so they are zero-filled — inert for every v2
+    code path, present so the reference's strict ``load_state_dict``
+    (`forensic_trainer.py:374`) accepts the file. Caveat: a loading-side
+    environment where CLIP downloads succeed would also register
+    ``semantic.model.*`` keys — but a checkpoint the reference itself
+    saved offline has the same strict-load mismatch there, so this
+    matches the reference's own artifact compatibility.
+    """
+    out: Dict[str, np.ndarray] = {}
+    _linear_state(out, "text_proj", params["text_proj"])
+    _linear_state(out, "audio_proj", params["audio_proj"])
+    _linear_state(out, "visual_proj", params["visual_proj"])
+    _linear_state(out, "temporal_proj", params["temporal_proj"])
+    if "gnn_proj" in params:
+        _linear_state(out, "gnn_proj", params["gnn_proj"])
+    hidden = int(np.asarray(params["text_proj"]["kernel"]).shape[1])
+    # reference SemanticConfig: proj_dim = 512, input 512 (CLIP width)
+    for name in ("semantic.text_proj.0", "semantic.vision_proj.0"):
+        out[f"{name}.weight"] = np.zeros((hidden, 512), dtype=np.float32)
+        out[f"{name}.bias"] = np.zeros((hidden,), dtype=np.float32)
+    _coattn_state(out, "attn_tv", params["attn_tv"])
+    _coattn_state(out, "attn_ta", params["attn_ta"])
+    _coattn_state(out, "attn_vu", params["attn_vu"])
+    _linear_state(out, "fuse_mlp.0", params["fuse0"])
+    _linear_state(out, "fuse_mlp.3", params["fuse1"])
+    _linear_state(out, "classifier", params["head"])
+    return out
+
+
+def classifier_state_dict_from_params(
+    params: Mapping[str, Any], tau: float = 10.0
+) -> Dict[str, np.ndarray]:
+    """Our classifier params -> reference ``DeepTruthClassifier`` state dict.
+
+    The reference registers ``tau`` as a per-tree non-trainable Parameter
+    (`deep_truth_classifier.py:41`), so strict loads need it in the file;
+    our forest takes tau as a config scalar (`ops/trees.py`), so callers
+    pass the value from the same classifier YAML both sides read
+    (``node_tau``, default 10.0).
+    """
+    out: Dict[str, np.ndarray] = {}
+    out["temperature"] = np.asarray(
+        params["temperature"], dtype=np.float32
+    ).reshape(())
+    _linear_state(out, "pre.0", params["pre0"])
+    _linear_state(out, "pre.3", params["pre1"])
+    node = params["node"]
+    gates = np.asarray(node["gates"], dtype=np.float32)  # (T, K, F)
+    thresh = np.asarray(node["thresh"], dtype=np.float32)  # (T, K)
+    leaf = np.asarray(node["leaf_logits"], dtype=np.float32)  # (T, L, C)
+    trees, depth, _ = gates.shape
+    for t in range(trees):
+        out[f"node.trees.{t}.tau"] = np.asarray(tau, dtype=np.float32)
+        out[f"node.trees.{t}.leaf_logits"] = leaf[t]
+        for k in range(depth):
+            out[f"node.trees.{t}.gates.{k}"] = gates[t, k]
+            out[f"node.trees.{t}.thresh.{k}"] = thresh[t, k : k + 1]
+    _linear_state(out, "bypass", params["bypass"])
+    return out
+
+
+def gcn_state_dict_from_params(
+    params: Mapping[str, Any]
+) -> Dict[str, np.ndarray]:
+    """Our GCN params -> reference ``SimpleGCN`` state dict."""
+    out: Dict[str, np.ndarray] = {}
+    _linear_state(out, "lin1", params["lin1"])
+    _linear_state(out, "lin2", params["lin2"])
+    return out
+
+
+def best_pt_state_dicts_from_v2_params(
+    params: Mapping[str, Any], tau: float = 10.0
+) -> Dict[str, Optional[Dict[str, np.ndarray]]]:
+    """Our v2 param pytree -> the reference ``best.pt`` state-dict trio.
+
+    Returns ``{"fusion": sd, "clf": sd, "gnn": sd|None}`` (``None`` under
+    use_gnn=False, matching what the reference itself stores there,
+    `forensic_trainer.py:355-361`). The caller adds the ``cfg`` entry and
+    torch-ifies.
+    """
+    return {
+        "fusion": fusion_state_dict_from_params(params["fusion"]),
+        "clf": classifier_state_dict_from_params(params["clf"], tau=tau),
+        "gnn": (
+            gcn_state_dict_from_params(params["gnn"])
+            if "gnn" in params
+            else None
+        ),
+    }
+
+
 def v2_params_from_best_pt(payload: Mapping[str, Any]) -> Dict[str, Any]:
     """Map a loaded reference ``best.pt`` payload to our v2 param pytree.
 
