@@ -235,10 +235,21 @@ def main() -> int:
         f"exported {args.out_dir}/{args.slot} -> {dest} "
         f"(fusion {n_fusion} tensors, clf {n_clf}{gnn_note})"
     )
-    print(
-        "consume it with the REFERENCE CLI: python run_train_eval.py "
-        f"--data_root <data> --out_dir {Path(dest).parent} --eval_only"
-    )
+    if Path(dest).name == "best.pt":
+        print(
+            "consume it with the REFERENCE CLI: python run_train_eval.py "
+            f"--data_root <data> --out_dir {Path(dest).parent} --eval_only"
+        )
+    else:
+        # the reference's test() only ever loads <out_dir>/best.pt, and
+        # when it is absent it SILENTLY evaluates random init weights
+        # (forensic_trainer.py:372) — don't let a renamed file walk into
+        # that
+        print(
+            f"note: the reference CLI only loads a file named best.pt — "
+            f"rename {Path(dest).name} to best.pt inside the reference "
+            "--out_dir before running --eval_only there"
+        )
     if args.verify:
         if not (REFERENCE / "src").exists():
             print("--verify skipped: reference tree not mounted")

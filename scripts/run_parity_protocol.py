@@ -29,17 +29,26 @@ REFERENCE = Path("/root/reference")
 FIXTURE = REPO / "tests" / "fixtures" / "fakesv_hard"
 
 METRIC_RE = re.compile(
-    r"Test (Acc|AUC|Precision|Recall|F1|Cmcs|Dfdr)\s*:?\s*([0-9.]+)"
+    r"Test (Loss|Acc|AUC|Precision|Recall|F1|Cmcs|Dfdr)\s*:?\s*([0-9.]+)"
 )
 
 
-def run_side(cmd: list[str], cwd: Path, timeout: int = 900) -> dict[str, float]:
+def run_side(
+    cmd: list[str],
+    cwd: Path,
+    timeout: int = 900,
+    extra_env: dict[str, str] | None = None,
+) -> dict[str, float]:
+    """Run one CLI training subprocess under the pinned protocol env and
+    parse its final-results block. Shared with scripts/salt_sweep.py so
+    the metric-print format is parsed in exactly one place."""
     env = dict(
         os.environ,
         PYTHONHASHSEED="0",
         HF_HUB_OFFLINE="1",
         TRANSFORMERS_OFFLINE="1",
         JAX_PLATFORMS="cpu",
+        **(extra_env or {}),
     )
     out = subprocess.run(
         cmd, cwd=cwd, env=env, capture_output=True, text=True, timeout=timeout

@@ -26,10 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
-import re
 import statistics
-import subprocess
 import sys
 import tempfile
 from pathlib import Path
@@ -37,22 +34,22 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 FIXTURE = REPO / "tests" / "fixtures" / "fakesv_hard"
 
-METRIC_RE = re.compile(
-    r"Test (Loss|Acc|AUC|Precision|Recall|F1|Cmcs|Dfdr)\s*:?\s*([0-9.]+)"
-)
+sys.path.insert(0, str(REPO / "scripts"))
+from run_parity_protocol import run_side  # noqa: E402  (shared runner/parser)
+
+# validation metrics metrics.jsonl actually records (val_* keys), plus
+# the trainer's own "acc" alias — validated BEFORE any training run so a
+# typo costs milliseconds, not a discarded 12-epoch run
+SELECT_ALIASES = {"acc": "accuracy"}
+SELECT_METRICS = {
+    "accuracy", "auc", "precision", "recall", "f1", "cmcs", "dfdr",
+}
 
 
 def run_one(
     seed: int, salt: str, out_dir: str, epochs: int, batch_size: int
 ) -> dict:
     """Train once; return {'test': {...}, 'val': {...}, 'best_epoch': e}."""
-    env = dict(
-        os.environ,
-        PYTHONHASHSEED="0",
-        HF_HUB_OFFLINE="1",
-        TRANSFORMERS_OFFLINE="1",
-        ULTRAFND_DISABLE_HF="1",
-    )
     cmd = [
         sys.executable, "run_train_eval.py",
         "--data_root", str(FIXTURE),
@@ -64,16 +61,10 @@ def run_one(
     ]
     if salt:
         cmd += ["--hash_salt", salt]
-    out = subprocess.run(
-        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=1800
+    test = run_side(
+        cmd, cwd=REPO, timeout=1800,
+        extra_env={"ULTRAFND_DISABLE_HF": "1"},
     )
-    if out.returncode != 0:
-        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-2000:] + "\n")
-        raise RuntimeError(f"run failed: seed={seed} salt={salt!r}")
-    test = {
-        m.group(1).lower(): float(m.group(2))
-        for m in METRIC_RE.finditer(out.stdout)
-    }
     meta = json.loads((Path(out_dir) / "best" / "meta.json").read_text())
     best_epoch = int(meta["epoch"])
     val = {}
@@ -114,15 +105,25 @@ def main() -> None:
         raise SystemExit(
             "hard fixture missing — run scripts/make_fixture.py --hard"
         )
+    args.select = SELECT_ALIASES.get(args.select, args.select)
+    if args.select not in SELECT_METRICS:
+        raise SystemExit(
+            f"--select {args.select!r} is not a recorded validation "
+            f"metric; choose from {sorted(SELECT_METRICS)}"
+        )
 
     salts = [""] + [s for s in args.salts if s]
     per_seed: dict[int, dict[str, dict]] = {}
     with tempfile.TemporaryDirectory() as td:
         for seed in args.seeds:
             per_seed[seed] = {}
-            for salt in salts:
+            # out_dirs are indexed by ladder POSITION, not salt text — a
+            # salt literally named "base" must not collide with the
+            # unsalted run's directory (appended metrics.jsonl would
+            # make selection read the wrong run's val metrics)
+            for i, salt in enumerate(salts):
                 r = run_one(
-                    seed, salt, f"{td}/s{seed}_{salt or 'base'}",
+                    seed, salt, f"{td}/s{seed}_{i}",
                     args.epochs, args.batch_size,
                 )
                 per_seed[seed][salt] = r

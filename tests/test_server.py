@@ -111,6 +111,28 @@ def test_error_paths_stay_up(live_server):
     )
     assert status == 400 and "error" in body
 
+    # valid JSON that is not an object -> 400 with a JSON reply (was an
+    # AttributeError that dropped the connection with no response)
+    req = urllib.request.Request(
+        f"{live_server}/predict", data=b"[1, 2]",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+    # bad numeric explain params -> client 400s, never NaN-laden 200s
+    status, body = _post(
+        f"{live_server}/explain",
+        {"records": RECORDS[:1], "method": "shap", "background_size": 0},
+    )
+    assert status == 400 and "background_size" in body["error"]
+    status, body = _post(
+        f"{live_server}/explain",
+        {"records": RECORDS[:1], "method": "shap", "n_coalitions": {"x": 1}},
+    )
+    assert status == 400 and "error" in body
+
     # unknown path
     status, body = _post(f"{live_server}/nope", {"records": []})
     assert status == 404

@@ -63,10 +63,17 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, {"error": "missing or oversized request body"})
             return None
         try:
-            return json.loads(self.rfile.read(length).decode("utf-8"))
+            payload = json.loads(self.rfile.read(length).decode("utf-8"))
         except Exception as exc:
             self._reply(400, {"error": f"invalid JSON: {exc}"})
             return None
+        if not isinstance(payload, dict):
+            # valid JSON but not an object ('[1,2]', '"x"', '5') would
+            # otherwise AttributeError outside do_POST's try block and
+            # drop the connection with no HTTP reply
+            self._reply(400, {"error": "request body must be a JSON object"})
+            return None
+        return payload
 
     # ------------------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802 (stdlib naming)
@@ -96,6 +103,23 @@ class _Handler(BaseHTTPRequestHandler):
         if not isinstance(records, list):
             self._reply(400, {"error": "'records' must be a list"})
             return
+        if self.path == "/explain":
+            # numeric params validated HERE so a bad value is the
+            # client's 400, not a NaN-producing or silently-degraded
+            # 200 (a non-numeric n_coalitions would otherwise throw
+            # inside kernel_shap and be caught by explain_shap's
+            # smooth-grad fallback)
+            try:
+                top_k = int(payload.get("top_k", 8))
+                n_coalitions = payload.get("n_coalitions")
+                if n_coalitions is not None:
+                    n_coalitions = int(n_coalitions)
+                background_size = int(payload.get("background_size", 32))
+                if background_size < 1:
+                    raise ValueError("background_size must be >= 1")
+            except (ValueError, TypeError) as exc:
+                self._reply(400, {"error": f"bad explain params: {exc}"})
+                return
         try:
             with self.lock:
                 if self.path == "/predict":
@@ -104,11 +128,9 @@ class _Handler(BaseHTTPRequestHandler):
                     preds = self.predictor.explain(
                         records,
                         method=payload.get("method", "grad"),
-                        top_k=int(payload.get("top_k", 8)),
-                        n_coalitions=payload.get("n_coalitions"),
-                        background_size=int(
-                            payload.get("background_size", 32)
-                        ),
+                        top_k=top_k,
+                        n_coalitions=n_coalitions,
+                        background_size=background_size,
                     )
                 self.stats["requests"] += 1
                 self.stats["records"] += len(preds)

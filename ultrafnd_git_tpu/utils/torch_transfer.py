@@ -212,11 +212,13 @@ def fusion_state_dict_from_params(
     _linear_state(out, "temporal_proj", params["temporal_proj"])
     if "gnn_proj" in params:
         _linear_state(out, "gnn_proj", params["gnn_proj"])
-    hidden = int(np.asarray(params["text_proj"]["kernel"]).shape[1])
-    # reference SemanticConfig: proj_dim = 512, input 512 (CLIP width)
+    # reference SemanticConfig: nn.Linear(512, proj_dim=512) — both dims
+    # are CLIP-width constants (`semantic_forgery.py:21-27,73-79`),
+    # independent of the fusion hidden_dim, so these must NOT scale with
+    # the exported model's width
     for name in ("semantic.text_proj.0", "semantic.vision_proj.0"):
-        out[f"{name}.weight"] = np.zeros((hidden, 512), dtype=np.float32)
-        out[f"{name}.bias"] = np.zeros((hidden,), dtype=np.float32)
+        out[f"{name}.weight"] = np.zeros((512, 512), dtype=np.float32)
+        out[f"{name}.bias"] = np.zeros((512,), dtype=np.float32)
     _coattn_state(out, "attn_tv", params["attn_tv"])
     _coattn_state(out, "attn_ta", params["attn_ta"])
     _coattn_state(out, "attn_vu", params["attn_vu"])
