@@ -30,9 +30,14 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 # Persistent compilation cache: jit compiles dominate test wall-time here.
+# Exported via env (not only jax.config) so the CLI-subprocess tests
+# (import/export/predict/serve/multihost) share one cache with the suite —
+# their Predictor/trainer programs have identical shapes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ultrafnd_jax_cache")
+
 from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
 
-enable_persistent_cache("/tmp/ultrafnd_jax_cache")
+enable_persistent_cache(os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 # The env var alone is not enough when a PJRT plugin sitecustomize pins
 # jax_platforms (this machine's TPU tunnel does) — override the config
@@ -86,6 +91,11 @@ def tower_ckpt(fixture_data_root, tmp_path_factory):
         cache_to_disk=True,
         log_metrics_jsonl=False,
         train_text_tower=True,
+        # smallest tower that still exercises the joint path — consumers
+        # (serving, resume, salt tests) rebuild from the checkpoint meta,
+        # which records these dims, so nothing assumes the 2/12 defaults
+        text_tower_depth=1,
+        text_tower_heads=4,
     )
     trainer = ForensicTrainer(cfg)
     before = np.asarray(
@@ -139,7 +149,7 @@ def _memoize_fixture_cache_builds():
             kwargs.get("encoders") is None,
             get_hash_salt(),  # salted builds are a different feature draw
         )
-        if not key[-1]:  # custom encoders -> different features; no memo
+        if not key[-2]:  # custom encoders -> different features; no memo
             return orig(raw, ocr_phrase_pkl, **kwargs)
         if key not in memo:
             memo[key] = orig(raw, ocr_phrase_pkl, **kwargs)

@@ -201,7 +201,7 @@ class TestV1EndToEnd:
         assert np.isfinite(results["loss"])
         assert 0.0 <= results["val_acc"] <= 1.0
 
-    def test_real_media_path_trains(self, media_root):
+    def test_real_media_path_trains(self, media_root, tmp_path):
         extractor = BatchFeatureExtractor(seed=0)
         ds = RawMediaDataset(media_root, filter_existing=True)
         batch = multimodal_collate([ds[i] for i in range(4)])
@@ -217,8 +217,32 @@ class TestV1EndToEnd:
         if labels.min() != labels.max():
             assert tamper[labels == 1].mean() > tamper[labels == 0].mean()
 
+        # End-to-end on a TRIMMED root: v1 trains over every metadata
+        # record (64 here, 48 of them decode-fallback), which made this
+        # the second-slowest test in the suite. Eight real-video records
+        # exercise the identical decode -> featurize -> train path.
+        import json
+        from pathlib import Path
+
+        root = Path(media_root)
+        have = {v.stem for v in (root / "videos").iterdir()}
+        lines = [
+            ln
+            for ln in (root / "data_complete.json").read_text(
+                encoding="utf-8"
+            ).splitlines()
+            if json.loads(ln)["video_id"] in have
+        ][:8]
+        small = tmp_path / "small_root"
+        small.mkdir()
+        (small / "data_complete.json").write_text(
+            "\n".join(lines), encoding="utf-8"
+        )
+        (small / "videos").symlink_to(root / "videos")
+        (small / "video_comment").symlink_to(root / "video_comment")
+
         cfg = V1Config(
-            data_dir=media_root, epochs=1, batch_size=4,
+            data_dir=str(small), epochs=1, batch_size=4,
             ensemble_size=2, eval_every=1, seed=0,
         )
         results = train_and_evaluate(cfg=cfg)

@@ -250,19 +250,21 @@ def test_scan_epoch_matches_per_step_loop(fixture_root, tmp_path):
 
 
 def test_scan_epoch_matches_per_step_loop_on_mesh(fixture_root, tmp_path):
-    """scan-epoch under a single-process dp=8 mesh (VERDICT r2 item 2):
+    """scan-epoch under a single-process dp x tp mesh (VERDICT r2 item 2):
     the (steps, B) matrices shard on the batch axis, so the scanned epoch
-    must match the per-step mesh loop exactly."""
+    must match the per-step mesh loop exactly. Uses the same 4x2 mesh as
+    the other mesh tests so the per-step program comes out of the shared
+    compilation cache (dp=8 was a one-off program compiled only here)."""
     t_scan = ForensicTrainer(
         _cfg(
             fixture_root, tmp_path / "scan", epochs=1, save_best=False,
-            dp=8, mesh_backend="cpu",
+            dp=4, tp=2, mesh_backend="cpu",
         )
     )
     t_loop = ForensicTrainer(
         _cfg(
             fixture_root, tmp_path / "loop", epochs=1, save_best=False,
-            dp=8, mesh_backend="cpu", scan_epoch=False,
+            dp=4, tp=2, mesh_backend="cpu", scan_epoch=False,
         )
     )
     assert t_scan.mesh is not None  # the scan path really runs under a mesh
@@ -323,20 +325,33 @@ def test_train_text_tower_joint(tower_ckpt):
     assert tower_ckpt["test"]["test_auc"] > 0.5
 
 
-def test_train_text_tower_on_mesh(fixture_root, tmp_path):
+def test_train_text_tower_on_mesh(fixture_root, tmp_path, monkeypatch):
     """Tower params replicate over the mesh; the joint step runs dp x tp.
 
-    depth=1/heads=4 keeps the assertion (the joint tower step compiles
-    and runs under a dp x tp mesh) while roughly halving the dominant
-    cost of this test — tracing + executing the 8-virtual-device tower
-    step on one host core (was the slowest test in the suite)."""
+    The assertion is structural — the JOINT tower step compiles and runs
+    under a dp x tp mesh — so every size knob is turned down: depth 1,
+    heads 4, a 2x2 mesh slice, token rows truncated to L=16, and a
+    512-entry test vocab (the 32768x768 production embed plus its Adam
+    state, replicated over virtual devices on one host core, dominated
+    what used to be the slowest test in the suite at 113 s)."""
+    from ultrafnd_git_tpu.data import cache as cache_mod
+    from ultrafnd_git_tpu.data.cache import bootstrap_cache
+
+    cache = dict(
+        bootstrap_cache(fixture_root, str(tmp_path), cache_to_disk=False)
+    )
+    monkeypatch.setattr(cache_mod, "TOWER_VOCAB", 512)
+    cache["text_ids"] = (cache["text_ids"][:, :16] % 512).copy()
+    cache["text_mask"] = cache["text_mask"][:, :16].copy()
     t = ForensicTrainer(
         _cfg(
-            fixture_root, tmp_path, epochs=1, batch_size=8, dp=4, tp=2,
+            fixture_root, tmp_path, epochs=1, batch_size=8, dp=2, tp=2,
             mesh_backend="cpu", train_text_tower=True, save_best=False,
-            text_tower_depth=1, text_tower_heads=4,
-        )
+            text_tower_depth=1, text_tower_heads=4, cache_to_disk=False,
+        ),
+        cache=cache,
     )
+    assert t.text_tower.vocab_size == 512  # monkeypatch took
     loss, _ = t._epoch_loop(t.tr_idx[:16], "train")
     assert np.isfinite(loss)
     assert int(t.state.step) > 0
