@@ -1,0 +1,218 @@
+"""Pipeline parallelism (GPipe schedule) for the transformer text tower.
+
+SURVEY §2.9 lists pipeline parallelism as explicitly ABSENT from the
+reference (single-process, single-device); the rebuild's mesh has carried
+a `pipe` axis hook (`parallel/mesh.py: make_mesh(extra_axes=...)`) since
+round 2. This module makes that axis real: a GPipe-style pipelined
+forward for a stack of `EncoderBlock`s, built from the TPU-native
+primitives the scaling playbook prescribes — `shard_map` over a mesh
+axis, `lax.scan` over schedule ticks, `lax.ppermute` for the
+stage-to-stage activation hops (which XLA lowers to ICI neighbor
+transfers on a real TPU torus).
+
+Schedule: with S stages and M microbatches, the scan runs T = M + S - 1
+ticks. At tick t, stage s computes microbatch (t - s): stage 0 ingests
+microbatch t while the last stage emits microbatch t - S + 1. The fill/
+drain bubble is the standard GPipe S-1 ticks — amortized by choosing
+M >> S. Activations and their padding masks travel together through the
+same ppermute.
+
+Exactness: the pipelined forward is bit-for-bit the same math as running
+the blocks sequentially per microbatch (no recomputation, no dtype
+changes) — asserted by `tests/test_pipeline.py` against the plain tower.
+
+This composes with the rest of the mesh: 'pipe' is orthogonal to
+'data'/'model', so a (dp, pp) or (pp, tp) mesh pipelines each
+data-parallel replica's tower. Reference parity target: none (reference
+has no analogue; see PARITY.md capability extensions).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def stack_block_params(block_params: List[Any]) -> Any:
+    """Stack per-block param pytrees along a new leading 'stage' axis.
+
+    `[params_block0, ..., params_block{D-1}]` -> one pytree whose leaves
+    have shape (D, *leaf.shape). The leading axis is what gets sharded
+    over the mesh's 'pipe' axis (each stage holds D/S consecutive
+    blocks).
+    """
+    if not block_params:
+        raise ValueError("need at least one block")
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *block_params)
+
+
+def unstack_block_params(stacked: Any, depth: int) -> List[Any]:
+    """Inverse of stack_block_params (host-side convenience)."""
+    return [jax.tree.map(lambda a, i=i: a[i], stacked) for i in range(depth)]
+
+
+def pipeline_blocks(
+    stacked_params: Any,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    apply_fn,
+    mesh: Mesh,
+    axis: str = "pipe",
+    microbatches: int | None = None,
+) -> jnp.ndarray:
+    """Run a block stack over `x` with a GPipe pipeline on `mesh[axis]`.
+
+    Args:
+      stacked_params: `stack_block_params` output; leading leaf dim D
+        (total blocks) must be divisible by the mesh axis size S.
+      x: (B, L, width) activations (post-embedding).
+      mask: (B, L) padding mask, travels with the activations.
+      apply_fn: `(one_block_params, x_mb, mask_mb) -> y_mb` — a pure
+        single-block forward (e.g. a bound `EncoderBlock.apply`).
+      mesh: mesh containing `axis`.
+      microbatches: M (default: the axis size S). B % M == 0.
+
+    Returns (B, L, width), replicated over `axis` — bit-identical to
+    applying the D blocks sequentially.
+    """
+    S = mesh.shape[axis]
+    depth = jax.tree.leaves(stacked_params)[0].shape[0]
+    if depth % S:
+        raise ValueError(f"depth={depth} not divisible by stages={S}")
+    M = int(microbatches or S)
+    B = x.shape[0]
+    if B % M:
+        raise ValueError(f"batch={B} not divisible by microbatches={M}")
+    mb = B // M
+    blocks_per_stage = depth // S
+
+    x_mb = x.reshape(M, mb, *x.shape[1:])
+    m_mb = mask.reshape(M, mb, *mask.shape[1:])
+    T = M + S - 1
+
+    def stage_fn(local_params, x_loc, m_loc):
+        # local_params leaves: (depth/S, ...) — this stage's blocks.
+        # x_loc/m_loc: full (M, mb, ...) microbatch arrays (replicated in;
+        # only stage 0 reads them).
+        sidx = jax.lax.axis_index(axis)
+        is_first = sidx == 0
+        is_last = sidx == S - 1
+
+        def tick(carry, t):
+            act, am, out = carry
+            # stage 0 ingests microbatch t (clamped when draining)
+            t_in = jnp.clip(t, 0, M - 1)
+            x_t = jax.lax.dynamic_index_in_dim(x_loc, t_in, keepdims=False)
+            m_t = jax.lax.dynamic_index_in_dim(m_loc, t_in, keepdims=False)
+            act = jnp.where(is_first, x_t, act)
+            am = jnp.where(is_first, m_t, am)
+
+            y = act
+            for b in range(blocks_per_stage):  # static per-stage chain
+                p_b = jax.tree.map(lambda a, b=b: a[b], local_params)
+                y = apply_fn(p_b, y, am)
+
+            # last stage emits microbatch (t - S + 1) into the out buffer;
+            # other stages keep out at zero so the closing psum is exact
+            m_out = jnp.clip(t - (S - 1), 0, M - 1)
+            emit = is_last & (t >= S - 1)
+            upd = jax.lax.dynamic_index_in_dim(out, m_out, keepdims=False)
+            upd = jnp.where(emit, y, upd)
+            out = jax.lax.dynamic_update_index_in_dim(out, upd, m_out, 0)
+
+            # hop stage s -> s+1 (no wraparound; stage 0 receives zeros
+            # and overwrites them with the next ingested microbatch)
+            perm = [(i, i + 1) for i in range(S - 1)]
+            act = jax.lax.ppermute(y, axis, perm)
+            am = jax.lax.ppermute(am, axis, perm)
+            return (act, am, out), None
+
+        act0 = jnp.zeros_like(x_loc[0])
+        am0 = jnp.zeros_like(m_loc[0])
+        out0 = jnp.zeros_like(x_loc)
+        (_, _, out), _ = jax.lax.scan(
+            tick, (act0, am0, out0), jnp.arange(T)
+        )
+        # replicate the result (only the last stage holds non-zeros)
+        return jax.lax.psum(out, axis)
+
+    in_specs = (
+        jax.tree.map(lambda _: P(axis), stacked_params),
+        P(),  # microbatches replicated; stage 0 reads them
+        P(),
+    )
+    pipelined = shard_map(
+        stage_fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(),
+        # the zero-filled non-last-stage out buffers + psum handoff are
+        # deliberate; varying-manual-axes checking rejects the pattern
+        check_vma=False,
+    )
+    out = pipelined(stacked_params, x_mb, m_mb)
+    return out.reshape(B, *x.shape[1:])
+
+
+def pipelined_tower_apply(
+    tower,
+    params: Dict[str, Any],
+    ids: jnp.ndarray,
+    mask: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "pipe",
+    microbatches: int | None = None,
+) -> jnp.ndarray:
+    """TextTransformer forward with the block stack pipelined.
+
+    Embedding/positional/final-LN/pooling stay replicated (tiny vs the
+    blocks); the D EncoderBlocks run under the GPipe schedule. Output
+    contract identical to `tower.__call__` in deterministic mode:
+    mean-pooled masked hidden state, L2-normalized, (B, width).
+    """
+    from ultrafnd_git_tpu.models.transformer import EncoderBlock
+
+    block = EncoderBlock(
+        tower.width,
+        tower.heads,
+        dropout=tower.dropout,
+        attention_backend=tower.attention_backend,
+        dtype=tower.dtype,
+    )
+
+    def apply_one(p, x, m):
+        return block.apply({"params": p}, x, m, deterministic=True)
+
+    x = params["tok_embed"]["embedding"][ids]
+    if tower.dtype is not None:
+        x = x.astype(tower.dtype)
+    pos = params["pos_embed"]
+    x = x + pos[:, : ids.shape[1]].astype(x.dtype)
+    x = _layernorm(params["ln_embed"], x, tower.dtype)
+
+    blocks = [params[f"block{i}"] for i in range(tower.depth)]
+    x = pipeline_blocks(
+        stack_block_params(blocks), x, mask, apply_one, mesh,
+        axis=axis, microbatches=microbatches,
+    )
+
+    # final LN + pooling in f32, formulas bit-identical to the tower tail
+    x = _layernorm(params["ln_final"], x, jnp.float32)
+    w = mask[..., None]
+    pooled = (x * w).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1.0)
+    return pooled / (
+        jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-9
+    )
+
+
+def _layernorm(p: Dict[str, Any], x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """flax.linen.LayerNorm-equivalent forward from raw params."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(dtype or x.dtype)
