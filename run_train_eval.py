@@ -269,26 +269,18 @@ def main():
             search_hash_salt,
         )
 
-        winner, _scores = search_hash_salt(
-            cfg, parse_salt_list(args.auto_salt)
-        )
+        # an explicit --hash_salt is a candidate too, not silently dropped
+        candidates = parse_salt_list(args.auto_salt)
+        if args.hash_salt and args.hash_salt not in candidates:
+            candidates.insert(0, args.hash_salt)
+        winner, _scores = search_hash_salt(cfg, candidates)
         # out_dir now holds the winner's artifacts — score its best slot
         # exactly as a direct `--hash_salt <winner> --eval_only` run would
         cfg = dataclasses.replace(cfg, hash_salt=winner, eval_only=True)
         trainer = ForensicTrainer(cfg)
         print("\n>>> Testing best checkpoint (auto_salt winner)...")
         results = trainer.test()
-        print("\n==== Final Results ====")
-        print(f"Selected hash_salt: {winner!r}")
-        print(f"Test Loss: {results['test_loss']:.4f}")
-        print(f"Test Acc : {results['test_acc']:.4f}")
-        print(f"Test AUC : {results['test_auc']:.4f}")
-        for k in (
-            "test_precision", "test_recall", "test_f1",
-            "test_cmcs", "test_dfdr",
-        ):
-            if k in results:
-                print(f"{k.replace('test_', 'Test ').title()}: {results[k]:.4f}")
+        _print_results(results, extra=f"Selected hash_salt: {winner!r}")
         return
 
     trainer = ForensicTrainer(cfg)
@@ -299,8 +291,13 @@ def main():
 
     print("\n>>> Testing best checkpoint...")
     results = trainer.test()
+    _print_results(results)
 
+
+def _print_results(results, extra=None):
     print("\n==== Final Results ====")
+    if extra:
+        print(extra)
     print(f"Test Loss: {results['test_loss']:.4f}")
     print(f"Test Acc : {results['test_acc']:.4f}")
     print(f"Test AUC : {results['test_auc']:.4f}")

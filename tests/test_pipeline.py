@@ -78,6 +78,43 @@ def test_pipelined_tower_matches_sequential(tower_and_params, stages, micro):
 
 
 @pytest.mark.slow
+def test_pipelined_tower_matches_sequential_bf16(tower_and_params):
+    """The bf16-compute lever keeps pipelined ~= sequential: both paths
+    bind the SAME flax modules (Embed/LayerNorm/EncoderBlock) on the raw
+    params, so dtype promotion is shared, not re-implemented. Tolerance
+    is one bf16 ulp at unit scale (2^-8): microbatching retiles the
+    batch, which reassociates bf16 reductions — exactness is the f32
+    test's claim."""
+    _, params, ids, mask = tower_and_params
+    tower16 = TextTransformer(
+        width=WIDTH, depth=DEPTH, heads=HEADS, vocab_size=256, max_len=L,
+        dtype=jnp.bfloat16,
+    )
+    want = tower16.apply({"params": params}, ids, mask, deterministic=True)
+    got = jax.jit(
+        lambda p, i, m: pipelined_tower_apply(
+            tower16, p, i, m, _pipe_mesh(4), microbatches=4
+        )
+    )(params, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2 ** -8, rtol=0
+    )
+    # and the bf16 path stays close to the f32 truth
+    f32 = TextTransformer(
+        width=WIDTH, depth=DEPTH, heads=HEADS, vocab_size=256, max_len=L
+    ).apply({"params": params}, ids, mask, deterministic=True)
+    assert float(jnp.abs(got - f32).max()) < 0.1
+
+
+def test_microbatch_divisibility_checked(tower_and_params):
+    tower, params, ids, mask = tower_and_params
+    with pytest.raises(ValueError, match="microbatches"):
+        pipelined_tower_apply(
+            tower, params, ids, mask, _pipe_mesh(4), microbatches=2
+        )
+
+
+@pytest.mark.slow
 def test_pipeline_blocks_grad_flows(tower_and_params):
     """The schedule differentiates: grads flow through ppermute/scan to
     every stage's params (pipelined fine-tuning is possible)."""

@@ -26,10 +26,14 @@ def test_parse_salt_list():
     assert parse_salt_list(" a, b ,,c") == ["a", "b", "c"]
 
 
-def test_tag_is_filesystem_safe():
+def test_tag_is_filesystem_safe_and_collision_free():
     assert _tag("") == "unsalted"
     assert _tag("q1") == "salt_q1"
-    assert _tag("a/b c") == "salt_a_b_c"
+    # sanitized tags carry a digest of the raw salt, so candidates that
+    # sanitize identically still get distinct run directories
+    assert _tag("a/b c").startswith("salt_a_b_c_")
+    assert _tag("a/b c") != _tag("a_b_c")
+    assert _tag("a.b") != _tag("a_b")
 
 
 def test_search_requires_a_candidate():
@@ -66,9 +70,15 @@ def test_auto_salt_selects_and_adopts(fixture_data_root, tmp_path):
     # search record + per-candidate run dirs are kept for inspection
     rec = json.loads((out / "salt_search.json").read_text())
     assert rec["winner"] == winner
-    assert set(rec["val_scores"]) == {"unsalted", "salt_q1"}
+    assert set(rec["val_scores"]) == {"", "q1"}  # keyed by the RAW salt
+    assert rec["run_dirs"] == {"": "unsalted", "q1": "salt_q1"}
     for tag in ("unsalted", "salt_q1"):
         assert (out / "salt_search" / tag / "best" / "meta.json").exists()
+
+    # the process-wide draw is left on the WINNER, not the last candidate
+    from ultrafnd_git_tpu.ops.hashing import get_hash_salt
+
+    assert get_hash_salt() == winner
 
     # adopted best slot records the winning salt; cache rode along
     meta = json.loads((out / "best" / "meta.json").read_text())

@@ -86,6 +86,11 @@ def pipeline_blocks(
     B = x.shape[0]
     if B % M:
         raise ValueError(f"batch={B} not divisible by microbatches={M}")
+    if M % S:
+        raise ValueError(
+            f"microbatches={M} not divisible by stages={S} (the closing "
+            "reduce_scatter tiles the microbatch axis over stages)"
+        )
     mb = B // M
     blocks_per_stage = depth // S
 
@@ -136,21 +141,33 @@ def pipeline_blocks(
         (_, _, out), _ = jax.lax.scan(
             tick, (act0, am0, out0), jnp.arange(T)
         )
-        # replicate the result (only the last stage holds non-zeros)
-        return jax.lax.psum(out, axis)
+        # distribute the result over the stage axis: only the last stage
+        # holds non-zeros, so a reduce_scatter both reduces and shards —
+        # S-times less traffic and per-device output memory than a full
+        # psum; downstream consumers that need it replicated get an XLA
+        # all_gather only where actually required
+        return jax.lax.psum_scatter(
+            out, axis, scatter_dimension=0, tiled=True
+        )
 
     in_specs = (
         jax.tree.map(lambda _: P(axis), stacked_params),
-        P(),  # microbatches replicated; stage 0 reads them
+        # Microbatch inputs replicated: only stage 0 reads them, but the
+        # alternative (M-sharded inputs + a per-tick gather to stage 0)
+        # trades O(B*L*width) resident bytes for a collective on every
+        # tick. For the target regime — sharding a tower whose PARAMS
+        # outgrow one chip — the activation buffer is second-order.
+        P(),
         P(),
     )
     pipelined = shard_map(
         stage_fn,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=P(),
-        # the zero-filled non-last-stage out buffers + psum handoff are
-        # deliberate; varying-manual-axes checking rejects the pattern
+        out_specs=P(axis),  # (M, mb, ...) sharded over stages on M
+        # the zero-filled non-last-stage out buffers + reduce-scatter
+        # handoff are deliberate; the varying-manual-axes checker
+        # rejects the pattern
         check_vma=False,
     )
     out = pipelined(stacked_params, x_mb, m_mb)
@@ -173,6 +190,8 @@ def pipelined_tower_apply(
     contract identical to `tower.__call__` in deterministic mode:
     mean-pooled masked hidden state, L2-normalized, (B, width).
     """
+    from flax import linen as nn
+
     from ultrafnd_git_tpu.models.transformer import EncoderBlock
 
     block = EncoderBlock(
@@ -186,12 +205,17 @@ def pipelined_tower_apply(
     def apply_one(p, x, m):
         return block.apply({"params": p}, x, m, deterministic=True)
 
-    x = params["tok_embed"]["embedding"][ids]
-    if tower.dtype is not None:
-        x = x.astype(tower.dtype)
+    # embedding/positional/LN reuse the tower's OWN module math (bound
+    # flax modules on the raw params) so dtype semantics — including the
+    # bf16-compute lever — match tower.__call__ exactly
+    x = nn.Embed(
+        tower.vocab_size, tower.width, dtype=tower.dtype
+    ).apply({"params": params["tok_embed"]}, ids)
     pos = params["pos_embed"]
     x = x + pos[:, : ids.shape[1]].astype(x.dtype)
-    x = _layernorm(params["ln_embed"], x, tower.dtype)
+    x = nn.LayerNorm(dtype=tower.dtype).apply(
+        {"params": params["ln_embed"]}, x
+    )
 
     blocks = [params[f"block{i}"] for i in range(tower.depth)]
     x = pipeline_blocks(
@@ -199,20 +223,11 @@ def pipelined_tower_apply(
         axis=axis, microbatches=microbatches,
     )
 
-    # final LN + pooling in f32, formulas bit-identical to the tower tail
-    x = _layernorm(params["ln_final"], x, jnp.float32)
+    # final LN + pooling, formulas bit-identical to the tower tail
+    # (ln_final carries no dtype in the tower either — f32 out)
+    x = nn.LayerNorm().apply({"params": params["ln_final"]}, x)
     w = mask[..., None]
     pooled = (x * w).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1.0)
     return pooled / (
         jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-9
     )
-
-
-def _layernorm(p: Dict[str, Any], x: jnp.ndarray, dtype) -> jnp.ndarray:
-    """flax.linen.LayerNorm-equivalent forward from raw params."""
-    xf = x.astype(jnp.float32)
-    mu = xf.mean(-1, keepdims=True)
-    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
-    y = y * p["scale"] + p["bias"]
-    return y.astype(dtype or x.dtype)

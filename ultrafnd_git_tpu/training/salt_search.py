@@ -32,10 +32,20 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 
 def _tag(salt: str) -> str:
-    """Filesystem tag for a candidate salt ('' -> 'unsalted')."""
+    """Filesystem tag for a candidate salt ('' -> 'unsalted').
+
+    Sanitization can collide ('a.b' and 'a_b' both -> 'salt_a_b'), so a
+    short FNV digest of the RAW salt disambiguates whenever any
+    character was rewritten — distinct candidates always get distinct
+    run directories.
+    """
     if salt == "":
         return "unsalted"
     safe = "".join(c if (c.isalnum() or c in "-_") else "_" for c in salt)
+    if safe != salt:
+        import hashlib  # NOT fnv1a_64: that hashes under the LIVE salt
+
+        safe = f"{safe}_{hashlib.sha1(salt.encode()).hexdigest()[:6]}"
     return f"salt_{safe}"
 
 
@@ -92,10 +102,19 @@ def search_hash_salt(
         print(f"  {_tag(salt):>16}: {scores[salt]:.4f}{mark}")
 
     _adopt(search_root / _tag(winner), out_root)
+    # leave the process-wide draw on the WINNER (each candidate trainer
+    # pinned its own salt in its constructor; without this, post-search
+    # featurization in this process would use the LAST candidate's draw
+    # against checkpoints trained under the winner's)
+    from ultrafnd_git_tpu.ops.hashing import set_hash_salt
+
+    set_hash_salt(winner)
     record = {
         "winner": winner,
         "select_metric": sel,
-        "val_scores": {_tag(s): scores[s] for s in candidates},
+        # keyed by the RAW salt ('' = unsalted); tags are directory names
+        "val_scores": {s: scores[s] for s in candidates},
+        "run_dirs": {s: _tag(s) for s in candidates},
         "candidates": candidates,
     }
     (out_root / "salt_search.json").write_text(json.dumps(record, indent=2))
