@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 matmul activations (accelerator serving; "
                          "scores move within the bf16 envelope)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 serving weights (per-channel scales, "
+                         "dequantized in-program; 4x less HBM weight "
+                         "traffic — see ops/quant.py)")
     ap.add_argument("--explain", action="store_true",
                     help="Attach per-record classifier attributions "
                          "(adds an 'explain' object per line)")
@@ -76,6 +80,7 @@ def main() -> None:
         batch_size=args.batch_size,
         checkpoint_name=args.checkpoint,
         bf16=args.bf16,
+        quantize=args.quantize,
     )
     records = load_records(Path(args.input))
     if args.explain:

@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 matmul activations (accelerator serving)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 serving weights (per-channel scales, "
+                         "dequantized in-program; 4x less HBM weight "
+                         "traffic — see ops/quant.py)")
     ap.add_argument("--verbose", action="store_true",
                     help="Log one line per HTTP request")
     args = ap.parse_args()
@@ -44,6 +48,7 @@ def main() -> None:
         batch_size=args.batch_size,
         checkpoint_name=args.checkpoint,
         bf16=args.bf16,
+        quantize=args.quantize,
     )
     server = make_server(
         predictor, host=args.host, port=args.port, quiet=not args.verbose

@@ -48,16 +48,26 @@ class Predictor:
         batch_size: int = 64,
         checkpoint_name: str = "best",
         bf16: bool = False,
+        quantize: bool = False,
     ):
         """bf16=True runs fusion/classifier/tower matmul activations in
         bfloat16 (restored params stay f32) — the serving analogue of the
         trainer's --bf16 lever. One MXU pass instead of three on TPU;
         scores move within the bf16 envelope (|d prob| ~ 1e-2), so the
         default stays bit-faithful f32. On CPU backends bf16 is emulated
-        and SLOWER — only worth enabling on an accelerator."""
+        and SLOWER — only worth enabling on an accelerator.
+
+        quantize=True stores the big weight matrices (Dense kernels,
+        tower embedding) as int8 with per-channel scales and dequantizes
+        INSIDE the scoring program (ops/quant.py) — 4x less HBM weight
+        traffic on the memory-bound small-batch path; scores move within
+        the weight-rounding envelope (|d prob| ~ 1e-2 on the fixture).
+        Composes with bf16 (dequantizes straight to bf16). explain()
+        attributions always use the full-precision weights."""
         self.out_dir = Path(out_dir)
         self.batch_size = int(batch_size)
         self.bf16 = bool(bf16)
+        self.quantize = bool(quantize)
 
         cache_path = self.out_dir / "feature_cache.npz"
         # "reuse": the corpus cache is the feature map the checkpoint was
@@ -187,10 +197,25 @@ class Predictor:
             jax.tree.map(jnp.asarray, restored[0].params)
         )
 
+        # int8 serving weights: the scoring program reads these; the f32
+        # tree stays resident for explain()/background paths. The GNN
+        # corpus context below is built from the DEQUANTIZED weights so
+        # corpus rows and new-node rows flow through identical numerics.
+        self._score_params = self.params
+        if self.quantize:
+            from ultrafnd_git_tpu.ops.quant import quantize_tree
+
+            qparams, qstats = quantize_tree(self.params)
+            self._score_params = jax.device_put(qparams)
+            print(
+                f"int8 serving weights: {qstats['quantized']} matrices "
+                f"quantized, {qstats['kept']} small leaves kept f32"
+            )
+
         # Corpus layer-1 activation is fixed at serving time (params and
         # AX are constant) — compute it once.
         if self.use_gnn:
-            p = self.params["gnn"]
+            p = self._effective_params()["gnn"]
             self.H_CORPUS = jax.nn.gelu(
                 self.AX @ p["lin1"]["kernel"] + p["lin1"]["bias"],
                 approximate=False,
@@ -207,6 +232,15 @@ class Predictor:
         self._encoders = make_encoders(
             seed=self._seed, with_evidence=self.use_evidence
         )
+
+    def _effective_params(self):
+        """The weights the scoring program actually sees (dequantized
+        view under quantize=True, the restored f32 tree otherwise)."""
+        if not self.quantize:
+            return self.params
+        from ultrafnd_git_tpu.ops.quant import dequantize_tree
+
+        return dequantize_tree(self._score_params)
 
     # ------------------------------------------------------------------
     def _state_template(self, gnn_dim: int, saved_cfg: Dict) -> TrainState:
@@ -262,6 +296,15 @@ class Predictor:
         # rejects at large corpus N (see trainer.py's corpus note)
         def score(params, feats, aux, a_rows, self_w, xg_new, xg_corpus,
                   h_corpus, text_ids, text_mask):
+            if self.quantize:
+                # int8 -> compute dtype right before use; XLA fuses the
+                # convert+scale into each consuming matmul, so the HBM-
+                # resident weights stay int8 (ops/quant.py)
+                from ultrafnd_git_tpu.ops.quant import dequantize_tree
+
+                params = dequantize_tree(
+                    params, jnp.bfloat16 if self.bf16 else None
+                )
             if self.text_tower is not None:
                 feats = {
                     **feats,
@@ -530,7 +573,7 @@ class Predictor:
                 [xg_new, np.repeat(xg_new[-1:], pad, axis=0)]
             )
         probs, forensic, fused = self._score(
-            self.params,
+            self._score_params,
             feats,
             aux,
             jnp.asarray(a_rows),
