@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--requests", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 matmul activations in the scorer")
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 serving weights (ops/quant.py)")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +59,12 @@ def main() -> None:
         )
         trainer.fit()
 
-    predictor = Predictor(str(out), batch_size=args.batch_size)
+    predictor = Predictor(
+        str(out),
+        batch_size=args.batch_size,
+        bf16=args.bf16,
+        quantize=args.quantize,
+    )
     records = [
         {
             "video_id": f"q{i}",
