@@ -2,7 +2,7 @@
 # (hermetic); bench targets use the real accelerator.
 
 .PHONY: test test-fast parity fixture bench bench-kernels bench-preprocess \
-        smoke sanity train-fixture lint-clean
+        bench-serving demo-pipeline smoke sanity train-fixture lint-clean
 
 test:
 	python -m pytest tests/ -q
@@ -27,6 +27,13 @@ bench-preprocess:
 
 bench-scaling:
 	python scripts/bench_scaling.py
+
+bench-serving:
+	python scripts/bench_serving.py
+
+demo-pipeline:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	    python scripts/demo_pipeline.py --cpu
 
 smoke:
 	python scripts/smoke_test_v2.py
