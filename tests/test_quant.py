@@ -128,3 +128,33 @@ def test_quantized_predictor_tracks_f32_scores(tmp_path, fixture_data_root):
     assert d.max() < 5e-2, d.max()  # documented envelope
     agree = np.mean([a["label"] == b["label"] for a, b in zip(r32, rq)])
     assert agree >= 0.9, agree
+
+
+@pytest.mark.slow
+def test_quantized_predictor_with_text_tower(tower_ckpt, fixture_data_root):
+    """quantize=True also covers the trained text tower (its 32768x768
+    embedding is the single biggest int8 win) and stays within the
+    envelope of the f32 tower predictor."""
+    from ultrafnd_git_tpu.serving import Predictor
+
+    records = [
+        json.loads(ln)
+        for ln in open(
+            f"{fixture_data_root}/data_complete.json", encoding="utf-8"
+        )
+    ][:8]
+    p32 = Predictor(tower_ckpt["out"], batch_size=8)
+    pq = Predictor(tower_ckpt["out"], batch_size=8, quantize=True)
+    assert pq.text_tower is not None  # the tower path is actually live
+    from ultrafnd_git_tpu.ops.quant import is_quantized_leaf
+
+    assert is_quantized_leaf(
+        pq._score_params["text_tower"]["tok_embed"]["embedding"]
+    )
+    r32 = p32.predict(records)
+    rq = pq.predict(records)
+    d = np.abs(
+        np.asarray([r["prob_fake"] for r in r32])
+        - np.asarray([r["prob_fake"] for r in rq])
+    )
+    assert d.max() < 5e-2, d.max()
