@@ -73,6 +73,12 @@ def parse_args():
                    help="Keep the GCN frozen after its degree-recon "
                         "pretrain (the reference's effective semantics); "
                         "default trains it end-to-end in the step")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="Microbatches summed per optimizer step: the "
+                        "update equals one step at effective batch = "
+                        "batch_size * grad_accum, at the HBM footprint "
+                        "of one microbatch (memory lever for effective "
+                        "batches past one chip)")
     p.add_argument("--no_scan_epoch", action="store_true",
                    help="Dispatch one device call per batch instead of "
                         "one jitted scan per epoch (debugging aid; the "
@@ -188,6 +194,7 @@ def main():
                 ("--no_fast_dropout_rng", args.no_fast_dropout_rng),
                 ("--select_metric", args.select_metric != "auc"),
                 ("--auto_salt", bool(args.auto_salt)),
+                ("--grad_accum", args.grad_accum > 1),
             )
             if on
         ]
@@ -243,6 +250,7 @@ def main():
         shard_corpus=args.shard_corpus,
         shard_graph=args.shard_graph,
         scan_epoch=not args.no_scan_epoch,
+        grad_accum=args.grad_accum,
         fast_dropout_rng=not args.no_fast_dropout_rng,
         select_metric=args.select_metric,
         hash_salt=args.hash_salt,

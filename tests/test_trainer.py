@@ -392,3 +392,101 @@ def test_fast_dropout_rng_both_paths_train(fixture_root, tmp_path):
     assert np.isfinite(b1) and np.isfinite(b2)
     # state.rng is a raw threefry key in both (checkpoint compatibility)
     assert t1.state.rng.shape == t2.state.rng.shape == (2,)
+
+
+def _dropout_free_configs(tmp):
+    """Write dropout-0 fusion/classifier YAMLs (same schema as
+    configs/model_configs/*) so train-mode forwards are deterministic."""
+    cfgdir = tmp / "cfgs"
+    cfgdir.mkdir(parents=True, exist_ok=True)
+    (cfgdir / "fusion.yaml").write_text(
+        "hidden_dim: 512\ndropout: 0.0\nuse_gnn: true\ngnn_dim: 128\n"
+    )
+    (cfgdir / "classifier.yaml").write_text(
+        "input_dim: 512\nhidden_dim: 512\ndropout: 0.0\nnum_classes: 2\n"
+        "use_aux: true\naux_dim: 2\nnode_trees: 6\nnode_depth: 4\n"
+        "node_tau: 10.0\nnode_dropout: 0.0\ntemperature: 1.0\n"
+    )
+    return str(cfgdir / "fusion.yaml"), str(cfgdir / "classifier.yaml")
+
+
+def test_grad_accum_matches_big_batch(fixture_root, tmp_path):
+    """grad_accum=A microbatches of B rows == ONE step at batch A*B.
+
+    The accumulated update sums unnormalized masked-sum gradients over
+    microbatches and divides once by the total valid count — linear in
+    the loss, so it must equal the big-batch masked-mean gradient up to
+    f32 summation order. Dropout is zeroed (configs + use_gnn=False) so
+    the equality is testable without matching per-microbatch RNG streams.
+    """
+    import jax.numpy as jnp
+
+    fus, clf = _dropout_free_configs(tmp_path)
+    kw = dict(
+        epochs=0, use_gnn=False, fusion_config=fus, classifier_config=clf
+    )
+    big = ForensicTrainer(
+        _cfg(fixture_root, tmp_path / "big", batch_size=32, **kw)
+    )
+    acc = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path / "acc", batch_size=8, grad_accum=4, **kw
+        )
+    )
+    # same seed -> identical init params and corpus
+    for a, b in zip(
+        __import__("jax").tree.leaves(big.state.params),
+        __import__("jax").tree.leaves(acc.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    import jax
+
+    idx = jnp.arange(32, dtype=jnp.int32)
+    mask = jnp.ones(32, jnp.float32)
+    lb, gb, (p1b, fb) = jax.jit(big._make_grad_fn())(
+        big.state, idx, mask, big.corpus
+    )
+    la, ga, (p1a, fa) = jax.jit(acc._make_grad_fn())(
+        acc.state, idx, mask, acc.corpus
+    )
+
+    np.testing.assert_allclose(float(lb), float(la), rtol=1e-5)
+    # per-row outputs identical ordering: (A, B) microbatches reflatten
+    np.testing.assert_allclose(
+        np.asarray(p1b), np.asarray(p1a), rtol=1e-5, atol=1e-6
+    )
+    assert fa.shape == fb.shape == (3, 32)
+    # GRADIENTS agree leaf-by-leaf (the claim; post-AdamW params can't be
+    # compared — a first Adam step maps near-zero grads to ±lr on sign
+    # alone, so f32 summation-order noise would flip dead-pathway signs)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+        )
+
+
+def test_grad_accum_end_to_end_and_mesh(fixture_root, tmp_path):
+    """Default config (dropout + GCN on) trains under grad_accum, both
+    unmeshed and over a dp=4 x tp=2 virtual mesh with scan-epoch."""
+    t = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path / "solo", epochs=1, batch_size=8,
+            grad_accum=2,
+        )
+    )
+    best = t.fit()
+    assert np.isfinite(best)
+    assert int(t.state.step) >= 1
+    res = t.test()
+    assert EXPECTED_KEYS <= set(res)
+
+    tm = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path / "mesh", epochs=1, batch_size=8,
+            grad_accum=2, dp=4, tp=2, mesh_backend="cpu",
+        )
+    )
+    bm = tm.fit()
+    assert np.isfinite(bm)
+    assert EXPECTED_KEYS <= set(tm.test())

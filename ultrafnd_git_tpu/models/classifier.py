@@ -65,6 +65,10 @@ class DeepTruthClassifier(nn.Module):
     node_trees: int = 6
     node_depth: int = 4
     node_tau: float = 10.0
+    # per-tree logit dropout inside the forest (reference hard-codes 0.3
+    # in its _ObliviousTree stack; optional `node_dropout` YAML key makes
+    # it configurable without changing the default)
+    node_dropout: float = 0.3
     temperature_init: float = 1.0
     dtype: Any = None  # bf16-compute/f32-master when jnp.bfloat16; the
     # NODE forest and the calibrated softmax always run f32
@@ -83,6 +87,7 @@ class DeepTruthClassifier(nn.Module):
             node_trees=int(cfg.get("node_trees", 6)),
             node_depth=int(cfg.get("node_depth", 4)),
             node_tau=float(cfg.get("node_tau", 10.0)),
+            node_dropout=float(cfg.get("node_dropout", 0.3)),
             temperature_init=float(cfg.get("temperature", 1.0)),
         )
 
@@ -114,6 +119,7 @@ class DeepTruthClassifier(nn.Module):
             num_trees=self.node_trees,
             depth=self.node_depth,
             tau=self.node_tau,
+            dropout=self.node_dropout,
             name="node",
         )(h, deterministic=deterministic)
         logits_bypass = nn.Dense(

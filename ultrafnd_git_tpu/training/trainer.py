@@ -142,6 +142,16 @@ class TrainConfig:
     # multi-PROCESS runs fall back to per-step dispatch, because there
     # each host contributes local rows batch by batch (put_global_batch).
     scan_epoch: bool = True
+    # Gradient accumulation: each optimizer step accumulates summed
+    # gradients over `grad_accum` microbatches of `batch_size` rows and
+    # normalizes by the TOTAL valid-row count, so the update equals one
+    # step at effective batch = batch_size * grad_accum (bit-level up to
+    # f32 summation order; asserted by tests/test_trainer.py). The
+    # reference has no analogue (its MPS box simply OOMs past its batch);
+    # here it is the memory lever for effective batches past one chip's
+    # HBM — microbatch activations are freed between scan slices, only
+    # the grad-sum pytree persists.
+    grad_accum: int = 1
     # In-step dropout masks via the rbg PRNG instead of threefry: -14%
     # joint tower_512 step time measured (44.7 -> 38.4 ms); see
     # _make_train_step. False = threefry everywhere (bit-exact replays
@@ -399,7 +409,11 @@ class ForensicTrainer:
             params["gnn"] = self._pretrain_gnn(params["gnn"])
 
         # ---- 5) optimizer + state ----------------------------------------
-        steps_per_epoch = max(1, math.ceil(len(self.tr_idx) / B))
+        # grad_accum: the LR staircase counts OPTIMIZER steps, and one
+        # optimizer step now consumes batch_size * grad_accum rows
+        steps_per_epoch = max(
+            1, math.ceil(len(self.tr_idx) / (B * max(1, cfg.grad_accum)))
+        )
         self.tx = make_optimizer(
             cfg.lr, cfg.weight_decay, cfg.grad_clip, steps_per_epoch,
             frozen_subtrees=() if cfg.train_gnn else ("gnn",),
@@ -601,9 +615,18 @@ class ForensicTrainer:
         )  # (3, B)
         return ce, co["probs"][:, 1], forensic
 
-    def _make_train_step(self):
-        def step(state: TrainState, idx, mask, corpus):
-            rng = jax.random.fold_in(state.rng, state.step)
+    def _make_grad_fn(self):
+        """(state, idx, mask, corpus) -> (loss, grads, (p1, forensic)).
+
+        Split from _make_train_step so tests can compare the grad_accum
+        accumulation against the single-big-batch gradient directly —
+        post-AdamW params can't be compared (a first Adam step moves
+        near-zero grads by ±lr on sign alone, so f32 rounding noise in
+        dead pathways flips update signs).
+        """
+        accum = max(1, int(self.cfg.grad_accum))
+
+        def wrap_rng(rng):
             if self.cfg.fast_dropout_rng:
                 # Dropout-mask bits via the rbg PRNG: threefry mask
                 # generation for the (B, L, W)-scale tower masks costs
@@ -614,22 +637,77 @@ class ForensicTrainer:
                 # a given seed, but the rbg bitstream is not guaranteed
                 # stable across compiler versions (set
                 # fast_dropout_rng=False for bit-exact replays).
-                rng = jax.random.wrap_key_data(
+                return jax.random.wrap_key_data(
                     jnp.concatenate([rng, rng]), impl="rbg"
                 )
+            return rng
 
-            def loss_fn(params):
+        def grads_of(state: TrainState, idx, mask, corpus):
+            rng = jax.random.fold_in(state.rng, state.step)
+
+            if accum == 1:
+                def loss_fn(params):
+                    ce, p1, forensic = self._forward(
+                        params, idx, corpus,
+                        deterministic=False, rng=wrap_rng(rng),
+                    )
+                    loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+                    return loss, (p1, forensic)
+
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                return loss, grads, aux
+
+            # Gradient accumulation: scan `accum` microbatches, summing
+            # UNNORMALIZED (masked-sum) loss gradients, then divide once
+            # by the step's total valid-row count — grad is linear, so
+            # this equals the single big-batch masked-mean gradient (up
+            # to f32 summation order). Microbatch activations die at each
+            # scan slice boundary; only the grad-sum pytree (params-sized)
+            # persists, which is the whole point of the lever.
+            idx_m = idx.reshape(accum, -1)
+            mask_m = mask.reshape(accum, -1)
+
+            def loss_sum_fn(params, i, m, r):
                 ce, p1, forensic = self._forward(
-                    params, idx, corpus, deterministic=False, rng=rng
+                    params, i, corpus, deterministic=False, rng=r
                 )
-                loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
-                return loss, (p1, forensic)
+                return (ce * m).sum(), (p1, forensic)
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
+            grad_fn = jax.value_and_grad(loss_sum_fn, has_aux=True)
+
+            def body(carry, xs):
+                gsum, lsum = carry
+                i, m, k = xs
+                # independent dropout stream per microbatch (folded from
+                # the threefry step key; rbg-wrapped only at the leaf)
+                r = wrap_rng(jax.random.fold_in(rng, k))
+                (ls, aux), g = grad_fn(state.params, i, m, r)
+                gsum = jax.tree.map(jnp.add, gsum, g)
+                return (gsum, lsum + ls), aux
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (gsum, lsum), aux = jax.lax.scan(
+                body,
+                (zeros, jnp.zeros((), jnp.float32)),
+                (idx_m, mask_m, jnp.arange(accum)),
             )
+            denom = jnp.maximum(mask.sum(), 1.0)
+            grads = jax.tree.map(lambda g: g / denom, gsum)
+            loss = lsum / denom
+            p1 = aux[0].reshape(-1)  # (accum, B) -> (accum*B,)
+            forensic = aux[1].transpose(1, 0, 2).reshape(3, -1)
+            return loss, grads, (p1, forensic)
+
+        return grads_of
+
+    def _make_train_step(self):
+        grads_of = self._make_grad_fn()
+
+        def step(state: TrainState, idx, mask, corpus):
+            loss, grads, (p1, forensic) = grads_of(state, idx, mask, corpus)
             state = state.apply_gradients(grads, self.tx)
-            p1, forensic = aux
             return state, {"loss": loss, "p1": p1, "forensic": forensic}
 
         return step
@@ -679,10 +757,14 @@ class ForensicTrainer:
         is_train = split == "train"
         eval_params = params if params is not None else self.state.params
 
+        # training consumes batch_size * grad_accum rows per optimizer
+        # step (the step reshapes to (accum, B) microbatches internally);
+        # eval has no backward pass, so it keeps plain batch_size chunks
+        eff_batch = cfg.batch_size * (
+            max(1, cfg.grad_accum) if is_train else 1
+        )
         batches = list(
-            iter_padded_batches(
-                split_idx, cfg.batch_size, shuffle=is_train
-            )
+            iter_padded_batches(split_idx, eff_batch, shuffle=is_train)
         )
         if not batches:
             return 0.0, aggregate_epoch_metrics(
