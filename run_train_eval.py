@@ -69,6 +69,11 @@ def parse_args():
                    help="Transformer blocks in the --train_text_tower tower")
     p.add_argument("--text_tower_heads", type=int, default=12,
                    help="Attention heads in the --train_text_tower tower")
+    p.add_argument("--remat_tower", action="store_true",
+                   help="Rematerialize tower blocks on the backward pass "
+                        "(jax.checkpoint): ~1/3 more tower FLOPs for "
+                        "O(depth*B*L*W) less live HBM — fits deeper "
+                        "towers / longer contexts / larger microbatches")
     p.add_argument("--freeze_gnn", action="store_true",
                    help="Keep the GCN frozen after its degree-recon "
                         "pretrain (the reference's effective semantics); "
@@ -261,6 +266,7 @@ def main():
         train_text_tower=args.train_text_tower,
         text_tower_depth=args.text_tower_depth,
         text_tower_heads=args.text_tower_heads,
+        remat_tower=args.remat_tower,
         train_gnn=not args.freeze_gnn,
     )
 

@@ -78,3 +78,48 @@ def test_from_checkpoint_serves_trained_tower(
     ForensicTrainer(cfg2).fit()
     with pytest.raises(ValueError):
         DeviceTextEncoder.from_checkpoint(str(tmp_path / "plain"))
+
+
+def test_remat_tower_is_exact():
+    """remat=True (jax.checkpoint per block) must be numerically exact:
+    same params + same dropout rng -> identical forward output AND
+    identical gradients (the recompute replays the same rngs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultrafnd_git_tpu.models.transformer import TextTransformer
+
+    B, L, W = 4, 16, 64
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 1000, (B, L)))
+    mask = jnp.ones((B, L), jnp.float32)
+    kw = dict(width=W, depth=2, heads=4, vocab_size=1024, max_len=L)
+    plain = TextTransformer(**kw)
+    remat = TextTransformer(**kw, remat=True)
+    params = plain.init(
+        jax.random.PRNGKey(0), ids, mask, deterministic=True
+    )["params"]
+
+    # forward (train mode, dropout active, shared rng stream)
+    rng = {"dropout": jax.random.PRNGKey(7)}
+    o_p = plain.apply(
+        {"params": params}, ids, mask, deterministic=False, rngs=rng
+    )
+    o_r = remat.apply(
+        {"params": params}, ids, mask, deterministic=False, rngs=rng
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_p), np.asarray(o_r), rtol=1e-6, atol=1e-7
+    )
+
+    def loss(p, mod):
+        out = mod.apply(
+            {"params": p}, ids, mask, deterministic=False, rngs=rng
+        )
+        return (out * out).sum()
+
+    g_p = jax.grad(lambda p: loss(p, plain))(params)
+    g_r = jax.grad(lambda p: loss(p, remat))(params)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+        )

@@ -490,3 +490,33 @@ def test_grad_accum_end_to_end_and_mesh(fixture_root, tmp_path):
     bm = tm.fit()
     assert np.isfinite(bm)
     assert EXPECTED_KEYS <= set(tm.test())
+
+
+def test_remat_tower_grads_match_plain(fixture_root, tmp_path):
+    """--remat_tower is numerically exact at the TRAINER level: the joint
+    tower step's gradients match the non-remat step bit-for-rounding
+    (jax.checkpoint replays the same dropout rngs in the recompute)."""
+    import jax
+    import jax.numpy as jnp
+
+    kw = dict(
+        epochs=0, batch_size=8, train_text_tower=True,
+        text_tower_depth=1, text_tower_heads=4, seed=0,
+    )
+    plain = ForensicTrainer(_cfg(fixture_root, tmp_path / "p", **kw))
+    remat = ForensicTrainer(
+        _cfg(fixture_root, tmp_path / "r", remat_tower=True, **kw)
+    )
+    idx = jnp.arange(8, dtype=jnp.int32)
+    mask = jnp.ones(8, jnp.float32)
+    lp, gp, _ = jax.jit(plain._make_grad_fn())(
+        plain.state, idx, mask, plain.corpus
+    )
+    lr_, gr, _ = jax.jit(remat._make_grad_fn())(
+        remat.state, idx, mask, remat.corpus
+    )
+    np.testing.assert_allclose(float(lp), float(lr_), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+        )

@@ -157,6 +157,14 @@ class TextTransformer(nn.Module):
     dropout: float = 0.1
     attention_backend: str = "auto"
     dtype: object = None  # bf16-compute lever (params stay f32)
+    # Rematerialize each encoder block on the backward pass
+    # (jax.checkpoint): the (B, L, 4W) MLP activations are recomputed
+    # instead of stored, trading one extra forward's FLOPs per block for
+    # O(depth * B * L * W) less live HBM — the lever that lets deep/long
+    # joint fine-tunes (and grad_accum microbatches) fit one chip.
+    # Numerically exact: same dropout rngs replay in the recompute
+    # (asserted by tests/test_text_device_tower.py).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -176,15 +184,20 @@ class TextTransformer(nn.Module):
         x = x + pos[:, : ids.shape[1]].astype(x.dtype)
         x = nn.LayerNorm(dtype=self.dtype, name="ln_embed")(x)
 
+        block_cls = EncoderBlock
+        if self.remat:
+            # deterministic is arg 3 (static: it selects the dropout
+            # branch at trace time); x/mask stay traced
+            block_cls = nn.remat(EncoderBlock, static_argnums=(3,))
         for i in range(self.depth):
-            x = EncoderBlock(
+            x = block_cls(
                 self.width,
                 self.heads,
                 dropout=self.dropout,
                 attention_backend=self.attention_backend,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(x, mask, deterministic=deterministic)
+            )(x, mask, deterministic)
 
         x = nn.LayerNorm(name="ln_final")(x)  # final LN + pooling f32
         # mean-pool with mask, L2-normalize (the encode() contract,
