@@ -91,8 +91,9 @@ def available() -> bool:
 
 
 def reset() -> None:  # test hook
-    global _LIB, _TRIED
+    global _LIB, _TRIED, _GRAPH_LIB, _GRAPH_TRIED
     _LIB, _TRIED = None, False
+    _GRAPH_LIB, _GRAPH_TRIED = None, False
 
 
 # ----------------------------------------------------------------------
@@ -148,6 +149,105 @@ def hash_embed_batch_native(
         dim,
         -1 if max_tokens is None else int(max_tokens),
         ctypes.c_uint64(basis),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+# ----------------------------------------------------------------------
+# graphops: posting-list OCR-Jaccard adjacency (graphops.cpp)
+# ----------------------------------------------------------------------
+
+_GRAPH_SRC = Path(__file__).resolve().parent / "graphops.cpp"
+_GRAPH_LIB: Optional[ctypes.CDLL] = None
+_GRAPH_TRIED = False
+
+
+def _build_graph() -> Optional[ctypes.CDLL]:
+    if not _GRAPH_SRC.exists():
+        return None
+    digest = hashlib.sha256(_GRAPH_SRC.read_bytes()).hexdigest()[:16]
+    so_path = _cache_dir() / f"graphops_{digest}.so"
+    if not so_path.exists():
+        tmp = so_path.with_suffix(f".build{os.getpid()}.so")
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            str(_GRAPH_SRC), "-o", str(tmp),
+        ]
+        try:
+            subprocess.run(
+                cmd, check=True, capture_output=True, timeout=120
+            )
+            os.replace(tmp, so_path)  # atomic, like the hashops build
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(so_path))
+    except OSError:
+        return None
+
+    lib.ufnd_jaccard_adj.restype = None
+    lib.ufnd_jaccard_adj.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),   # row_off (n+1)
+        ctypes.POINTER(ctypes.c_int32),   # tok (nnz)
+        ctypes.c_int64,                   # n
+        ctypes.c_int64,                   # vocab
+        ctypes.c_float,                   # thresh
+        ctypes.c_int,                     # mode
+        ctypes.POINTER(ctypes.c_float),   # out (n*n)
+    ]
+    return lib
+
+
+def get_graph_lib() -> Optional[ctypes.CDLL]:
+    global _GRAPH_LIB, _GRAPH_TRIED
+    if os.environ.get("ULTRAFND_NATIVE", "1") == "0":
+        return None
+    if not _GRAPH_TRIED:
+        _GRAPH_TRIED = True
+        _GRAPH_LIB = _build_graph()
+    return _GRAPH_LIB
+
+
+def jaccard_adj_native(
+    ocr_sets: Sequence, thresh: float, mode: int
+) -> Optional[np.ndarray]:
+    """Dense (N, N) f32 OCR-Jaccard adjacency via the C++ posting-list
+    builder; None when the native lib is unavailable (callers fall back
+    to the numpy incidence-matmul path, which is bit-identical).
+
+    mode: 0 = binary >= thresh (diag 1), 1 = weighted >= thresh (diag 1),
+    2 = full pairwise jaccard (thresh ignored, true diagonal).
+
+    mode 0 with thresh <= 0 is refused (returns None): the numpy
+    semantics there link even zero-intersection pairs (0 >= 0), which a
+    sparsity-exploiting builder cannot reproduce.
+    """
+    lib = get_graph_lib()
+    if lib is None or (mode == 0 and thresh <= 0.0):
+        return None
+    from ultrafnd_git_tpu.ops.hashing import token_vocabulary
+
+    n = len(ocr_sets)
+    out = np.zeros((n, n), dtype=np.float32)
+    if n == 0:
+        return out
+    vocab = token_vocabulary(ocr_sets)
+    row_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in ocr_sets], out=row_off[1:])
+    tok = np.empty(int(row_off[-1]), dtype=np.int32)
+    pos = 0
+    for s in ocr_sets:
+        for t in s:
+            tok[pos] = vocab[t]
+            pos += 1
+    lib.ufnd_jaccard_adj(
+        row_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        tok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        max(1, len(vocab)),
+        ctypes.c_float(float(thresh)),
+        int(mode),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
