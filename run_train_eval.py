@@ -71,9 +71,10 @@ def parse_args():
                    help="Attention heads in the --train_text_tower tower")
     p.add_argument("--remat_tower", action="store_true",
                    help="Rematerialize tower blocks on the backward pass "
-                        "(jax.checkpoint): ~1/3 more tower FLOPs for "
-                        "O(depth*B*L*W) less live HBM — fits deeper "
-                        "towers / longer contexts / larger microbatches")
+                        "(jax.checkpoint): measured 2.4x less live HBM "
+                        "for 1.9x step time at depth-4/L-512 — fits "
+                        "deeper towers and longer contexts (BASELINE.md "
+                        "'Memory levers')")
     p.add_argument("--freeze_gnn", action="store_true",
                    help="Keep the GCN frozen after its degree-recon "
                         "pretrain (the reference's effective semantics); "

@@ -102,10 +102,11 @@ class TrainConfig:
     text_tower_depth: int = 2
     text_tower_heads: int = 12
     # jax.checkpoint each tower block on the backward pass: recompute
-    # the (B, L, 4W) MLP activations instead of storing them — ~1/3 more
-    # tower FLOPs for O(depth*B*L*W) less live HBM. Exact (same dropout
-    # rngs replay); the lever for deep towers / long contexts / large
-    # grad_accum microbatches.
+    # the (B, L, 4W) MLP activations instead of storing them. Measured
+    # (depth 4, L 512, batch 256, bf16, 1x v5-lite): 13.1 -> 5.5 GB temp
+    # HBM (2.40x) for 1.86x step time — see BASELINE.md "Memory levers"
+    # and scripts/bench_memory_levers.py. Exact (same dropout rngs
+    # replay); the lever for deep towers / long contexts.
     remat_tower: bool = False
     save_best: bool = True
     grad_clip: float = 5.0
