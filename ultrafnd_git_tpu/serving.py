@@ -286,6 +286,9 @@ class Predictor:
             frozen_subtrees=(
                 () if saved_cfg.get("train_gnn", True) else ("gnn",)
             ),
+            # fused opt_state is a {count, mu, nu} dict; old checkpoints
+            # (no key) were written by the optax chain
+            fused=bool(saved_cfg.get("fused_adamw", False)),
         )
         return create_train_state(params, tx, key)
 

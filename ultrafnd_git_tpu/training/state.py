@@ -23,9 +23,16 @@ class TrainState:
     opt_state: optax.OptState
     rng: jax.Array
 
-    def apply_gradients(self, grads, tx: optax.GradientTransformation):
-        updates, new_opt = tx.update(grads, self.opt_state, self.params)
-        new_params = optax.apply_updates(self.params, updates)
+    def apply_gradients(self, grads, tx):
+        if hasattr(tx, "apply"):
+            # FusedAdamW (kernels/adamw.py): params are updated INSIDE
+            # the fused pass — the optax updates-tree round trip through
+            # HBM is exactly the traffic the kernel exists to remove
+            new_params, new_opt = tx.apply(self.params, self.opt_state,
+                                           grads)
+        else:
+            updates, new_opt = tx.update(grads, self.opt_state, self.params)
+            new_params = optax.apply_updates(self.params, updates)
         return self.replace(
             step=self.step + 1, params=new_params, opt_state=new_opt
         )
@@ -39,7 +46,8 @@ def make_optimizer(
     lr_decay_every_epochs: int = 3,
     lr_decay_rate: float = 0.7,
     frozen_subtrees: tuple = (),
-) -> optax.GradientTransformation:
+    fused: bool = False,
+):
     """AdamW + global-norm clipping + epoch-staircase LR decay.
 
     Mirrors the reference's AdamW(lr, wd) + StepLR(step_size=3, gamma=0.7)
@@ -50,6 +58,14 @@ def make_optimizer(
     updates are zeroed entirely — matching torch's grad=None semantics
     where AdamW skips the param (no moment update AND no weight decay;
     merely zeroing gradients would still decay the weights).
+
+    `fused=True` returns kernels/adamw.FusedAdamW instead: the same math
+    (bit-identical, tests/test_fused_adamw.py) executed as one Pallas
+    elementwise pass on TPU — XLA's chain streams the ~13M-param state at
+    ~270 GB/s of the chip's ~800, and the update is the flagship step's
+    dominant fixed cost. Checkpoint note: the fused opt_state is a
+    {count, mu, nu} dict, not the optax chain tuple — the trainer records
+    the choice in checkpoint meta and adopts it on resume/eval.
     """
     schedule = optax.exponential_decay(
         init_value=lr,
@@ -57,6 +73,15 @@ def make_optimizer(
         decay_rate=lr_decay_rate,
         staircase=True,
     )
+    if fused:
+        from ultrafnd_git_tpu.kernels.adamw import FusedAdamW
+
+        return FusedAdamW(
+            schedule,
+            weight_decay=weight_decay,
+            grad_clip=grad_clip,
+            frozen_subtrees=tuple(frozen_subtrees),
+        )
     chain = []
     if grad_clip and grad_clip > 0:
         chain.append(optax.clip_by_global_norm(grad_clip))

@@ -159,6 +159,18 @@ class TrainConfig:
     # HBM — microbatch activations are freed between scan slices, only
     # the grad-sum pytree persists.
     grad_accum: int = 1
+    # AdamW as one fused Pallas elementwise pass (kernels/adamw.py)
+    # instead of XLA's optax chain. Bit-identical under jit (asserted,
+    # tests/test_fused_adamw.py). Measured on this 1x v5-lite: PARITY,
+    # not a win (1.10 vs 1.04 ms/update on the 13M-param tree) — the
+    # chip's practical elementwise-stream rate is ~230-260 GB/s
+    # (measured with a bare scale+add pass) and XLA's chain already
+    # sits at it, so default OFF; the kernel is the lever for hardware
+    # where XLA's optimizer fusion is below the streaming ceiling. On
+    # non-TPU backends the same math runs as plain jnp. The fused
+    # opt_state is a {count, mu, nu} dict — recorded in checkpoint meta
+    # and adopted on resume/eval.
+    fused_adamw: bool = False
     # In-step dropout masks via the rbg PRNG instead of threefry: -14%
     # joint tower_512 step time measured (44.7 -> 38.4 ms); see
     # _make_train_step. False = threefry everywhere (bit-exact replays
@@ -219,6 +231,19 @@ class ForensicTrainer:
                     f"train_gnn={saved.get('train_gnn', True)}; adopting it"
                 )
                 cfg.train_gnn = bool(saved.get("train_gnn", True))
+            if saved and bool(
+                saved.get("fused_adamw", False)
+            ) != cfg.fused_adamw:
+                # fused opt_state is a {count, mu, nu} dict, the optax
+                # chain a tuple-of-states — the restore template must
+                # match the slot or the guarded load falls back to fresh
+                # params (old checkpoints lack the key -> optax chain)
+                print(
+                    "note: checkpoint was trained with "
+                    f"fused_adamw={saved.get('fused_adamw', False)}; "
+                    "adopting it"
+                )
+                cfg.fused_adamw = bool(saved.get("fused_adamw", False))
             if saved and saved.get("hash_salt", "") != cfg.hash_salt:
                 # the salt IS the featurization draw — evaluating/resuming
                 # a checkpoint under a different draw silently scores it
@@ -425,6 +450,7 @@ class ForensicTrainer:
         self.tx = make_optimizer(
             cfg.lr, cfg.weight_decay, cfg.grad_clip, steps_per_epoch,
             frozen_subtrees=() if cfg.train_gnn else ("gnn",),
+            fused=cfg.fused_adamw,
         )
         state = create_train_state(params, self.tx, k_state)
         if self.mesh is not None:
