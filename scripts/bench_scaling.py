@@ -48,7 +48,10 @@ def run_one(n_nodes: int, batch: int, iters: int = None) -> dict:
             save_best=False,
             log_metrics_jsonl=False,
         )
+        t_init = time.perf_counter()
         trainer = ForensicTrainer(cfg, cache=cache)
+        init_s = time.perf_counter() - t_init  # dominated by the host
+        # OCR-Jaccard graph build (native/graphops.cpp when available)
         step_fn = trainer._make_train_step()
 
         # corpus is a jit ARGUMENT: a closure over the device arrays would
@@ -82,6 +85,7 @@ def run_one(n_nodes: int, batch: int, iters: int = None) -> dict:
         return {
             "nodes": n_nodes,
             "adjacency_mb": round(n_nodes * n_nodes * 4 / 2**20, 1),
+            "init_s": round(init_s, 2),
             "step_ms": round(step_ms, 3),
             "samples_per_s": round(batch / (step_ms / 1e3), 1),
         }
@@ -95,11 +99,14 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=BATCH)
     args = p.parse_args()
 
-    print(f"{'N':>8} {'adj MB':>8} {'step ms':>9} {'samples/s':>11}")
+    print(
+        f"{'N':>8} {'adj MB':>8} {'init s':>8} {'step ms':>9}"
+        f" {'samples/s':>11}"
+    )
     for n in args.nodes:
         r = run_one(n, args.batch)
         print(
-            f"{r['nodes']:>8} {r['adjacency_mb']:>8} "
+            f"{r['nodes']:>8} {r['adjacency_mb']:>8} {r['init_s']:>8} "
             f"{r['step_ms']:>9} {r['samples_per_s']:>11}"
         )
 

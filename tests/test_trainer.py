@@ -520,3 +520,19 @@ def test_remat_tower_grads_match_plain(fixture_root, tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
         )
+
+
+def test_memory_levers_compose_with_tower(fixture_root, tmp_path):
+    """--train_text_tower + --grad_accum + --remat_tower together (the
+    composed memory story) trains end-to-end and checkpoints."""
+    t = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path, epochs=1, batch_size=8, grad_accum=2,
+            train_text_tower=True, text_tower_depth=1, text_tower_heads=4,
+            remat_tower=True, seed=0,
+        )
+    )
+    best = t.fit()
+    assert np.isfinite(best)
+    res = t.test()
+    assert EXPECTED_KEYS <= set(res)
