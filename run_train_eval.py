@@ -69,6 +69,14 @@ def parse_args():
                    help="Transformer blocks in the --train_text_tower tower")
     p.add_argument("--text_tower_heads", type=int, default=12,
                    help="Attention heads in the --train_text_tower tower")
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="Swap the --train_text_tower MLPs for a switch "
+                        "(top-1) mixture-of-experts FFN with this many "
+                        "experts; Switch aux losses fold into the loss "
+                        "(--moe_aux_weight), expert arrays shard over an "
+                        "'ep' mesh axis (docs/SCALING.md)")
+    p.add_argument("--moe_aux_weight", type=float, default=1e-2,
+                   help="Weight of the Switch load-balance + z aux loss")
     p.add_argument("--remat_tower", action="store_true",
                    help="Rematerialize tower blocks on the backward pass "
                         "(jax.checkpoint): measured 2.4x less live HBM "
@@ -273,6 +281,8 @@ def main():
         train_text_tower=args.train_text_tower,
         text_tower_depth=args.text_tower_depth,
         text_tower_heads=args.text_tower_heads,
+        moe_experts=args.moe_experts,
+        moe_aux_weight=args.moe_aux_weight,
         remat_tower=args.remat_tower,
         train_gnn=not args.freeze_gnn,
     )

@@ -142,3 +142,102 @@ def test_moe_encoder_block_trains():
         sum(jnp.sum(g ** 2) for g in jax.tree.leaves(grads["moe"]["router"]))
     )
     assert rnorm > 0
+
+
+def test_tower_moe_forward_and_grads():
+    """TextTransformer(moe_experts=4): pooled contract intact, aux
+    finite, gradients reach the expert arrays."""
+    from ultrafnd_git_tpu.models.transformer import TextTransformer
+
+    B, L, W = 4, 16, 64
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 500, (B, L)))
+    mask = jnp.ones((B, L), jnp.float32)
+    tower = TextTransformer(
+        width=W, depth=2, heads=4, vocab_size=512, max_len=L,
+        moe_experts=4,
+    )
+    params = tower.init(
+        jax.random.PRNGKey(0), ids, mask, deterministic=True
+    )["params"]
+    pooled, aux = tower.apply(
+        {"params": params}, ids, mask, deterministic=True, return_aux=True
+    )
+    assert pooled.shape == (B, W)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(pooled), axis=-1), 1.0, atol=1e-4
+    )
+    assert np.isfinite(float(aux)) and float(aux) >= 1.0 - 1e-3
+    # without return_aux the plain contract holds (serving path)
+    only = tower.apply({"params": params}, ids, mask, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(only), np.asarray(pooled))
+
+    def loss(p):
+        out, aux = tower.apply(
+            {"params": p}, ids, mask, deterministic=True, return_aux=True
+        )
+        return (out * out).sum() + 1e-2 * aux
+
+    g = jax.grad(loss)(params)
+    gnorm_experts = float(
+        jnp.linalg.norm(g["block0"]["moe"]["w_in"])
+    )
+    assert gnorm_experts > 0.0
+
+
+def test_tower_moe_remat_exact():
+    """remat composes with the MoE blocks (tuple-returning body)."""
+    from ultrafnd_git_tpu.models.transformer import TextTransformer
+
+    B, L, W = 4, 16, 64
+    ids = jnp.asarray(np.random.RandomState(1).randint(1, 500, (B, L)))
+    mask = jnp.ones((B, L), jnp.float32)
+    kw = dict(width=W, depth=1, heads=4, vocab_size=512, max_len=L,
+              moe_experts=2)
+    plain = TextTransformer(**kw)
+    remat = TextTransformer(**kw, remat=True)
+    params = plain.init(
+        jax.random.PRNGKey(0), ids, mask, deterministic=True
+    )["params"]
+    o_p, a_p = plain.apply(
+        {"params": params}, ids, mask, deterministic=True, return_aux=True
+    )
+    o_r, a_r = remat.apply(
+        {"params": params}, ids, mask, deterministic=True, return_aux=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_p), np.asarray(o_r), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(float(a_p), float(a_r), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_trainer_moe_tower_end_to_end(tmp_path):
+    """--train_text_tower --moe_experts trains, checkpoints, and
+    eval-only adopts the MoE architecture from meta."""
+    from pathlib import Path
+
+    from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
+
+    root = str(Path(__file__).resolve().parent / "fixtures" / "fakesv_tiny")
+    cfg = TrainConfig(
+        data_root=root, out_dir=str(tmp_path), batch_size=8, epochs=1,
+        seed=0, train_text_tower=True, text_tower_depth=1,
+        text_tower_heads=4, moe_experts=2,
+    )
+    t = ForensicTrainer(cfg)
+    best = t.fit()
+    assert np.isfinite(best)
+    assert "moe" in t.state.params["text_tower"]["block0"]
+    res = t.test()
+    assert np.isfinite(res["test_loss"])
+
+    # default-flag eval adopts train_text_tower AND moe_experts from meta
+    t2 = ForensicTrainer(
+        TrainConfig(
+            data_root=root, out_dir=str(tmp_path), batch_size=8,
+            epochs=0, seed=0, eval_only=True,
+        )
+    )
+    assert t2.cfg.moe_experts == 2
+    res2 = t2.test()
+    assert abs(res2["test_auc"] - res["test_auc"]) < 1e-9

@@ -165,6 +165,13 @@ class TextTransformer(nn.Module):
     # Numerically exact: same dropout rngs replay in the recompute
     # (asserted by tests/test_text_device_tower.py).
     remat: bool = False
+    # moe_experts > 0 swaps every block's dense MLP for the switch-MoE
+    # FFN (models/moe.py): top-1 routed experts as stacked (E, ...)
+    # arrays whose E axis shards over an 'ep' mesh axis — the
+    # width-scaling growth path. Pass return_aux=True to receive the
+    # Switch aux loss (mean over blocks) alongside the pooled output.
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(
@@ -172,6 +179,7 @@ class TextTransformer(nn.Module):
         ids: jnp.ndarray,
         mask: jnp.ndarray,
         deterministic: bool = True,
+        return_aux: bool = False,
     ) -> jnp.ndarray:
         x = nn.Embed(
             self.vocab_size, self.width, dtype=self.dtype, name="tok_embed"
@@ -184,29 +192,52 @@ class TextTransformer(nn.Module):
         x = x + pos[:, : ids.shape[1]].astype(x.dtype)
         x = nn.LayerNorm(dtype=self.dtype, name="ln_embed")(x)
 
-        block_cls = EncoderBlock
+        use_moe = self.moe_experts > 0
+        if use_moe:
+            # imported lazily: moe.py imports MultiHeadAttention from here
+            from ultrafnd_git_tpu.models.moe import MoEEncoderBlock
+
+            block_cls = MoEEncoderBlock
+        else:
+            block_cls = EncoderBlock
         if self.remat:
             # deterministic is arg 3 (static: it selects the dropout
             # branch at trace time); x/mask stay traced
-            block_cls = nn.remat(EncoderBlock, static_argnums=(3,))
+            block_cls = nn.remat(block_cls, static_argnums=(3,))
+        aux_total = jnp.zeros((), jnp.float32)
         for i in range(self.depth):
-            x = block_cls(
-                self.width,
-                self.heads,
+            kw = dict(
                 dropout=self.dropout,
                 attention_backend=self.attention_backend,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(x, mask, deterministic)
+            )
+            if use_moe:
+                kw.update(
+                    num_experts=self.moe_experts,
+                    capacity_factor=self.moe_capacity_factor,
+                )
+            out = block_cls(self.width, self.heads, **kw)(
+                x, mask, deterministic
+            )
+            if use_moe:
+                x, aux = out
+                aux_total = aux_total + aux
+            else:
+                x = out
 
         x = nn.LayerNorm(name="ln_final")(x)  # final LN + pooling f32
         # mean-pool with mask, L2-normalize (the encode() contract,
         # reference text_blocks.py:69-106)
         m = mask[..., None]
         pooled = (x * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
-        return pooled / (
+        pooled = pooled / (
             jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-9
         )
+        if return_aux:
+            denom = jnp.float32(max(1, self.depth))
+            return pooled, aux_total / denom
+        return pooled
 
 
 class DeviceTextEncoder:
@@ -229,6 +260,7 @@ class DeviceTextEncoder:
         vocab_size: int = 32768,
         seed: int = 0,
         attention_backend: str = "auto",
+        moe_experts: int = 0,
         init_params: bool = True,
     ):
         self.max_len = max_len
@@ -241,6 +273,7 @@ class DeviceTextEncoder:
             vocab_size=vocab_size,
             max_len=max_len,
             attention_backend=attention_backend,
+            moe_experts=moe_experts,
         )
         if init_params:
             ids = jnp.zeros((1, max_len), jnp.int32)
@@ -327,6 +360,7 @@ class DeviceTextEncoder:
             heads=int(saved_cfg.get("text_tower_heads", 12)),
             max_len=int(pos.shape[1]),
             vocab_size=int(embed.shape[0]) or TOWER_VOCAB,
+            moe_experts=int(saved_cfg.get("moe_experts", 0)),
             init_params=False,  # load_params below installs the real ones
         )
         enc.load_params(jax.tree.map(jnp.asarray, tower_params))

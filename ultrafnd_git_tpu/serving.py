@@ -127,6 +127,7 @@ class Predictor:
                 heads=int(saved_cfg.get("text_tower_heads", 12)),
                 vocab_size=TOWER_VOCAB,
                 max_len=self._tower_len,
+                moe_experts=int(saved_cfg.get("moe_experts", 0)),
             )
             import sys
 

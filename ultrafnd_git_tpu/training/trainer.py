@@ -101,6 +101,13 @@ class TrainConfig:
     train_text_tower: bool = False
     text_tower_depth: int = 2
     text_tower_heads: int = 12
+    # moe_experts > 0 swaps the tower's dense MLPs for the switch-MoE
+    # FFN (models/moe.py): top-1 routed experts, Switch aux losses
+    # (load balance + z-loss) folded into the training loss with weight
+    # moe_aux_weight. Expert arrays shard over an 'ep' mesh axis (see
+    # docs/SCALING.md; the driver dryrun executes EP-sharded training).
+    moe_experts: int = 0
+    moe_aux_weight: float = 1e-2
     # jax.checkpoint each tower block on the backward pass: recompute
     # the (B, L, 4W) MLP activations instead of storing them. Measured
     # (depth 4, L 512, batch 256, bf16, 1x v5-lite): 13.1 -> 5.5 GB temp
@@ -221,6 +228,7 @@ class ForensicTrainer:
                 cfg.text_tower_heads = int(
                     saved.get("text_tower_heads", 12)
                 )
+                cfg.moe_experts = int(saved.get("moe_experts", 0))
             if saved and bool(saved.get("train_gnn", True)) != cfg.train_gnn:
                 # the frozen-GNN optimizer wraps the chain in
                 # multi_transform — opt_state structure must match the
@@ -424,6 +432,7 @@ class ForensicTrainer:
                 # frozen) — it gets the same bf16-compute lever
                 dtype=jnp.bfloat16 if cfg.bf16_compute else None,
                 remat=cfg.remat_tower,
+                moe_experts=cfg.moe_experts,
             )
             self.rng, k_t = jax.random.split(self.rng)
             params["text_tower"] = self.text_tower.init(
@@ -586,16 +595,22 @@ class ForensicTrainer:
             rngs_c = {"dropout": k_c}
             rngs_t = {"dropout": k_t}
 
+        moe_aux = None
         if self.text_tower is not None:
             # joint fine-tune: text features come from the trainable
             # on-device tower; gradients flow through it in this step
-            text_feats = self.text_tower.apply(
+            tower_out = self.text_tower.apply(
                 {"params": params["text_tower"]},
                 corpus["text_ids"][idx],
                 corpus["text_mask"][idx],
                 deterministic=deterministic,
                 rngs=rngs_t,
+                return_aux=self.cfg.moe_experts > 0,
             )
+            if self.cfg.moe_experts > 0:
+                text_feats, moe_aux = tower_out
+            else:
+                text_feats = tower_out
         else:
             text_feats = corpus["text"][idx]
 
@@ -640,6 +655,11 @@ class ForensicTrainer:
         ce = optax.softmax_cross_entropy_with_integer_labels(
             co["logits"], corpus["labels"][idx]
         )
+        if moe_aux is not None:
+            # Switch aux (load balance + z) folded per-row: the masked
+            # mean of a constant is the constant, so the loss gains
+            # exactly moe_aux_weight * aux once per step
+            ce = ce + jnp.float32(self.cfg.moe_aux_weight) * moe_aux
         forensic = jnp.stack(
             [
                 fo["forensic"]["semantic_conflict"],
