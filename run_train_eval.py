@@ -52,6 +52,11 @@ def parse_args():
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh size (default: no mesh)")
     p.add_argument("--tp", type=int, default=1, help="Tensor-parallel mesh size")
+    p.add_argument("--sp", type=int, default=1,
+                   help="Sequence-parallel mesh size: ring attention over "
+                        "the --train_text_tower sequence axis (the (L, L) "
+                        "score matrix never materializes; composes with "
+                        "--dp/--tp on one mesh)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 matmul activations with f32 master params "
                         "(single MXU pass; numerics within the bf16 "
@@ -214,6 +219,8 @@ def main():
                 ("--select_metric", args.select_metric != "auc"),
                 ("--auto_salt", bool(args.auto_salt)),
                 ("--grad_accum", args.grad_accum > 1),
+                ("--sp", args.sp > 1),
+                ("--moe_experts", args.moe_experts > 0),
             )
             if on
         ]
@@ -266,6 +273,7 @@ def main():
         save_best=True,
         dp=args.dp,
         tp=args.tp,
+        sp=args.sp,
         shard_corpus=args.shard_corpus,
         shard_graph=args.shard_graph,
         scan_epoch=not args.no_scan_epoch,

@@ -54,7 +54,9 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: multi-second end-to-end/mesh tests; `-m 'not slow'` is the "
-        "fast inner loop (~2 min), the full suite stays the merge gate",
+        "fast inner loop (~2 min warm / ~7 cold on the 1-core bench "
+        "host), the full suite stays the merge gate (slow adds ~10-12 "
+        "min there, compile-dominated; xdist spreads it on multi-core)",
     )
 
 

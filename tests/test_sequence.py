@@ -141,3 +141,36 @@ def test_sp_bf16_compute(tower_and_params):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expect), atol=2e-2, rtol=2e-2
     )
+
+
+@pytest.mark.parametrize("dp,sp", [(2, 4), (4, 2)])
+def test_sp_composes_with_data_axis(tower_and_params, dp, sp):
+    """(data, sp) mesh: batch sharded over 'data', sequence over 'sp' —
+    the trainer's --sp configuration. Must still match the sequential
+    tower at f32 rounding, and grads must flow."""
+    tower, params, ids, mask = tower_and_params
+    mesh = Mesh(
+        np.array(jax.devices("cpu")[: dp * sp]).reshape(dp, sp),
+        ("data", "sp"),
+    )
+    expect = jax.jit(
+        lambda p, i, m: tower.apply({"params": p}, i, m, deterministic=True)
+    )(params, ids, mask)
+    got = jax.jit(
+        lambda p, i, m: sequence_parallel_tower_apply(
+            tower, p, i, m, mesh, batch_axis="data"
+        )
+    )(params, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), atol=2e-5, rtol=1e-4
+    )
+
+    def loss(p):
+        out = sequence_parallel_tower_apply(
+            tower, p, ids, mask, mesh, batch_axis="data"
+        )
+        return jnp.sum(out**2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    gnorm = sum(float(jnp.sum(x**2)) for x in jax.tree.leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0

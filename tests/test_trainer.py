@@ -536,3 +536,42 @@ def test_memory_levers_compose_with_tower(fixture_root, tmp_path):
     assert np.isfinite(best)
     res = t.test()
     assert EXPECTED_KEYS <= set(res)
+
+
+def test_trainer_sp_ring_tower(fixture_root, tmp_path):
+    """--sp: joint tower with ring attention over a (data=2, sp=4) mesh.
+    At init (same seed) the SP eval loss matches the plain tower's at
+    f32-rounding tolerance; one epoch then trains to a finite metric."""
+    kw = dict(
+        epochs=1, batch_size=8, train_text_tower=True, text_tower_depth=1,
+        text_tower_heads=4, seed=0,
+    )
+    plain = ForensicTrainer(_cfg(fixture_root, tmp_path / "p", **kw))
+    sp = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path / "s", dp=2, sp=4,
+            mesh_backend="cpu", **kw
+        )
+    )
+    # identical init (same seed): SP eval == plain eval at f32 rounding
+    l_plain, _ = plain._epoch_loop(plain.va_idx, "val")
+    l_sp, _ = sp._epoch_loop(sp.va_idx, "val")
+    assert abs(l_plain - l_sp) < 1e-3
+    # then the SAME sp trainer trains end-to-end over the (2, 1, 4) mesh
+    best = sp.fit()
+    assert np.isfinite(best)
+    assert EXPECTED_KEYS <= set(sp.test())
+
+
+def test_trainer_sp_validates_flags(fixture_root, tmp_path):
+    with pytest.raises(ValueError, match="train_text_tower"):
+        ForensicTrainer(
+            _cfg(fixture_root, tmp_path / "a", sp=2, mesh_backend="cpu")
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ForensicTrainer(
+            _cfg(
+                fixture_root, tmp_path / "b", sp=2, mesh_backend="cpu",
+                train_text_tower=True, moe_experts=2,
+            )
+        )

@@ -107,6 +107,7 @@ def sequence_parallel_tower_apply(
     mask: jnp.ndarray,
     mesh: Mesh,
     axis: str = "sp",
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """TextTransformer forward with the SEQUENCE axis sharded over
     `mesh[axis]` and attention run as a ring.
@@ -117,6 +118,13 @@ def sequence_parallel_tower_apply(
     axis size. Params stay replicated (the regime this targets is
     long-L activations, not big params — compose with 'pipe'/'model'
     for the latter).
+
+    `batch_axis` composes SP with data parallelism on the SAME mesh:
+    the batch dim of ids/mask/output shards over it (e.g. "data"), so a
+    (data, sp) mesh sequence-shards each data replica's slice instead of
+    redundantly recomputing the full batch per data group. The ring and
+    the pooling psum stay scoped to `axis` alone. This is how the
+    trainer's `--sp` runs (ForensicTrainer._forward).
     """
     from flax import linen as nn
 
@@ -136,6 +144,7 @@ def sequence_parallel_tower_apply(
     pos = params["pos_embed"][:, :L]  # (1, L, W), sharded on L below
 
     def tower_fn(p, ids_loc, mask_loc, pos_loc):
+        b_loc = ids_loc.shape[0]  # LOCAL batch (global/dp when batch_axis)
         # embedding + positional + LN: pointwise over positions
         x = embed.apply({"params": p["tok_embed"]}, ids_loc)
         x = x + pos_loc.astype(x.dtype)
@@ -151,10 +160,10 @@ def sequence_parallel_tower_apply(
             qkv = dense(3 * W).apply({"params": bp["attn"]["qkv"]}, h)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             hf = lambda t: t.reshape(  # noqa: E731
-                B, -1, H, d
+                b_loc, -1, H, d
             ).transpose(0, 2, 1, 3)
             o = _ring_attention_local(hf(q), hf(k), hf(v), kbias, axis)
-            o = o.transpose(0, 2, 1, 3).reshape(B, -1, W)
+            o = o.transpose(0, 2, 1, 3).reshape(b_loc, -1, W)
             o = dense(W).apply({"params": bp["attn"]["out"]}, o)
             x = x + o
 
@@ -176,10 +185,11 @@ def sequence_parallel_tower_apply(
             jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-9
         )
 
+    ba = batch_axis
     sp_tower = shard_map(
         tower_fn,
         mesh=mesh,
-        in_specs=(P(), P(None, axis), P(None, axis), P(None, axis, None)),
-        out_specs=P(),
+        in_specs=(P(), P(ba, axis), P(ba, axis), P(None, axis, None)),
+        out_specs=P(ba),
     )
     return sp_tower(params, ids, mask, pos)

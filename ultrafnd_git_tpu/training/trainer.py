@@ -108,6 +108,14 @@ class TrainConfig:
     # docs/SCALING.md; the driver dryrun executes EP-sharded training).
     moe_experts: int = 0
     moe_aux_weight: float = 1e-2
+    # sp > 1 runs the joint tower with its SEQUENCE axis sharded over an
+    # 'sp' mesh axis as ring attention (parallel/sequence.py): the
+    # (L, L) score matrix never materializes, context length scales
+    # linearly with the ring. Composes with dp/tp on one mesh (batch on
+    # 'data', sequence on 'sp'). The ring tower is deterministic —
+    # tower-internal dropout is skipped under --sp (fusion/classifier
+    # dropout unaffected); tower token length must divide sp.
+    sp: int = 1
     # jax.checkpoint each tower block on the backward pass: recompute
     # the (B, L, 4W) MLP activations instead of storing them. Measured
     # (depth 4, L 512, batch 256, bf16, 1x v5-lite): 13.1 -> 5.5 GB temp
@@ -290,11 +298,25 @@ class ForensicTrainer:
 
         # ---- 2) mesh (optional) ------------------------------------------
         self.mesh = None
-        if cfg.dp is not None or cfg.tp > 1:
+        if cfg.sp > 1:
+            if not cfg.train_text_tower:
+                raise ValueError(
+                    "--sp shards the text tower's sequence axis; it "
+                    "requires --train_text_tower"
+                )
+            if cfg.moe_experts > 0:
+                raise ValueError(
+                    "--sp and --moe_experts are mutually exclusive (the "
+                    "ring-attention tower has a dense MLP body)"
+                )
+        if cfg.dp is not None or cfg.tp > 1 or cfg.sp > 1:
             devices = (
                 jax.devices(cfg.mesh_backend) if cfg.mesh_backend else None
             )
-            self.mesh = meshlib.make_mesh(dp=cfg.dp, tp=cfg.tp, devices=devices)
+            self.mesh = meshlib.make_mesh(
+                dp=cfg.dp, tp=cfg.tp, devices=devices,
+                extra_axes=((("sp", cfg.sp),) if cfg.sp > 1 else ()),
+            )
 
         # ---- 3) device-resident corpus + graph ---------------------------
         # shard_corpus distributes the (N, D) feature rows over the 'data'
@@ -422,6 +444,10 @@ class ForensicTrainer:
             from ultrafnd_git_tpu.models.transformer import TextTransformer
 
             L = int(self.cache["text_ids"].shape[1])
+            if cfg.sp > 1 and L % cfg.sp:
+                raise ValueError(
+                    f"tower token length {L} not divisible by sp={cfg.sp}"
+                )
             self.text_tower = TextTransformer(
                 width=self.text_width,
                 depth=cfg.text_tower_depth,
@@ -596,7 +622,24 @@ class ForensicTrainer:
             rngs_t = {"dropout": k_t}
 
         moe_aux = None
-        if self.text_tower is not None:
+        if self.text_tower is not None and self.cfg.sp > 1:
+            # ring-attention tower: sequence axis sharded over 'sp',
+            # batch over 'data' on the same mesh; deterministic body
+            # (tower dropout skipped — see TrainConfig.sp), grads flow
+            # through the ppermute ring
+            from ultrafnd_git_tpu.parallel.sequence import (
+                sequence_parallel_tower_apply,
+            )
+
+            text_feats = sequence_parallel_tower_apply(
+                self.text_tower,
+                params["text_tower"],
+                corpus["text_ids"][idx],
+                corpus["text_mask"][idx].astype(jnp.float32),
+                self.mesh,
+                batch_axis=meshlib.DATA_AXIS,
+            )
+        elif self.text_tower is not None:
             # joint fine-tune: text features come from the trainable
             # on-device tower; gradients flow through it in this step
             tower_out = self.text_tower.apply(
