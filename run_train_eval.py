@@ -57,6 +57,12 @@ def parse_args():
                         "the --train_text_tower sequence axis (the (L, L) "
                         "score matrix never materializes; composes with "
                         "--dp/--tp on one mesh)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="Pipeline-parallel mesh size: GPipe schedule over "
+                        "the --train_text_tower block stack (depth shards "
+                        "by stage; composes with --dp/--tp)")
+    p.add_argument("--pp_microbatches", type=int, default=None,
+                   help="GPipe microbatches per step (default: --pp)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 matmul activations with f32 master params "
                         "(single MXU pass; numerics within the bf16 "
@@ -220,6 +226,7 @@ def main():
                 ("--auto_salt", bool(args.auto_salt)),
                 ("--grad_accum", args.grad_accum > 1),
                 ("--sp", args.sp > 1),
+                ("--pp", args.pp > 1),
                 ("--moe_experts", args.moe_experts > 0),
             )
             if on
@@ -274,6 +281,8 @@ def main():
         dp=args.dp,
         tp=args.tp,
         sp=args.sp,
+        pp=args.pp,
+        pp_microbatches=args.pp_microbatches,
         shard_corpus=args.shard_corpus,
         shard_graph=args.shard_graph,
         scan_epoch=not args.no_scan_epoch,

@@ -161,3 +161,38 @@ def test_depth_divisibility_checked(tower_and_params):
             lambda p, x, m: block.apply({"params": p}, x, m),
             mesh,
         )
+
+
+@pytest.mark.parametrize("dp,stages", [(2, 4), (4, 2)])
+def test_pipeline_composes_with_data_axis(tower_and_params, dp, stages):
+    """(data, pipe) mesh: within-microbatch batch rows shard over
+    'data', depth over 'pipe' — the trainer's --pp configuration. Must
+    stay bit-identical to the sequential tower, with flowing grads."""
+    import jax.numpy as jnp
+
+    tower, params, ids, mask = tower_and_params
+    mesh = Mesh(
+        np.array(jax.devices("cpu")[: dp * stages]).reshape(dp, stages),
+        ("data", "pipe"),
+    )
+    expect = jax.jit(
+        lambda p, i, m: tower.apply({"params": p}, i, m, deterministic=True)
+    )(params, ids, mask)
+    got = jax.jit(
+        lambda p, i, m: pipelined_tower_apply(
+            tower, p, i, m, mesh, batch_axis="data"
+        )
+    )(params, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), atol=1e-6, rtol=1e-6
+    )
+
+    def loss(p):
+        out = pipelined_tower_apply(
+            tower, p, ids, mask, mesh, batch_axis="data"
+        )
+        return jnp.sum(out**2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    gnorm = sum(float(jnp.sum(x**2)) for x in jax.tree.leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0

@@ -575,3 +575,26 @@ def test_trainer_sp_validates_flags(fixture_root, tmp_path):
                 train_text_tower=True, moe_experts=2,
             )
         )
+
+
+def test_trainer_pp_gpipe_tower(fixture_root, tmp_path):
+    """--pp: joint tower under a GPipe schedule over a (data=2, pipe=2)
+    mesh; init-time eval matches the plain tower (bit-identical math),
+    then trains end-to-end."""
+    kw = dict(
+        epochs=1, batch_size=8, train_text_tower=True, text_tower_depth=2,
+        text_tower_heads=4, seed=0,
+    )
+    plain = ForensicTrainer(_cfg(fixture_root, tmp_path / "p", **kw))
+    pp = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path / "g", dp=2, pp=2,
+            mesh_backend="cpu", **kw
+        )
+    )
+    l_plain, _ = plain._epoch_loop(plain.va_idx, "val")
+    l_pp, _ = pp._epoch_loop(pp.va_idx, "val")
+    assert abs(l_plain - l_pp) < 1e-5
+    best = pp.fit()
+    assert np.isfinite(best)
+    assert EXPECTED_KEYS <= set(pp.test())

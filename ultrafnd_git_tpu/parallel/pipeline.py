@@ -62,6 +62,7 @@ def pipeline_blocks(
     mesh: Mesh,
     axis: str = "pipe",
     microbatches: int | None = None,
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """Run a block stack over `x` with a GPipe pipeline on `mesh[axis]`.
 
@@ -74,6 +75,11 @@ def pipeline_blocks(
         single-block forward (e.g. a bound `EncoderBlock.apply`).
       mesh: mesh containing `axis`.
       microbatches: M (default: the axis size S). B % M == 0.
+      batch_axis: compose with data parallelism on the SAME mesh — the
+        within-microbatch batch dim shards over it (e.g. "data"), so a
+        (data, pipe) mesh pipelines each data replica's slice instead of
+        redundantly recomputing the full batch per data group (the
+        trainer's `--pp` path).
 
     Returns (B, L, width), replicated over `axis` — bit-identical to
     applying the D blocks sequentially.
@@ -150,21 +156,26 @@ def pipeline_blocks(
             out, axis, scatter_dimension=0, tiled=True
         )
 
+    ba = batch_axis
+    if ba is not None and mb % mesh.shape[ba]:
+        raise ValueError(
+            f"microbatch rows {mb} not divisible by {ba}={mesh.shape[ba]}"
+        )
     in_specs = (
         jax.tree.map(lambda _: P(axis), stacked_params),
-        # Microbatch inputs replicated: only stage 0 reads them, but the
-        # alternative (M-sharded inputs + a per-tick gather to stage 0)
-        # trades O(B*L*width) resident bytes for a collective on every
-        # tick. For the target regime — sharding a tower whose PARAMS
-        # outgrow one chip — the activation buffer is second-order.
-        P(),
-        P(),
+        # Microbatch inputs replicated over 'pipe' (only stage 0 reads
+        # them, but the alternative — M-sharded inputs + a per-tick
+        # gather to stage 0 — trades O(B*L*width) resident bytes for a
+        # collective on every tick); the WITHIN-microbatch batch dim
+        # shards over batch_axis when composing with data parallelism.
+        P(None, ba, *([None] * (x.ndim - 2))),
+        P(None, ba, *([None] * (mask.ndim - 2))),
     )
     pipelined = shard_map(
         stage_fn,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=P(axis),  # (M, mb, ...) sharded over stages on M
+        out_specs=P(axis, ba),  # (M, mb, ...): stages on M, data on mb
         # the zero-filled non-last-stage out buffers + reduce-scatter
         # handoff are deliberate; the varying-manual-axes checker
         # rejects the pattern
@@ -182,6 +193,7 @@ def pipelined_tower_apply(
     mesh: Mesh,
     axis: str = "pipe",
     microbatches: int | None = None,
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """TextTransformer forward with the block stack pipelined.
 
@@ -220,7 +232,7 @@ def pipelined_tower_apply(
     blocks = [params[f"block{i}"] for i in range(tower.depth)]
     x = pipeline_blocks(
         stack_block_params(blocks), x, mask, apply_one, mesh,
-        axis=axis, microbatches=microbatches,
+        axis=axis, microbatches=microbatches, batch_axis=batch_axis,
     )
 
     # final LN + pooling, formulas bit-identical to the tower tail

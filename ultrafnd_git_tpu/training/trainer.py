@@ -116,6 +116,13 @@ class TrainConfig:
     # tower-internal dropout is skipped under --sp (fusion/classifier
     # dropout unaffected); tower token length must divide sp.
     sp: int = 1
+    # pp > 1 runs the joint tower's block stack under a GPipe pipeline
+    # over a 'pipe' mesh axis (parallel/pipeline.py): depth shards by
+    # stage, activations hop stage->stage via ppermute, the batch stays
+    # sharded on 'data'. Same deterministic-body note as sp; tower depth
+    # must divide pp; pp_microbatches defaults to pp.
+    pp: int = 1
+    pp_microbatches: Optional[int] = None
     # jax.checkpoint each tower block on the backward pass: recompute
     # the (B, L, 4W) MLP activations instead of storing them. Measured
     # (depth 4, L 512, batch 256, bf16, 1x v5-lite): 13.1 -> 5.5 GB temp
@@ -298,24 +305,40 @@ class ForensicTrainer:
 
         # ---- 2) mesh (optional) ------------------------------------------
         self.mesh = None
-        if cfg.sp > 1:
-            if not cfg.train_text_tower:
-                raise ValueError(
-                    "--sp shards the text tower's sequence axis; it "
-                    "requires --train_text_tower"
-                )
-            if cfg.moe_experts > 0:
-                raise ValueError(
-                    "--sp and --moe_experts are mutually exclusive (the "
-                    "ring-attention tower has a dense MLP body)"
-                )
-        if cfg.dp is not None or cfg.tp > 1 or cfg.sp > 1:
+        for flag, val in (("--sp", cfg.sp), ("--pp", cfg.pp)):
+            if val > 1:
+                if not cfg.train_text_tower:
+                    raise ValueError(
+                        f"{flag} transforms the text tower; it requires "
+                        "--train_text_tower"
+                    )
+                if cfg.moe_experts > 0:
+                    raise ValueError(
+                        f"{flag} and --moe_experts are mutually exclusive "
+                        "(the transformed tower has a dense MLP body)"
+                    )
+        if cfg.sp > 1 and cfg.pp > 1:
+            raise ValueError(
+                "--sp and --pp are mutually exclusive (one tower "
+                "transform at a time; they compose with --dp/--tp)"
+            )
+        if cfg.pp > 1 and cfg.text_tower_depth % cfg.pp:
+            raise ValueError(
+                f"tower depth {cfg.text_tower_depth} not divisible by "
+                f"pp={cfg.pp}"
+            )
+        if cfg.dp is not None or cfg.tp > 1 or cfg.sp > 1 or cfg.pp > 1:
             devices = (
                 jax.devices(cfg.mesh_backend) if cfg.mesh_backend else None
             )
+            extra = []
+            if cfg.sp > 1:
+                extra.append(("sp", cfg.sp))
+            if cfg.pp > 1:
+                extra.append(("pipe", cfg.pp))
             self.mesh = meshlib.make_mesh(
                 dp=cfg.dp, tp=cfg.tp, devices=devices,
-                extra_axes=((("sp", cfg.sp),) if cfg.sp > 1 else ()),
+                extra_axes=tuple(extra),
             )
 
         # ---- 3) device-resident corpus + graph ---------------------------
@@ -637,6 +660,23 @@ class ForensicTrainer:
                 corpus["text_ids"][idx],
                 corpus["text_mask"][idx].astype(jnp.float32),
                 self.mesh,
+                batch_axis=meshlib.DATA_AXIS,
+            )
+        elif self.text_tower is not None and self.cfg.pp > 1:
+            # GPipe tower: depth sharded by stage over 'pipe', batch on
+            # 'data'; deterministic body (tower dropout skipped, see
+            # TrainConfig.pp), grads flow through the schedule
+            from ultrafnd_git_tpu.parallel.pipeline import (
+                pipelined_tower_apply,
+            )
+
+            text_feats = pipelined_tower_apply(
+                self.text_tower,
+                params["text_tower"],
+                corpus["text_ids"][idx],
+                corpus["text_mask"][idx].astype(jnp.float32),
+                self.mesh,
+                microbatches=self.cfg.pp_microbatches,
                 batch_axis=meshlib.DATA_AXIS,
             )
         elif self.text_tower is not None:
