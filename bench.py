@@ -28,6 +28,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -358,6 +359,37 @@ def main() -> None:
         except Exception:
             pass
 
+        # native graph builder vs numpy incidence matmul (one-time host
+        # cost of trainer init; see BASELINE.md "Native OCR-Jaccard")
+        graph_build = None
+        try:
+            import importlib
+
+            from ultrafnd_git_tpu import native as native_mod
+
+            J = importlib.import_module("ultrafnd_git_tpu.ops.jaccard")
+            gsets = synthetic_cache(5376)["ocr_sets"]
+            if native_mod.get_graph_lib() is not None:
+                t0 = time.perf_counter()
+                a_nat = J.build_adj_from_ocr(gsets, 0.12)
+                t_nat = time.perf_counter() - t0
+                os.environ["ULTRAFND_NATIVE"] = "0"
+                native_mod.reset()
+                t0 = time.perf_counter()
+                a_np = J.build_adj_from_ocr(gsets, 0.12)
+                t_np = time.perf_counter() - t0
+                os.environ.pop("ULTRAFND_NATIVE", None)
+                native_mod.reset()
+                graph_build = {
+                    "n": 5376,
+                    "native_s": round(t_nat, 3),
+                    "numpy_s": round(t_np, 2),
+                    "speedup": round(t_np / max(t_nat, 1e-9), 1),
+                    "identical": bool(np.array_equal(a_nat, a_np)),
+                }
+        except Exception:
+            pass
+
         print(
             json.dumps(
                 {
@@ -376,6 +408,11 @@ def main() -> None:
                     "batch_scaling": scaling,
                     "tower_512": tower,
                     "v1_feature_ms_per_sample": v1_ms_per_sample,
+                    **(
+                        {"graph_build_5376": graph_build}
+                        if graph_build
+                        else {}
+                    ),
                     "backend": jax.default_backend(),
                     **(
                         {"backend_note": platform_note}
