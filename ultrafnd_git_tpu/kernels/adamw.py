@@ -92,6 +92,10 @@ def _leaf_update(p, m, v, g, scal, interpret: bool):
     0.70x vs XLA (sublane-starved), the 2D view wins.
     """
     shape = p.shape
+    if p.dtype != jnp.float32:
+        # the kernel's out_shapes are f32 (master-param regime); any
+        # exotic leaf dtype takes the identical jnp math instead
+        return _jnp_leaf_update(p, m, v, g, scal)
     if p.ndim >= 2:
         rows = shape[0]
         trail = int(np.prod(shape[1:]))
