@@ -241,3 +241,14 @@ def test_trainer_moe_tower_end_to_end(tmp_path):
     assert t2.cfg.moe_experts == 2
     res2 = t2.test()
     assert abs(res2["test_auc"] - res["test_auc"]) < 1e-9
+
+    # serving rebuilds the MoE tower from meta (serving.py threads
+    # moe_experts into the restore template + featurizer tower)
+    from ultrafnd_git_tpu.serving import Predictor
+
+    pred = Predictor(str(tmp_path), batch_size=4)
+    out = pred.predict(
+        [{"video_id": "q1", "title": "外星人 入侵 地球", "ocr": "危险",
+          "comments": ["转发"]}]
+    )
+    assert len(out) == 1 and 0.0 <= out[0]["prob_fake"] <= 1.0
