@@ -90,7 +90,8 @@ class TestKernelNumerics:
 
 
 class TestKernelGradients:
-    def test_custom_vjp_matches_reference_grads(self):
+    @pytest.mark.parametrize("bwd", ["xla", "pallas"])
+    def test_custom_vjp_matches_reference_grads(self, bwd):
         q, k, v = _qkv(5)
         mask = jnp.ones((B, S))
         bias = padding_bias(mask)
@@ -98,7 +99,7 @@ class TestKernelGradients:
         def loss_ours(q, k, v):
             return jnp.sum(
                 flash_attention(q, k, v, bias=bias, backend="interpret",
-                                mm_dtype=jnp.float32) ** 2
+                                mm_dtype=jnp.float32, bwd=bwd) ** 2
             )
 
         def loss_ref(q, k, v):
@@ -108,6 +109,81 @@ class TestKernelGradients:
         g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g_ours, g_ref):
             np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-4)
+
+    def test_pallas_bwd_with_padding_mask_and_dbias(self):
+        # grads wrt q/k/v AND bias under a real padding mask: the flash
+        # backward must agree with the closed-form reference at f32
+        q, k, v = _qkv(10)
+        mask = jnp.asarray(
+            np.repeat([[1.0] * 96 + [0.0] * (S - 96)], B, axis=0)
+        )
+        bias = padding_bias(mask)
+
+        def loss(fn):
+            def _l(q, k, v, bias):
+                return jnp.sum(fn(q, k, v, bias) ** 2)
+
+            return _l
+
+        ours = loss(
+            lambda q, k, v, b: flash_attention(
+                q, k, v, bias=b, backend="interpret",
+                mm_dtype=jnp.float32, bwd="pallas",
+            )
+        )
+        ref = loss(reference_attention)
+        g_ours = jax.grad(ours, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_ref = jax.grad(ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b in zip(g_ours, g_ref):
+            np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-4)
+        # padded keys receive zero dk/dv (their probability is exp(-1e9))
+        np.testing.assert_allclose(
+            np.asarray(g_ours[1])[:, :, 96:], 0.0, atol=1e-6
+        )
+
+    def test_pallas_bwd_tiling_and_heads_blocking_equivalence(self):
+        q, k, v = _qkv(11)
+        bias = padding_bias(jnp.ones((B, S)))
+
+        def grads(block_q, block_h):
+            def _l(q, k, v):
+                return jnp.sum(
+                    flash_attention(
+                        q, k, v, bias=bias, backend="interpret",
+                        mm_dtype=jnp.float32, bwd="pallas",
+                        block_q=block_q, block_h=block_h,
+                    ) ** 2
+                )
+
+            return jax.grad(_l, argnums=(0, 1, 2))(q, k, v)
+
+        base = grads(S, 1)
+        tiled = grads(32, 4)
+        for a, b in zip(base, tiled):
+            np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+    def test_pallas_bwd_bf16_within_envelope(self):
+        # default mm_dtype=bfloat16 backward sits in the bf16 envelope
+        q, k, v = _qkv(12)
+        bias = padding_bias(jnp.ones((B, S)))
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+
+        g_fast = jax.grad(
+            loss(
+                lambda q, k, v: flash_attention(
+                    q, k, v, bias=bias, backend="interpret", bwd="pallas"
+                )
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        g_ref = jax.grad(
+            loss(lambda q, k, v: reference_attention(q, k, v, bias=bias)),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g_fast, g_ref):
+            np.testing.assert_allclose(a, b, atol=5e-2, rtol=5e-2)
 
 
 class TestTextTransformer:
