@@ -80,6 +80,13 @@ def parse_args():
                    help="Transformer blocks in the --train_text_tower tower")
     p.add_argument("--text_tower_heads", type=int, default=12,
                    help="Attention heads in the --train_text_tower tower")
+    p.add_argument("--tower_gelu", choices=("tanh", "exact"),
+                   default="tanh",
+                   help="Tower MLP activation: tanh-approx GELU (default; "
+                        "fuses into the TPU matmul pipeline) or exact erf "
+                        "(measured +2.6 ms/step at the tower_512 protocol). "
+                        "Recorded in checkpoint meta and adopted on "
+                        "restore, so eval/serving always match training")
     p.add_argument("--moe_experts", type=int, default=0,
                    help="Swap the --train_text_tower MLPs for a switch "
                         "(top-1) mixture-of-experts FFN with this many "
@@ -298,6 +305,7 @@ def main():
         train_text_tower=args.train_text_tower,
         text_tower_depth=args.text_tower_depth,
         text_tower_heads=args.text_tower_heads,
+        tower_gelu=args.tower_gelu,
         moe_experts=args.moe_experts,
         moe_aux_weight=args.moe_aux_weight,
         remat_tower=args.remat_tower,

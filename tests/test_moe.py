@@ -37,7 +37,10 @@ def test_single_expert_equals_dense_ffn():
     b_in = params["b_in"][0, 0]
     w_out = params["w_out"][0]
     b_out = params["b_out"][0, 0]
-    h = nn.gelu(x.reshape(-1, W) @ w_in + b_in, approximate=False)
+    # MoEFFN's default activation is the tanh-approx GELU (see
+    # transformer.EncoderBlock.gelu); gelu="exact" is tested implicitly
+    # by the tower restore tests
+    h = nn.gelu(x.reshape(-1, W) @ w_in + b_in, approximate=True)
     expect = (h @ w_out + b_out).reshape(B, S, W)
     # gate prob is softmax over one logit == 1.0, so outputs match
     np.testing.assert_allclose(

@@ -1,4 +1,6 @@
 """Device-tower rung of the text-encoder ladder."""
+import os
+
 import numpy as np
 import pytest
 
@@ -123,3 +125,78 @@ def test_remat_tower_is_exact():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
         )
+
+
+def test_tower_gelu_variants():
+    """tanh vs exact GELU share params/structure but differ numerically;
+    the field threads through EncoderBlock to the actual activation."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultrafnd_git_tpu.models.transformer import TextTransformer
+
+    kw = dict(width=32, depth=1, heads=4, vocab_size=64, max_len=8)
+    ids = jnp.arange(16, dtype=jnp.int32).reshape(2, 8) % 63 + 1
+    mask = jnp.ones((2, 8), jnp.float32)
+
+    tanh = TextTransformer(**kw, gelu="tanh")
+    exact = TextTransformer(**kw, gelu="exact")
+    params = tanh.init(
+        jax.random.PRNGKey(0), ids, mask, deterministic=True
+    )["params"]
+    o_t = np.asarray(
+        tanh.apply({"params": params}, ids, mask, deterministic=True)
+    )
+    o_e = np.asarray(
+        exact.apply({"params": params}, ids, mask, deterministic=True)
+    )
+    assert not np.array_equal(o_t, o_e)  # field actually switches the op
+    np.testing.assert_allclose(o_t, o_e, atol=5e-2)  # same function family
+
+
+@pytest.mark.slow
+def test_tower_gelu_recorded_and_adopted(tower_ckpt, tmp_path):
+    """Checkpoint meta records tower_gelu; metas that predate the field
+    restore as exact-erf (the activation those towers were trained
+    with), both via from_checkpoint and via trainer adoption."""
+    import json
+    import shutil
+
+    from ultrafnd_git_tpu.models.transformer import DeviceTextEncoder
+    from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
+
+    # new checkpoints record the production default and restore it
+    meta_p = os.path.join(tower_ckpt["out"], "best", "meta.json")
+    with open(meta_p, "r", encoding="utf-8") as fh:
+        assert fh.read().find('"tower_gelu": "tanh"') >= 0
+    enc = DeviceTextEncoder.from_checkpoint(tower_ckpt["out"])
+    assert enc.module.gelu == "tanh"
+
+    # a meta WITHOUT the field (pre-field checkpoint) restores exact
+    legacy = tmp_path / "legacy_ckpt"
+    shutil.copytree(tower_ckpt["out"], legacy)
+    lp = legacy / "best" / "meta.json"
+    with open(lp, "r", encoding="utf-8") as fh:
+        meta = json.load(fh)
+    meta["cfg"].pop("tower_gelu", None)
+    with open(lp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    enc_legacy = DeviceTextEncoder.from_checkpoint(str(legacy))
+    assert enc_legacy.module.gelu == "exact"
+
+    # trainer-side adoption: eval_only on the legacy dir flips the
+    # config from the tanh default to the trained exact activation
+    cfg = TrainConfig(
+        data_root=str(legacy),  # unused for adoption; cache comes below
+        out_dir=str(legacy),
+        eval_only=True,
+        batch_size=8,
+        epochs=0,
+    )
+    # only the __init__ adoption block is under test — skip the heavy
+    # construction by reading the adopted field right after mutation
+    try:
+        ForensicTrainer(cfg)
+    except Exception:
+        pass  # data_root isn't a real corpus; adoption ran first
+    assert cfg.tower_gelu == "exact"

@@ -46,6 +46,7 @@ class MoEFFN(nn.Module):
     mlp_ratio: int = 4
     capacity_factor: float = 1.25
     dtype: object = None  # bf16-compute lever (params/router stay f32)
+    gelu: str = "tanh"  # see transformer.EncoderBlock.gelu
 
     @nn.compact
     def __call__(
@@ -101,7 +102,8 @@ class MoEFFN(nn.Module):
             "tec,td->ecd", dispatch.astype(cdtype), xt.astype(cdtype)
         )  # (E, C, W) — under ep-sharded specs this IS the all_to_all
         h = jnp.einsum("ecd,edf->ecf", xe, w_in.astype(cdtype))
-        h = nn.gelu(h + b_in.astype(cdtype), approximate=False)
+        h = nn.gelu(h + b_in.astype(cdtype),
+                    approximate=self.gelu != "exact")
         ye = jnp.einsum("ecf,efd->ecd", h, w_out.astype(cdtype))
         ye = ye + b_out.astype(cdtype)
         yt = jnp.einsum(
@@ -131,6 +133,7 @@ class MoEEncoderBlock(nn.Module):
     dropout: float = 0.1
     attention_backend: str = "auto"
     dtype: object = None
+    gelu: str = "tanh"  # see transformer.EncoderBlock.gelu
 
     @nn.compact
     def __call__(
@@ -154,6 +157,7 @@ class MoEEncoderBlock(nn.Module):
             mlp_ratio=self.mlp_ratio,
             capacity_factor=self.capacity_factor,
             dtype=self.dtype,
+            gelu=self.gelu,
             name="moe",
         )(h)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)

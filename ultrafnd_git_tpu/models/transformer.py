@@ -124,6 +124,14 @@ class EncoderBlock(nn.Module):
     dropout: float = 0.1
     attention_backend: str = "auto"
     dtype: object = None
+    # MLP activation: "tanh" (default) or "exact". The tanh-approx GELU
+    # fuses into the surrounding matmul pipeline on TPU while the exact
+    # erf form costs a measured 2.6 ms/step at the tower_512 protocol
+    # (BASELINE.md round-3 op ablation); this tower is our own
+    # architecture (hash-tokenized), so the approximation is a free
+    # design choice — checkpoints record it and restores adopt it, with
+    # "exact" assumed for metas that predate the field.
+    gelu: str = "tanh"
 
     @nn.compact
     def __call__(
@@ -140,7 +148,7 @@ class EncoderBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(self.mlp_ratio * self.width, dtype=self.dtype,
                      name="mlp_in")(h)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=self.gelu != "exact")
         h = nn.Dense(self.width, dtype=self.dtype, name="mlp_out")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return x + h
@@ -172,6 +180,8 @@ class TextTransformer(nn.Module):
     # Switch aux loss (mean over blocks) alongside the pooled output.
     moe_experts: int = 0
     moe_capacity_factor: float = 1.25
+    # MLP activation — see EncoderBlock.gelu
+    gelu: str = "tanh"
 
     @nn.compact
     def __call__(
@@ -210,6 +220,7 @@ class TextTransformer(nn.Module):
                 dropout=self.dropout,
                 attention_backend=self.attention_backend,
                 dtype=self.dtype,
+                gelu=self.gelu,
                 name=f"block{i}",
             )
             if use_moe:
@@ -262,6 +273,7 @@ class DeviceTextEncoder:
         attention_backend: str = "auto",
         moe_experts: int = 0,
         init_params: bool = True,
+        gelu: str = "tanh",
     ):
         self.max_len = max_len
         self.vocab_size = vocab_size
@@ -274,6 +286,7 @@ class DeviceTextEncoder:
             max_len=max_len,
             attention_backend=attention_backend,
             moe_experts=moe_experts,
+            gelu=gelu,
         )
         if init_params:
             ids = jnp.zeros((1, max_len), jnp.int32)
@@ -362,6 +375,8 @@ class DeviceTextEncoder:
             vocab_size=int(embed.shape[0]) or TOWER_VOCAB,
             moe_experts=int(saved_cfg.get("moe_experts", 0)),
             init_params=False,  # load_params below installs the real ones
+            # metas that predate the field were trained exact-erf
+            gelu=str(saved_cfg.get("tower_gelu", "exact")),
         )
         enc.load_params(jax.tree.map(jnp.asarray, tower_params))
         # Tokenize with the hash draw the tower was TRAINED under (token

@@ -172,7 +172,9 @@ def sequence_parallel_tower_apply(
             h = dense(getattr(tower, "mlp_ratio", 4) * W).apply(
                 {"params": bp["mlp_in"]}, h
             )
-            h = nn.gelu(h, approximate=False)
+            h = nn.gelu(
+                h, approximate=getattr(tower, "gelu", "tanh") != "exact"
+            )
             h = dense(W).apply({"params": bp["mlp_out"]}, h)
             x = x + h
 

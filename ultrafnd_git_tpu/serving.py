@@ -128,6 +128,8 @@ class Predictor:
                 vocab_size=TOWER_VOCAB,
                 max_len=self._tower_len,
                 moe_experts=int(saved_cfg.get("moe_experts", 0)),
+                # metas that predate the field were trained exact-erf
+                gelu=str(saved_cfg.get("tower_gelu", "exact")),
             )
             import sys
 

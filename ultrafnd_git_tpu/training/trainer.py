@@ -101,6 +101,12 @@ class TrainConfig:
     train_text_tower: bool = False
     text_tower_depth: int = 2
     text_tower_heads: int = 12
+    # Tower MLP activation: "tanh" (default — fuses into the matmul
+    # pipeline; exact erf measured +2.6 ms/step at tower_512 bf16, see
+    # BASELINE.md round-3 op ablation) or "exact". Recorded in checkpoint
+    # meta; restores adopt the trained value ("exact" when the meta
+    # predates the field, so old checkpoints score bit-identically).
+    tower_gelu: str = "tanh"
     # moe_experts > 0 swaps the tower's dense MLPs for the switch-MoE
     # FFN (models/moe.py): top-1 routed experts, Switch aux losses
     # (load balance + z-loss) folded into the training loss with weight
@@ -244,6 +250,17 @@ class ForensicTrainer:
                     saved.get("text_tower_heads", 12)
                 )
                 cfg.moe_experts = int(saved.get("moe_experts", 0))
+            if saved.get("train_text_tower"):
+                # activation is part of the trained function — adopt it
+                # even when --train_text_tower was passed explicitly
+                # ("exact" for metas that predate the field)
+                saved_gelu = str(saved.get("tower_gelu", "exact"))
+                if saved_gelu != cfg.tower_gelu:
+                    print(
+                        "note: checkpoint tower was trained with "
+                        f"tower_gelu={saved_gelu}; adopting it"
+                    )
+                    cfg.tower_gelu = saved_gelu
             if saved and bool(saved.get("train_gnn", True)) != cfg.train_gnn:
                 # the frozen-GNN optimizer wraps the chain in
                 # multi_transform — opt_state structure must match the
@@ -482,6 +499,7 @@ class ForensicTrainer:
                 dtype=jnp.bfloat16 if cfg.bf16_compute else None,
                 remat=cfg.remat_tower,
                 moe_experts=cfg.moe_experts,
+                gelu=cfg.tower_gelu,
             )
             self.rng, k_t = jax.random.split(self.rng)
             params["text_tower"] = self.text_tower.init(
