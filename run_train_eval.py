@@ -78,8 +78,10 @@ def parse_args():
                         "(gradients flow through the tower in-step)")
     p.add_argument("--text_tower_depth", type=int, default=2,
                    help="Transformer blocks in the --train_text_tower tower")
-    p.add_argument("--text_tower_heads", type=int, default=12,
-                   help="Attention heads in the --train_text_tower tower")
+    p.add_argument("--text_tower_heads", type=int, default=6,
+                   help="Attention heads in the --train_text_tower tower "
+                        "(default 6x128-dim: measured 2x cheaper than "
+                        "BERT's 12x64 at S=64, identical FLOPs)")
     p.add_argument("--tower_gelu", choices=("tanh", "exact"),
                    default="tanh",
                    help="Tower MLP activation: tanh-approx GELU (default; "

@@ -159,7 +159,9 @@ class TextTransformer(nn.Module):
 
     width: int = 768
     depth: int = 4
-    heads: int = 12
+    # 6x128 heads, not 12x64 — lane-width head dim, see
+    # TrainConfig.text_tower_heads (BASELINE.md round-3 measurement)
+    heads: int = 6
     vocab_size: int = 32768
     max_len: int = 256
     dropout: float = 0.1
@@ -266,7 +268,7 @@ class DeviceTextEncoder:
         self,
         dim: int = 768,
         depth: int = 4,
-        heads: int = 12,
+        heads: int = 6,
         max_len: int = 256,
         vocab_size: int = 32768,
         seed: int = 0,

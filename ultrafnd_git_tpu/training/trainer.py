@@ -100,7 +100,13 @@ class TrainConfig:
     # host encoders -> cached features) could never do.
     train_text_tower: bool = False
     text_tower_depth: int = 2
-    text_tower_heads: int = 12
+    # 6 heads x 128-dim, not BERT's 12 x 64: at the tower's S=64 the
+    # (S, S) attention matmuls are batched 64^3 dots whose cost halves
+    # when the head dim fills the chip's 128-wide lanes — measured
+    # fwd+bwd 2.46 ms/block at 6x128 vs 4.29 at 12x64, identical FLOPs
+    # (BASELINE.md round-3). Checkpoints record the value; restores
+    # adopt it, so old 12-head towers keep serving unchanged.
+    text_tower_heads: int = 6
     # Tower MLP activation: "tanh" (default — fuses into the matmul
     # pipeline; exact erf measured +2.6 ms/step at tower_512 bf16, see
     # BASELINE.md round-3 op ablation) or "exact". Recorded in checkpoint
