@@ -33,6 +33,15 @@ def main() -> None:
                          "traffic — see ops/quant.py)")
     ap.add_argument("--verbose", action="store_true",
                     help="Log one line per HTTP request")
+    ap.add_argument("--batch_window_ms", type=float, default=4.0,
+                    help="Dynamic-batching window: concurrent /predict "
+                         "requests arriving within it coalesce into ONE "
+                         "device dispatch (exact — scoring is "
+                         "row-independent). Negative disables coalescing; "
+                         "0 still coalesces whatever queued while the "
+                         "device was busy")
+    ap.add_argument("--max_batch", type=int, default=4096,
+                    help="Max coalesced records per dispatch")
     args = ap.parse_args()
 
     if args.cpu:
@@ -51,7 +60,14 @@ def main() -> None:
         quantize=args.quantize,
     )
     server = make_server(
-        predictor, host=args.host, port=args.port, quiet=not args.verbose
+        predictor,
+        host=args.host,
+        port=args.port,
+        quiet=not args.verbose,
+        batch_window_ms=(
+            None if args.batch_window_ms < 0 else args.batch_window_ms
+        ),
+        max_batch=args.max_batch,
     )
     host, port = server.server_address[:2]
     print(f"serving {args.out_dir} on http://{host}:{port} "
@@ -61,6 +77,9 @@ def main() -> None:
     except KeyboardInterrupt:
         print("\nshutting down")
         server.shutdown()
+    finally:
+        if server.batcher is not None:
+            server.batcher.close()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,117 @@
+"""DynamicBatcher unit tests (stub predictor — no model, quick)."""
+import threading
+import time
+
+import pytest
+
+from ultrafnd_git_tpu.server import DynamicBatcher
+
+
+class StubPredictor:
+    """Echoes record ids; records every dispatch it receives."""
+
+    def __init__(self, fail_on=None, delay_s=0.0):
+        self.calls = []
+        self.fail_on = fail_on
+        self.delay_s = delay_s
+
+    def predict(self, records):
+        self.calls.append([r["id"] for r in records])
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        if self.fail_on is not None and any(
+            r["id"] == self.fail_on for r in records
+        ):
+            raise RuntimeError(f"boom on {self.fail_on}")
+        return [{"id": r["id"], "prob_fake": 0.5} for r in records]
+
+
+def _make(pred, **kw):
+    return DynamicBatcher(pred, threading.Lock(), **kw)
+
+
+def test_concurrent_submits_coalesce_and_split_exactly():
+    pred = StubPredictor()
+    b = _make(pred, window_ms=150.0)
+    try:
+        out = [None] * 6
+
+        def call(i):
+            out[i] = b.submit([{"id": f"a{i}"}, {"id": f"b{i}"}])
+
+        ts = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        # every caller got ITS two rows back, in order
+        for i in range(6):
+            assert [r["id"] for r in out[i]] == [f"a{i}", f"b{i}"]
+        # coalesced: strictly fewer dispatches than submits
+        assert 1 <= len(pred.calls) < 6
+        assert sum(len(c) for c in pred.calls) == 12  # nothing lost/dup'd
+    finally:
+        b.close()
+
+
+def test_max_batch_splits_dispatches():
+    pred = StubPredictor()
+    b = _make(pred, window_ms=100.0, max_batch=3)
+    try:
+        out = [None] * 4
+
+        def call(i):
+            out[i] = b.submit([{"id": f"x{i}0"}, {"id": f"x{i}1"}])
+
+        ts = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        for i in range(4):
+            assert [r["id"] for r in out[i]] == [f"x{i}0", f"x{i}1"]
+        # 8 records at max_batch=3 (entries never split) -> >= 3 calls,
+        # each carrying at most one whole 2-record entry over the cap
+        assert len(pred.calls) >= 3
+        assert all(len(c) <= 3 for c in pred.calls)
+    finally:
+        b.close()
+
+
+def test_error_fans_out_to_all_waiters_and_batcher_survives():
+    pred = StubPredictor(fail_on="bad", delay_s=0.0)
+    b = _make(pred, window_ms=150.0)
+    try:
+        errs = [None, None]
+
+        def call(i, rid):
+            try:
+                b.submit([{"id": rid}])
+            except RuntimeError as e:
+                errs[i] = str(e)
+
+        ts = [
+            threading.Thread(target=call, args=(0, "bad")),
+            threading.Thread(target=call, args=(1, "good")),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        # if they coalesced, both see the error; either way the bad one does
+        assert errs[0] and "boom" in errs[0]
+        # batcher still serves after a failed dispatch
+        ok = b.submit([{"id": "after"}])
+        assert ok[0]["id"] == "after"
+    finally:
+        b.close()
+
+
+def test_empty_submit_and_close():
+    pred = StubPredictor()
+    b = _make(pred, window_ms=0.0)
+    assert b.submit([]) == []
+    assert pred.calls == []  # no dispatch for an empty request
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.submit([{"id": "late"}])

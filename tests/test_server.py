@@ -41,11 +41,18 @@ def live_server(fixture_data_root, tmp_path_factory):
         log_metrics_jsonl=False,
     )
     ForensicTrainer(cfg).fit()
-    server = make_server(Predictor(str(out), batch_size=4), port=0)
+    predictor = Predictor(str(out), batch_size=4)
+    server = make_server(predictor, port=0)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
-    yield f"http://127.0.0.1:{server.server_address[1]}"
+    yield {
+        "url": f"http://127.0.0.1:{server.server_address[1]}",
+        "server": server,
+        "predictor": predictor,
+    }
     server.shutdown()
+    if server.batcher is not None:
+        server.batcher.close()
     thread.join(timeout=5)
 
 
@@ -63,6 +70,7 @@ def _post(url: str, payload: dict) -> tuple:
 
 
 def test_healthz(live_server):
+    live_server = live_server["url"]
     with urllib.request.urlopen(f"{live_server}/healthz", timeout=30) as r:
         body = json.loads(r.read())
     assert r.status == 200
@@ -71,6 +79,7 @@ def test_healthz(live_server):
 
 
 def test_predict_endpoint_matches_library(live_server):
+    live_server = live_server["url"]
     status, body = _post(f"{live_server}/predict", {"records": RECORDS})
     assert status == 200
     preds = body["predictions"]
@@ -81,6 +90,7 @@ def test_predict_endpoint_matches_library(live_server):
 
 
 def test_explain_endpoint(live_server):
+    live_server = live_server["url"]
     status, body = _post(
         f"{live_server}/explain",
         {"records": RECORDS[:1], "method": "grad", "top_k": 2},
@@ -92,6 +102,7 @@ def test_explain_endpoint(live_server):
 
 
 def test_error_paths_stay_up(live_server):
+    live_server = live_server["url"]
     # malformed JSON
     req = urllib.request.Request(
         f"{live_server}/predict", data=b"not json{",
@@ -142,3 +153,73 @@ def test_error_paths_stay_up(live_server):
         body = json.loads(r.read())
     assert body["status"] == "ok"
     assert body["requests"] >= 2
+
+
+def test_dynamic_batching_exact_and_coalesced(live_server):
+    """Concurrent 1-record /predict requests coalesce into one device
+    dispatch AND every caller gets exactly the rows it would have gotten
+    alone (scoring is row-independent — server.py module docstring)."""
+    from ultrafnd_git_tpu.server import make_server as _mk
+
+    predictor = live_server["predictor"]
+    # distinct records so a row swap between callers would be visible
+    recs = [
+        {
+            "video_id": f"r{i}",
+            "title": f"警告 危险 外星 入侵 {i}",
+            "ocr": f"飞船 出现 逃离 {i}",
+            "comments": [f"c{i}"],
+        }
+        for i in range(8)
+    ]
+    # wide window so all 8 concurrent requests deterministically coalesce
+    server = _mk(predictor, port=0, batch_window_ms=300.0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        results = [None] * len(recs)
+
+        def call(i):
+            status, body = _post(f"{url}/predict", {"records": [recs[i]]})
+            results[i] = (status, body)
+
+        threads = [
+            threading.Thread(target=call, args=(i,))
+            for i in range(len(recs))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+
+        direct = predictor.predict(recs)  # the single-caller truth
+        for i, (status, body) in enumerate(results):
+            assert status == 200
+            [p] = body["predictions"]
+            assert p["id"] == f"r{i}"  # no row swaps across callers
+            assert p["prob_fake"] == direct[i]["prob_fake"]  # exact
+        # 8 requests, far fewer dispatches (usually 1; >1 only if a
+        # request arrived after the first window closed)
+        assert server.batcher.batches < len(recs)
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        thread.join(timeout=5)
+
+
+def test_batching_disabled_still_serves(live_server):
+    """batch_window_ms=None keeps the direct per-request lock path."""
+    from ultrafnd_git_tpu.server import make_server as _mk
+
+    server = _mk(live_server["predictor"], port=0, batch_window_ms=None)
+    assert server.batcher is None
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        status, body = _post(f"{url}/predict", {"records": RECORDS[:1]})
+        assert status == 200 and len(body["predictions"]) == 1
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)

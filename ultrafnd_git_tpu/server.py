@@ -13,12 +13,20 @@ serving path (`serving.Predictor`) deployable:
 Records use `data_complete.json` semantics (title/ocr/comments/...).
 
 Design notes:
-  * ThreadingHTTPServer accepts concurrent connections, but scoring is
-    serialized behind one lock: the Predictor's jitted programs and
+  * ThreadingHTTPServer accepts concurrent connections; device work is
+    serialized behind one lock (the Predictor's jitted programs and
     featurize prefetch pool are single-pipeline by design, and the
-    1-request-at-a-time contract bounds device memory. Throughput comes
-    from batching records per request (the Predictor's backend-aware
-    chunking), not from concurrent small requests.
+    1-pipeline contract bounds device memory).
+  * Concurrent /predict requests coalesce through a DynamicBatcher:
+    requests arriving within a small window score as ONE
+    Predictor.predict call. Scoring is row-independent (each record
+    attaches to the TRAINING corpus inductively — serving.py
+    `_new_node_rows` — never to other records in the batch), so
+    coalescing is exact: predict(a + b) == predict(a) + predict(b)
+    row for row (asserted by tests/test_server.py). On a
+    high-dispatch-latency link (the tunneled TPU pays ~90 ms per
+    device call) this turns N concurrent 1-record requests from N
+    round trips into one.
   * errors return JSON {"error": ...} with 4xx/5xx — malformed input
     never takes the server down.
 """
@@ -26,12 +34,132 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 from ultrafnd_git_tpu.serving import Predictor
 
 MAX_BODY_BYTES = 64 * 1024 * 1024  # one request can carry many records
+
+
+class _BatchEntry:
+    __slots__ = ("records", "event", "result", "error")
+
+    def __init__(self, records: List[dict]):
+        self.records = records
+        self.event = threading.Event()
+        self.result: Optional[List[dict]] = None
+        self.error: Optional[BaseException] = None
+
+
+class DynamicBatcher:
+    """Coalesce concurrent predict() calls into one device dispatch.
+
+    A worker thread drains a queue: on arrival of the first waiting
+    request it keeps collecting for up to `window_ms` (or until
+    `max_batch` records), then runs ONE `Predictor.predict` over the
+    concatenated records and fans the rows back out per caller.
+    Exactness relies on row-independent scoring (see module docstring).
+
+    `window_ms=0` still coalesces whatever is queued while the device
+    is busy (natural batching), it just never waits for more.
+    """
+
+    def __init__(
+        self,
+        predictor: Predictor,
+        lock: threading.Lock,
+        max_batch: int = 4096,
+        window_ms: float = 4.0,
+    ):
+        self.predictor = predictor
+        self.lock = lock  # shared with /explain (one device pipeline)
+        self.max_batch = int(max_batch)
+        self.window_s = max(0.0, float(window_ms)) / 1e3
+        self.batches = 0  # dispatches actually issued (stats/tests)
+        self._cv = threading.Condition()
+        self._queue: List[_BatchEntry] = []
+        self._stop = False
+        self._worker = threading.Thread(
+            target=self._run, name="dynamic-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, records: List[dict]) -> List[dict]:
+        """Blocking: enqueue, wait for the coalesced dispatch, return
+        this request's rows (or re-raise its scoring error)."""
+        if not records:
+            return []
+        entry = _BatchEntry(records)
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("batcher is closed")
+            self._queue.append(entry)
+            self._cv.notify_all()
+        entry.event.wait()
+        if entry.error is not None:
+            raise entry.error
+        return entry.result
+
+    def close(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._worker.join(timeout=5.0)
+
+    # ------------------------------------------------------------------
+    def _take_batch(self) -> List[_BatchEntry]:
+        """Wait for work, apply the window, drain up to max_batch rows."""
+        with self._cv:
+            while not self._queue and not self._stop:
+                self._cv.wait()
+            if self._stop and not self._queue:
+                return []
+            deadline = time.monotonic() + self.window_s
+            while not self._stop:
+                queued = sum(len(e.records) for e in self._queue)
+                remaining = deadline - time.monotonic()
+                if queued >= self.max_batch or remaining <= 0:
+                    break
+                self._cv.wait(timeout=remaining)
+            batch: List[_BatchEntry] = []
+            total = 0
+            while self._queue:
+                # always take at least one entry, even if oversized —
+                # the Predictor chunks internally anyway
+                if batch and total + len(self._queue[0].records) > (
+                    self.max_batch
+                ):
+                    break
+                e = self._queue.pop(0)
+                batch.append(e)
+                total += len(e.records)
+            return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return  # closed and drained
+            flat: List[dict] = []
+            for e in batch:
+                flat.extend(e.records)
+            try:
+                with self.lock:
+                    preds = self.predictor.predict(flat)
+                self.batches += 1
+                off = 0
+                for e in batch:
+                    e.result = preds[off:off + len(e.records)]
+                    off += len(e.records)
+            except BaseException as exc:  # noqa: BLE001 — fan the error out
+                for e in batch:
+                    e.error = exc
+            finally:
+                for e in batch:
+                    e.event.set()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -39,6 +167,8 @@ class _Handler(BaseHTTPRequestHandler):
     predictor: Predictor
     lock: threading.Lock
     stats: Dict[str, Any]
+    stats_lock: threading.Lock
+    batcher: Optional[DynamicBatcher] = None
     quiet: bool = True
 
     # ------------------------------------------------------------------
@@ -121,17 +251,21 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply(400, {"error": f"bad explain params: {exc}"})
                 return
         try:
-            with self.lock:
-                if self.path == "/predict":
-                    preds = self.predictor.predict(records)
-                else:
-                    preds = self.predictor.explain(
-                        records,
-                        method=payload.get("method", "grad"),
-                        top_k=top_k,
-                        n_coalitions=n_coalitions,
-                        background_size=background_size,
-                    )
+            if self.path == "/predict" and self.batcher is not None:
+                preds = self.batcher.submit(records)
+            else:
+                with self.lock:
+                    if self.path == "/predict":
+                        preds = self.predictor.predict(records)
+                    else:
+                        preds = self.predictor.explain(
+                            records,
+                            method=payload.get("method", "grad"),
+                            top_k=top_k,
+                            n_coalitions=n_coalitions,
+                            background_size=background_size,
+                        )
+            with self.stats_lock:
                 self.stats["requests"] += 1
                 self.stats["records"] += len(preds)
         except ValueError as exc:  # bad method/params
@@ -148,21 +282,43 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 8080,
     quiet: bool = True,
+    batch_window_ms: Optional[float] = 4.0,
+    max_batch: int = 4096,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server bound to (host, port).
 
     Call `.serve_forever()` (blocking) or run it in a thread;
     `.shutdown()` stops it. Port 0 binds an ephemeral port
     (`server.server_address[1]` reports it) — used by the tests.
+
+    `batch_window_ms`: dynamic-batching window for /predict — concurrent
+    requests arriving within it score as one device dispatch (exact; see
+    module docstring). `None` disables coalescing entirely (each request
+    dispatches under the lock, the pre-round-3 behavior); 0 coalesces
+    only what queued while the device was busy. The server's `.batcher`
+    attribute exposes the dispatcher (`.batches` counts real dispatches;
+    call `.close()` on teardown — scripts/serve.py and the tests do).
     """
+    lock = threading.Lock()
+    batcher = (
+        None
+        if batch_window_ms is None
+        else DynamicBatcher(
+            predictor, lock, max_batch=max_batch, window_ms=batch_window_ms
+        )
+    )
     handler = type(
         "BoundHandler",
         (_Handler,),
         {
             "predictor": predictor,
-            "lock": threading.Lock(),
+            "lock": lock,
             "stats": {"requests": 0, "records": 0},
+            "stats_lock": threading.Lock(),
+            "batcher": batcher,
             "quiet": quiet,
         },
     )
-    return ThreadingHTTPServer((host, port), handler)
+    srv = ThreadingHTTPServer((host, port), handler)
+    srv.batcher = batcher  # teardown hook for owners
+    return srv
