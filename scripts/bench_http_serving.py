@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""HTTP serving throughput under concurrent single-record clients.
+
+Measures the dynamic-batching win (ultrafnd_git_tpu/server.py
+DynamicBatcher): N client threads each fire sequential 1-record
+POST /predict calls; with coalescing OFF every record pays a full
+device dispatch (~90 ms on the tunneled chip), with it ON concurrent
+arrivals share one.
+
+  python scripts/bench_http_serving.py --out_dir /tmp/v_out \
+      --clients 16 --requests 8 [--cpu]
+
+Prints one line per window setting: records/s + dispatches issued.
+"""
+import argparse
+import json
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def _post(url: str, payload: dict, timeout: float = 300.0) -> dict:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out_dir", required=True)
+    ap.add_argument("--clients", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=8,
+                    help="sequential 1-record requests per client")
+    ap.add_argument("--windows", default="-1,5",
+                    help="comma list of batch_window_ms values "
+                         "(-1 = coalescing disabled)")
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ultrafnd_git_tpu.server import make_server
+    from ultrafnd_git_tpu.serving import Predictor
+
+    predictor = Predictor(args.out_dir, batch_size=args.batch_size)
+
+    records = [
+        {
+            "video_id": f"bench{i}",
+            "title": f"警告 危险 外星 入侵 信号 {i}",
+            "ocr": f"飞船 出现 逃离 城市 {i}",
+            "comments": [f"评论 {i}"],
+        }
+        for i in range(args.clients)
+    ]
+
+    for w in (float(x) for x in args.windows.split(",")):
+        window = None if w < 0 else w
+        server = make_server(
+            predictor, port=0, batch_window_ms=window, quiet=True
+        )
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}/predict"
+        try:
+            _post(url, {"records": records[:1]})  # warm (compile)
+
+            def client(i):
+                for _ in range(args.requests):
+                    _post(url, {"records": [records[i]]})
+
+            ts = [
+                threading.Thread(target=client, args=(i,))
+                for i in range(args.clients)
+            ]
+            t0 = time.perf_counter()
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            dt = time.perf_counter() - t0
+            n = args.clients * args.requests
+            dispatches = (
+                server.batcher.batches if server.batcher is not None
+                else n
+            )
+            label = "off" if window is None else f"{window:g}ms"
+            print(
+                f"window={label:5s} {n} records in {dt:6.2f}s = "
+                f"{n/dt:7.1f} records/s  ({dispatches} dispatches)",
+                flush=True,
+            )
+        finally:
+            server.shutdown()
+            if server.batcher is not None:
+                server.batcher.close()
+            thread.join(timeout=5)
+
+
+if __name__ == "__main__":
+    main()

@@ -319,6 +319,12 @@ def make_server(
             "quiet": quiet,
         },
     )
-    srv = ThreadingHTTPServer((host, port), handler)
+    class _Server(ThreadingHTTPServer):
+        # stdlib default backlog is 5: a burst of concurrent clients
+        # (exactly what dynamic batching is FOR) gets connection resets
+        # before a handler thread ever sees them
+        request_queue_size = 128
+
+    srv = _Server((host, port), handler)
     srv.batcher = batcher  # teardown hook for owners
     return srv

@@ -64,6 +64,15 @@ class Predictor:
         the weight-rounding envelope (|d prob| ~ 1e-2 on the fixture).
         Composes with bf16 (dequantizes straight to bf16). explain()
         attributions always use the full-precision weights."""
+        from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
+
+        # serving entry points (scripts/serve.py, scripts/predict.py,
+        # library embedders) must reuse compiled executables across
+        # process restarts like the train CLI does — without this every
+        # dispatch-chunk bucket recompiles over the tunnel (tens of
+        # seconds each) on every cold start
+        enable_persistent_cache()
+
         self.out_dir = Path(out_dir)
         self.batch_size = int(batch_size)
         self.bf16 = bool(bf16)
