@@ -78,6 +78,10 @@ def main() -> None:
         url = f"http://127.0.0.1:{server.server_address[1]}/predict"
         try:
             _post(url, {"records": records[:1]})  # warm (compile)
+            warm_batches = (
+                server.batcher.batches if server.batcher is not None
+                else 0
+            )
 
             def client(i):
                 for _ in range(args.requests):
@@ -95,7 +99,8 @@ def main() -> None:
             dt = time.perf_counter() - t0
             n = args.clients * args.requests
             dispatches = (
-                server.batcher.batches if server.batcher is not None
+                server.batcher.batches - warm_batches
+                if server.batcher is not None
                 else n
             )
             label = "off" if window is None else f"{window:g}ms"

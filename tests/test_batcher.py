@@ -78,15 +78,18 @@ def test_max_batch_splits_dispatches():
         b.close()
 
 
-def test_error_fans_out_to_all_waiters_and_batcher_survives():
+def test_error_isolated_to_offending_caller():
+    """A failing record in a coalesced batch must not fail the innocent
+    callers sharing its window: the batcher retries each entry alone."""
     pred = StubPredictor(fail_on="bad", delay_s=0.0)
     b = _make(pred, window_ms=150.0)
     try:
         errs = [None, None]
+        oks = [None, None]
 
         def call(i, rid):
             try:
-                b.submit([{"id": rid}])
+                oks[i] = b.submit([{"id": rid}])
             except RuntimeError as e:
                 errs[i] = str(e)
 
@@ -98,8 +101,9 @@ def test_error_fans_out_to_all_waiters_and_batcher_survives():
             t.start()
         for t in ts:
             t.join(timeout=30)
-        # if they coalesced, both see the error; either way the bad one does
-        assert errs[0] and "boom" in errs[0]
+        assert errs[0] and "boom" in errs[0]  # offender gets ITS error
+        assert errs[1] is None  # innocent caller unharmed
+        assert oks[1] and oks[1][0]["id"] == "good"
         # batcher still serves after a failed dispatch
         ok = b.submit([{"id": "after"}])
         assert ok[0]["id"] == "after"

@@ -179,8 +179,10 @@ def test_dynamic_batching_exact_and_coalesced(live_server):
     url = f"http://127.0.0.1:{server.server_address[1]}"
     try:
         results = [None] * len(recs)
+        barrier = threading.Barrier(len(recs))
 
         def call(i):
+            barrier.wait(timeout=60)  # release all clients together
             status, body = _post(f"{url}/predict", {"records": [recs[i]]})
             results[i] = (status, body)
 
@@ -194,11 +196,19 @@ def test_dynamic_batching_exact_and_coalesced(live_server):
             t.join(timeout=180)
 
         direct = predictor.predict(recs)  # the single-caller truth
+        one_dispatch = server.batcher.batches == 1
         for i, (status, body) in enumerate(results):
             assert status == 200
             [p] = body["predictions"]
             assert p["id"] == f"r{i}"  # no row swaps across callers
-            assert p["prob_fake"] == direct[i]["prob_fake"]  # exact
+            if one_dispatch:
+                # same bucket shape as the direct call -> bitwise equal
+                assert p["prob_fake"] == direct[i]["prob_fake"]
+            else:
+                # a straggler split the window: different power-of-two
+                # bucket pads may reassociate reductions — same row
+                # values within float tolerance
+                assert abs(p["prob_fake"] - direct[i]["prob_fake"]) < 1e-5
         # 8 requests, far fewer dispatches (usually 1; >1 only if a
         # request arrived after the first window closed)
         assert server.batcher.batches < len(recs)

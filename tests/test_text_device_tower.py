@@ -200,3 +200,9 @@ def test_tower_gelu_recorded_and_adopted(tower_ckpt, tmp_path):
     except Exception:
         pass  # data_root isn't a real corpus; adoption ran first
     assert cfg.tower_gelu == "exact"
+    # architecture fields adopt too — heads is the silent one (attention
+    # params are shape-identical for any head count, so a mismatched
+    # restore would compute with the wrong head partition); the fixture
+    # checkpoint trained depth=1/heads=4 vs the 2/6 defaults
+    assert cfg.text_tower_depth == 1
+    assert cfg.text_tower_heads == 4

@@ -212,7 +212,7 @@ def pipelined_tower_apply(
         dropout=tower.dropout,
         attention_backend=tower.attention_backend,
         dtype=tower.dtype,
-        gelu=getattr(tower, "gelu", "tanh"),
+        gelu=tower.gelu,
     )
 
     def apply_one(p, x, m):

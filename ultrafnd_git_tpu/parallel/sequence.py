@@ -172,9 +172,7 @@ def sequence_parallel_tower_apply(
             h = dense(getattr(tower, "mlp_ratio", 4) * W).apply(
                 {"params": bp["mlp_in"]}, h
             )
-            h = nn.gelu(
-                h, approximate=getattr(tower, "gelu", "tanh") != "exact"
-            )
+            h = nn.gelu(h, approximate=tower.gelu != "exact")
             h = dense(W).apply({"params": bp["mlp_out"]}, h)
             x = x + h
 

@@ -44,13 +44,14 @@ MAX_BODY_BYTES = 64 * 1024 * 1024  # one request can carry many records
 
 
 class _BatchEntry:
-    __slots__ = ("records", "event", "result", "error")
+    __slots__ = ("records", "event", "result", "error", "arrival")
 
     def __init__(self, records: List[dict]):
         self.records = records
         self.event = threading.Event()
         self.result: Optional[List[dict]] = None
         self.error: Optional[BaseException] = None
+        self.arrival = time.monotonic()
 
 
 class DynamicBatcher:
@@ -117,7 +118,10 @@ class DynamicBatcher:
                 self._cv.wait()
             if self._stop and not self._queue:
                 return []
-            deadline = time.monotonic() + self.window_s
+            # the window runs from the OLDEST queued entry's arrival,
+            # not from when this worker woke up — requests that aged in
+            # the queue during the previous dispatch go out immediately
+            deadline = self._queue[0].arrival + self.window_s
             while not self._stop:
                 queued = sum(len(e.records) for e in self._queue)
                 remaining = deadline - time.monotonic()
@@ -154,9 +158,22 @@ class DynamicBatcher:
                 for e in batch:
                     e.result = preds[off:off + len(e.records)]
                     off += len(e.records)
-            except BaseException as exc:  # noqa: BLE001 — fan the error out
-                for e in batch:
-                    e.error = exc
+            except BaseException as exc:  # noqa: BLE001
+                if len(batch) == 1:
+                    batch[0].error = exc
+                else:
+                    # one malformed request must not 500 the innocent
+                    # callers sharing its window — retry each entry
+                    # alone so every caller gets ITS OWN outcome
+                    for e in batch:
+                        try:
+                            with self.lock:
+                                e.result = self.predictor.predict(
+                                    e.records
+                                )
+                            self.batches += 1
+                        except BaseException as solo:  # noqa: BLE001
+                            e.error = solo
             finally:
                 for e in batch:
                     e.event.set()
@@ -300,13 +317,6 @@ def make_server(
     call `.close()` on teardown — scripts/serve.py and the tests do).
     """
     lock = threading.Lock()
-    batcher = (
-        None
-        if batch_window_ms is None
-        else DynamicBatcher(
-            predictor, lock, max_batch=max_batch, window_ms=batch_window_ms
-        )
-    )
     handler = type(
         "BoundHandler",
         (_Handler,),
@@ -315,16 +325,27 @@ def make_server(
             "lock": lock,
             "stats": {"requests": 0, "records": 0},
             "stats_lock": threading.Lock(),
-            "batcher": batcher,
+            "batcher": None,
             "quiet": quiet,
         },
     )
+
     class _Server(ThreadingHTTPServer):
         # stdlib default backlog is 5: a burst of concurrent clients
         # (exactly what dynamic batching is FOR) gets connection resets
         # before a handler thread ever sees them
         request_queue_size = 128
 
+    # bind FIRST: a port-in-use failure must not leak a live batcher
+    # worker thread (it would hold the Predictor forever)
     srv = _Server((host, port), handler)
+    batcher = (
+        None
+        if batch_window_ms is None
+        else DynamicBatcher(
+            predictor, lock, max_batch=max_batch, window_ms=batch_window_ms
+        )
+    )
+    handler.batcher = batcher
     srv.batcher = batcher  # teardown hook for owners
     return srv

@@ -249,17 +249,28 @@ class ForensicTrainer:
                     "--train_text_tower; adopting it"
                 )
                 cfg.train_text_tower = True
-                cfg.text_tower_depth = int(
-                    saved.get("text_tower_depth", 2)
-                )
-                cfg.text_tower_heads = int(
-                    saved.get("text_tower_heads", 12)
-                )
-                cfg.moe_experts = int(saved.get("moe_experts", 0))
             if saved.get("train_text_tower"):
-                # activation is part of the trained function — adopt it
-                # even when --train_text_tower was passed explicitly
-                # ("exact" for metas that predate the field)
+                # The tower ARCHITECTURE is part of the trained function
+                # — adopt it even when --train_text_tower was passed
+                # explicitly. heads is the silent one: attention params
+                # (qkv/out Dense) are shape-identical for ANY head
+                # count, so a mismatched restore would succeed and
+                # compute attention with the wrong head partition (a
+                # depth mismatch at least fails the guarded restore
+                # loudly). gelu defaults to "exact" for metas that
+                # predate the field.
+                for field, default in (
+                    ("text_tower_depth", 2),
+                    ("text_tower_heads", 12),
+                    ("moe_experts", 0),
+                ):
+                    saved_v = int(saved.get(field, default))
+                    if saved_v != getattr(cfg, field):
+                        print(
+                            f"note: checkpoint tower was trained with "
+                            f"{field}={saved_v}; adopting it"
+                        )
+                        setattr(cfg, field, saved_v)
                 saved_gelu = str(saved.get("tower_gelu", "exact"))
                 if saved_gelu != cfg.tower_gelu:
                     print(
@@ -488,6 +499,15 @@ class ForensicTrainer:
         if cfg.train_text_tower:
             from ultrafnd_git_tpu.data.cache import TOWER_VOCAB
             from ultrafnd_git_tpu.models.transformer import TextTransformer
+
+            if cfg.tower_gelu not in ("tanh", "exact"):
+                # validated HERE (after checkpoint adoption) so a typo'd
+                # flag or a hand-edited meta errors instead of silently
+                # training tanh via the `!= "exact"` comparison
+                raise ValueError(
+                    "tower_gelu must be 'tanh' or 'exact', got "
+                    f"{cfg.tower_gelu!r}"
+                )
 
             L = int(self.cache["text_ids"].shape[1])
             if cfg.sp > 1 and L % cfg.sp:
