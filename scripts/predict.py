@@ -40,8 +40,13 @@ def load_records(path: Path) -> list:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="ultrafnd_git_tpu — predict")
-    ap.add_argument("--out_dir", required=True,
+    ap.add_argument("--out_dir", default=None,
                     help="Trained output dir (best checkpoint + cache)")
+    ap.add_argument("--artifact", default=None,
+                    help="AOT serving artifact dir (scripts/"
+                         "export_serving.py) — scores from frozen "
+                         "StableHLO, no checkpoint/model code needed; "
+                         "mutually exclusive with --out_dir")
     ap.add_argument("--input", required=True,
                     help="JSON array or JSONL of records")
     ap.add_argument("--output", default=None,
@@ -73,15 +78,27 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from ultrafnd_git_tpu.serving import Predictor
+    if bool(args.out_dir) == bool(args.artifact):
+        ap.error("pass exactly one of --out_dir / --artifact")
+    if args.artifact:
+        if args.explain:
+            ap.error("--explain needs the full-precision modules; use "
+                     "--out_dir (see export_serving.ExportedPredictor)")
+        from ultrafnd_git_tpu.export_serving import ExportedPredictor
 
-    predictor = Predictor(
-        args.out_dir,
-        batch_size=args.batch_size,
-        checkpoint_name=args.checkpoint,
-        bf16=args.bf16,
-        quantize=args.quantize,
-    )
+        predictor = ExportedPredictor(
+            args.artifact, batch_size=args.batch_size
+        )
+    else:
+        from ultrafnd_git_tpu.serving import Predictor
+
+        predictor = Predictor(
+            args.out_dir,
+            batch_size=args.batch_size,
+            checkpoint_name=args.checkpoint,
+            bf16=args.bf16,
+            quantize=args.quantize,
+        )
     records = load_records(Path(args.input))
     if args.explain:
         results = predictor.explain(

@@ -18,8 +18,13 @@ if str(REPO) not in sys.path:
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="ultrafnd_git_tpu — HTTP serving")
-    ap.add_argument("--out_dir", required=True,
+    ap.add_argument("--out_dir", default=None,
                     help="Trained output dir (best checkpoint + cache)")
+    ap.add_argument("--artifact", default=None,
+                    help="AOT serving artifact dir (scripts/"
+                         "export_serving.py) — serves frozen StableHLO; "
+                         "/explain is unavailable in this mode; mutually "
+                         "exclusive with --out_dir")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--batch_size", type=int, default=64)
@@ -49,16 +54,27 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from ultrafnd_git_tpu.server import make_server
-    from ultrafnd_git_tpu.serving import Predictor
+    if bool(args.out_dir) == bool(args.artifact):
+        ap.error("pass exactly one of --out_dir / --artifact")
 
-    predictor = Predictor(
-        args.out_dir,
-        batch_size=args.batch_size,
-        checkpoint_name=args.checkpoint,
-        bf16=args.bf16,
-        quantize=args.quantize,
-    )
+    from ultrafnd_git_tpu.server import make_server
+
+    if args.artifact:
+        from ultrafnd_git_tpu.export_serving import ExportedPredictor
+
+        predictor = ExportedPredictor(
+            args.artifact, batch_size=args.batch_size
+        )
+    else:
+        from ultrafnd_git_tpu.serving import Predictor
+
+        predictor = Predictor(
+            args.out_dir,
+            batch_size=args.batch_size,
+            checkpoint_name=args.checkpoint,
+            bf16=args.bf16,
+            quantize=args.quantize,
+        )
     server = make_server(
         predictor,
         host=args.host,
@@ -70,7 +86,7 @@ def main() -> None:
         max_batch=args.max_batch,
     )
     host, port = server.server_address[:2]
-    print(f"serving {args.out_dir} on http://{host}:{port} "
+    print(f"serving {args.out_dir or args.artifact} on http://{host}:{port} "
           "(POST /predict, POST /explain, GET /healthz)", flush=True)
     try:
         server.serve_forever()

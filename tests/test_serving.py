@@ -174,3 +174,121 @@ def test_multi_chunk_fallback_ids_stay_request_global(trained_out_dir):
     pool = predictor._featurize_pool_obj
     predictor.predict(recs[:2])
     assert predictor._featurize_pool_obj is pool
+
+
+# ---------------------------------------------------------------------------
+# AOT serving artifacts (export_serving.py): jax.export'ed scoring program
+
+
+def test_exported_artifact_matches_live_predictor(trained_out_dir, tmp_path):
+    """export -> ExportedPredictor scores bit-identically to the live
+    Predictor (same backend, same program — the artifact is the SAME
+    StableHLO the live scorer traces), including across chunk-padding
+    (odd record counts) and fallback-id plumbing."""
+    from ultrafnd_git_tpu.export_serving import (
+        ExportedPredictor,
+        export_artifact,
+    )
+
+    live = Predictor(trained_out_dir, batch_size=4)
+    art = tmp_path / "artifact"
+    export_artifact(live, str(art), platforms=("cpu",))
+    assert (art / "scorer.jaxexport").exists()
+    assert (art / "arrays.npz").exists()
+
+    served = ExportedPredictor(str(art), batch_size=4)
+    recs = [FAKE_REC, REAL_REC] + [
+        {"title": "普通 新闻 报道", "ocr": "今天 天气", "comments": []}
+    ]  # 3 records -> bucket pad on the 4-row ladder
+    got = served.predict(recs)
+    want = live.predict(recs)
+    assert [r["id"] for r in got] == [r["id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["label"] == w["label"]
+        for k in ("prob_fake", "semantic_conflict", "temporal_delay",
+                  "emotion_intensity"):
+            np.testing.assert_allclose(g[k], w[k], atol=1e-6, err_msg=k)
+
+
+def test_exported_artifact_is_standalone(trained_out_dir, tmp_path):
+    """The artifact serves WITHOUT the out_dir: no checkpoint restore, no
+    feature-cache npz, no Flax module build. (Loaded from a copy in a
+    directory where nothing else exists.)"""
+    import shutil
+
+    from ultrafnd_git_tpu.export_serving import (
+        ExportedPredictor,
+        export_artifact,
+    )
+
+    live = Predictor(trained_out_dir, batch_size=4)
+    art = tmp_path / "a"
+    export_artifact(live, str(art), platforms=("cpu",))
+    moved = tmp_path / "elsewhere" / "artifact"
+    moved.parent.mkdir()
+    shutil.copytree(art, moved)
+
+    served = ExportedPredictor(str(moved))
+    out = served.predict([FAKE_REC])
+    assert out[0]["id"] == "q_fake"
+    assert 0.0 <= out[0]["prob_fake"] <= 1.0
+    # explain needs the full-precision modules — loud, not wrong
+    with pytest.raises(NotImplementedError):
+        served.explain([FAKE_REC])
+
+
+def test_exported_artifact_platform_guard(trained_out_dir, tmp_path):
+    """Loading an artifact lowered for a platform this process doesn't
+    run on fails loudly at construction, not at first dispatch."""
+    from ultrafnd_git_tpu.export_serving import (
+        ExportedPredictor,
+        export_artifact,
+    )
+
+    live = Predictor(trained_out_dir, batch_size=4)
+    art = tmp_path / "tpu_only"
+    export_artifact(live, str(art), platforms=("tpu",))
+    with pytest.raises(ValueError, match="lowered for"):
+        ExportedPredictor(str(art))
+
+
+def test_exported_quantized_artifact(trained_out_dir, tmp_path):
+    """int8 serving weights export as int8 (the artifact stays small) and
+    the in-program dequantize reproduces the live quantized scores."""
+    from ultrafnd_git_tpu.export_serving import (
+        ExportedPredictor,
+        export_artifact,
+    )
+
+    live = Predictor(trained_out_dir, batch_size=4, quantize=True)
+    art = tmp_path / "q"
+    export_artifact(live, str(art), platforms=("cpu",))
+    z = np.load(art / "arrays.npz")
+    int8_keys = [k for k in z.files if z[k].dtype == np.int8]
+    assert int8_keys, "quantized kernels must serialize as int8"
+
+    served = ExportedPredictor(str(art), batch_size=4)
+    got = served.predict([FAKE_REC, REAL_REC])
+    want = live.predict([FAKE_REC, REAL_REC])
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g["prob_fake"], w["prob_fake"], atol=1e-6)
+
+
+def test_exported_tower_artifact(tower_ckpt, tmp_path):
+    """A --train_text_tower checkpoint exports with the tower INSIDE the
+    frozen program (token ids in, text features computed on device) and
+    matches the live tower predictor."""
+    from ultrafnd_git_tpu.export_serving import (
+        ExportedPredictor,
+        export_artifact,
+    )
+
+    live = Predictor(tower_ckpt["out"], batch_size=4)
+    art = tmp_path / "tower"
+    export_artifact(live, str(art), platforms=("cpu",))
+    served = ExportedPredictor(str(art), batch_size=4)
+    assert served.text_tower is not None  # featurize emits token ids
+    got = served.predict([FAKE_REC, REAL_REC])
+    want = live.predict([FAKE_REC, REAL_REC])
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g["prob_fake"], w["prob_fake"], atol=1e-6)
