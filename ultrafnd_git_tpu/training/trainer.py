@@ -124,15 +124,19 @@ class TrainConfig:
     # 'sp' mesh axis as ring attention (parallel/sequence.py): the
     # (L, L) score matrix never materializes, context length scales
     # linearly with the ring. Composes with dp/tp on one mesh (batch on
-    # 'data', sequence on 'sp'). The ring tower is deterministic —
-    # tower-internal dropout is skipped under --sp (fusion/classifier
-    # dropout unaffected); tower token length must divide sp.
+    # 'data', sequence on 'sp'). Tower dropout runs via the COORD scheme
+    # (masks keyed on global row/position, models/transformer.
+    # coord_dropout) so training is dropout-exact against the
+    # coord-keyed plain tower and invariant to the ring size; it differs
+    # from the default flax mask stream only in mask derivation (same
+    # rate/distribution). Tower token length must divide sp.
     sp: int = 1
     # pp > 1 runs the joint tower's block stack under a GPipe pipeline
     # over a 'pipe' mesh axis (parallel/pipeline.py): depth shards by
     # stage, activations hop stage->stage via ppermute, the batch stays
-    # sharded on 'data'. Same deterministic-body note as sp; tower depth
-    # must divide pp; pp_microbatches defaults to pp.
+    # sharded on 'data'. Same coord-dropout note as sp (per-block keys
+    # fold on global block index; masks key on global batch rows);
+    # tower depth must divide pp; pp_microbatches defaults to pp.
     pp: int = 1
     pp_microbatches: Optional[int] = None
     # jax.checkpoint each tower block on the backward pass: recompute
@@ -177,11 +181,12 @@ class TrainConfig:
     # host->device call carries ~90 ms of fixed latency (BASELINE.md
     # "transfer degradation"), so per-step dispatch dominates wall time
     # at FakeSV batch counts; the scan ships the whole epoch's indices in
-    # one upload. Works with or without a mesh when single-process (the
-    # (steps, B) matrices shard on the batch axis, so each scan slice is
-    # the same batch-sharded array the per-step path builds); only true
-    # multi-PROCESS runs fall back to per-step dispatch, because there
-    # each host contributes local rows batch by batch (put_global_batch).
+    # one upload. Works with or without a mesh: single-process shards
+    # the (steps, B) matrices on the batch axis; true multi-PROCESS runs
+    # assemble them from per-host local batch columns
+    # (meshlib.put_epoch_batches) — every process computes the same
+    # seeded index stream, so the global matrices agree by construction.
+    # Executed 2-process for real by tests/test_multihost.py.
     scan_epoch: bool = True
     # Gradient accumulation: each optimizer step accumulates summed
     # gradients over `grad_accum` microbatches of `batch_size` rows and
@@ -681,6 +686,7 @@ class ForensicTrainer:
         as a traced argument — see the construction note in __init__.
         """
         rngs_f = rngs_c = rngs_g = rngs_t = None
+        k_t = None
         if not deterministic:
             k_g, k_f, k_c, k_t = jax.random.split(rng, 4)
             rngs_g = {"dropout": k_g}
@@ -691,9 +697,11 @@ class ForensicTrainer:
         moe_aux = None
         if self.text_tower is not None and self.cfg.sp > 1:
             # ring-attention tower: sequence axis sharded over 'sp',
-            # batch over 'data' on the same mesh; deterministic body
-            # (tower dropout skipped — see TrainConfig.sp), grads flow
-            # through the ppermute ring
+            # batch over 'data' on the same mesh; grads flow through the
+            # ppermute ring. Training mode runs tower dropout via the
+            # coord scheme (masks keyed on global row/position — see
+            # TrainConfig.sp), so --sp training is dropout-exact against
+            # the coord-keyed plain tower.
             from ultrafnd_git_tpu.parallel.sequence import (
                 sequence_parallel_tower_apply,
             )
@@ -705,11 +713,15 @@ class ForensicTrainer:
                 corpus["text_mask"][idx].astype(jnp.float32),
                 self.mesh,
                 batch_axis=meshlib.DATA_AXIS,
+                dropout_key=k_t,
             )
         elif self.text_tower is not None and self.cfg.pp > 1:
             # GPipe tower: depth sharded by stage over 'pipe', batch on
-            # 'data'; deterministic body (tower dropout skipped, see
-            # TrainConfig.pp), grads flow through the schedule
+            # 'data'; grads flow through the schedule. Training mode
+            # runs tower dropout via the coord scheme (per-block keys
+            # folded on GLOBAL block index, masks keyed on global batch
+            # rows — see TrainConfig.pp), so --pp training is
+            # dropout-exact against the coord-keyed plain tower.
             from ultrafnd_git_tpu.parallel.pipeline import (
                 pipelined_tower_apply,
             )
@@ -722,6 +734,7 @@ class ForensicTrainer:
                 self.mesh,
                 microbatches=self.cfg.pp_microbatches,
                 batch_axis=meshlib.DATA_AXIS,
+                dropout_key=k_t,
             )
         elif self.text_tower is not None:
             # joint fine-tune: text features come from the trainable
@@ -883,13 +896,29 @@ class ForensicTrainer:
 
         return grads_of
 
+    def _replicate_outs(self, out):
+        """Host-visible step outputs (p1/forensic) are batch-sharded; on
+        a MULTI-PROCESS mesh that makes them non-fully-addressable, so
+        np.asarray on the metrics path would fail — constrain them to
+        replicated (one small all-gather per step) so every host can
+        read the full epoch's predictions. Single-process placements are
+        already addressable; skip the constraint there."""
+        if self.mesh is None or jax.process_count() == 1:
+            return out
+        rep = meshlib.replicated(self.mesh)
+        return jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, rep), out
+        )
+
     def _make_train_step(self):
         grads_of = self._make_grad_fn()
 
         def step(state: TrainState, idx, mask, corpus):
             loss, grads, (p1, forensic) = grads_of(state, idx, mask, corpus)
             state = state.apply_gradients(grads, self.tx)
-            return state, {"loss": loss, "p1": p1, "forensic": forensic}
+            return state, self._replicate_outs(
+                {"loss": loss, "p1": p1, "forensic": forensic}
+            )
 
         return step
 
@@ -899,7 +928,9 @@ class ForensicTrainer:
                 params, idx, corpus, deterministic=True
             )
             loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
-            return {"loss": loss, "p1": p1, "forensic": forensic}
+            return self._replicate_outs(
+                {"loss": loss, "p1": p1, "forensic": forensic}
+            )
 
         return step
 
@@ -953,19 +984,22 @@ class ForensicTrainer:
                 threshold=0.5, include_cm=False,
             )
 
-        if cfg.scan_epoch and (self.mesh is None or jax.process_count() == 1):
+        if cfg.scan_epoch:
             # one device dispatch per epoch: scan the jitted step over
             # the (steps, B) index/mask matrices — numerically identical
             # to the per-step loop (same step fn, same RNG stream).
-            # Under a single-process mesh the matrices shard on the batch
-            # axis so each scan slice matches the per-step placement;
-            # multi-process keeps per-step dispatch (per-host local rows).
+            # Under a mesh the matrices shard on the batch axis so each
+            # scan slice matches the per-step placement; multi-PROCESS
+            # runs assemble them from per-host local columns
+            # (meshlib.put_epoch_batches), keeping the one-dispatch
+            # epoch alive exactly where per-step dispatch latency would
+            # multiply (VERDICT r3 item 2).
             chunks = np.stack([c for c, _, _ in batches]).astype(np.int32)
             masks = np.stack([m for _, m, _ in batches]).astype(np.float32)
             if self.mesh is not None:
-                es = meshlib.epoch_batch_sharding(self.mesh)
-                chunks_d = jax.device_put(chunks, es)
-                masks_d = jax.device_put(masks, es)
+                chunks_d, masks_d = meshlib.put_epoch_batches(
+                    chunks, masks, self.mesh
+                )
             else:
                 chunks_d = jnp.asarray(chunks)
                 masks_d = jnp.asarray(masks)
