@@ -61,9 +61,18 @@ def main() -> None:
     )
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     root = export_artifact(predictor, args.artifact, platforms=platforms)
+    # report only the three artifact files — exporting into a
+    # pre-existing directory must not count unrelated contents
+    artifact_files = ("scorer.jaxexport", "arrays.npz", "meta.json")
     sizes = {
-        p.name: p.stat().st_size for p in sorted(root.iterdir())
+        name: (root / name).stat().st_size for name in artifact_files
     }
+    extras = sorted(
+        p.name for p in root.iterdir() if p.name not in artifact_files
+    )
+    if extras:
+        print(f"⚠️  target dir holds unrelated files (not artifact "
+              f"contents): {extras}")
     total = sum(sizes.values())
     detail = ", ".join(f"{n} {s / 1e6:.2f} MB" for n, s in sizes.items())
     print(f"exported {root} ({total / 1e6:.2f} MB: {detail}) "

@@ -84,6 +84,19 @@ def main() -> None:
         if args.explain:
             ap.error("--explain needs the full-precision modules; use "
                      "--out_dir (see export_serving.ExportedPredictor)")
+        # these properties are frozen into the artifact at export time
+        # (recorded in its meta.json) — silently ignoring the flags
+        # would hand back whatever precision the export used
+        for flag, on in (
+            ("--bf16", args.bf16),
+            ("--quantize", args.quantize),
+        ):
+            if on:
+                ap.error(f"{flag} is fixed at export time; re-export "
+                         "with scripts/export_serving.py instead")
+        if args.checkpoint != "best":
+            ap.error("--checkpoint is fixed at export time; re-export "
+                     "from the slot you want")
         from ultrafnd_git_tpu.export_serving import ExportedPredictor
 
         predictor = ExportedPredictor(

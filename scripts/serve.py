@@ -56,6 +56,19 @@ def main() -> None:
 
     if bool(args.out_dir) == bool(args.artifact):
         ap.error("pass exactly one of --out_dir / --artifact")
+    if args.artifact:
+        # frozen into the artifact at export time (meta.json) — see
+        # the matching guards in scripts/predict.py
+        for flag, on in (
+            ("--bf16", args.bf16),
+            ("--quantize", args.quantize),
+        ):
+            if on:
+                ap.error(f"{flag} is fixed at export time; re-export "
+                         "with scripts/export_serving.py instead")
+        if args.checkpoint != "best":
+            ap.error("--checkpoint is fixed at export time; re-export "
+                     "from the slot you want")
 
     from ultrafnd_git_tpu.server import make_server
 

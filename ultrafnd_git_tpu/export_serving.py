@@ -245,6 +245,33 @@ class ExportedPredictor(Predictor):
             self._tower_len = int(meta["tower_len"])
         set_hash_salt(self._hash_salt)
 
+        # Validate the featurizer contract NOW: if current featurization
+        # code drifted from the exported spec (feature keys, tower token
+        # length), failing here with the cause beats the opaque XLA
+        # shape/arity error the first dispatch would raise.
+        expected_keys = {
+            "audio_features", "visual_features", "temporal_features"
+        }
+        if self.text_tower is None:
+            expected_keys.add("text_features")
+        if self.use_evidence:
+            expected_keys.add("evidence")
+        if sorted(expected_keys) != sorted(meta.get("feats_keys") or []):
+            raise ValueError(
+                f"artifact feature spec {sorted(meta.get('feats_keys') or [])} "
+                f"does not match this build's featurizer output "
+                f"{sorted(expected_keys)} — re-export the artifact"
+            )
+        if self.text_tower is not None:
+            from ultrafnd_git_tpu.data.cache import TOWER_IDS_LEN
+
+            if self._tower_len != int(TOWER_IDS_LEN):
+                raise ValueError(
+                    f"artifact was exported with tower token length "
+                    f"{self._tower_len} but this build tokenizes to "
+                    f"{int(TOWER_IDS_LEN)} — re-export the artifact"
+                )
+
         z = np.load(root / _ARRAYS, allow_pickle=False)
         flat = {
             k[2:]: z[k] for k in z.files if k.startswith("p:")
