@@ -27,7 +27,19 @@ enable_persistent_cache()
 from bench import BATCH, ITERS, synthetic_cache  # noqa: E402
 
 
-def run_one(n_nodes: int, batch: int, iters: int = None) -> dict:
+def run_one(
+    n_nodes: int,
+    batch: int,
+    iters: int = None,
+    shard_graph: bool = False,
+    dp: int = None,
+    mesh_backend: str = None,
+) -> dict:
+    """One scaling row. With shard_graph/dp set, the (N, N) adjacency
+    rows shard over the 'data' axis of a dp-device mesh — the VERDICT r3
+    item 7 growth-path measurement: graph build time (native posting
+    lists) and PER-DEVICE adjacency bytes at N >= 20k, executed instead
+    of extrapolated (docs/SCALING.md 'graph growth, measured')."""
     import tempfile
 
     import jax
@@ -47,7 +59,21 @@ def run_one(n_nodes: int, batch: int, iters: int = None) -> dict:
             cache_to_disk=False,
             save_best=False,
             log_metrics_jsonl=False,
+            shard_graph=shard_graph,
+            dp=dp,
+            mesh_backend=mesh_backend,
         )
+        # isolate the native posting-list graph build (the measured
+        # growth-path number — its output is then rebuilt inside the
+        # trainer init, whose init_s also covers AX + the GCN pretrain)
+        from ultrafnd_git_tpu.ops.jaccard import build_adj_from_ocr
+
+        t_g = time.perf_counter()
+        adj = build_adj_from_ocr(cache["ocr_sets"], 0.12)
+        graph_build_s = time.perf_counter() - t_g
+        edges = int(adj.sum() - n_nodes)  # off-diagonal links
+        del adj
+
         t_init = time.perf_counter()
         trainer = ForensicTrainer(cfg, cache=cache)
         init_s = time.perf_counter() - t_init  # dominated by the host
@@ -82,9 +108,17 @@ def run_one(n_nodes: int, batch: int, iters: int = None) -> dict:
             jax.block_until_ready(losses)
             times.append((time.perf_counter() - t0) / iters)
         step_ms = float(np.median(times)) * 1e3
+        n_dev = (
+            trainer.mesh.shape["data"] if trainer.mesh is not None else 1
+        )
+        adj_mb = round(n_nodes * n_nodes * 4 / 2**20, 1)
         return {
             "nodes": n_nodes,
-            "adjacency_mb": round(n_nodes * n_nodes * 4 / 2**20, 1),
+            "edges": edges,
+            "graph_build_s": round(graph_build_s, 3),
+            "adjacency_mb": adj_mb,
+            "adj_mb_per_device": round(adj_mb / n_dev, 1),
+            "devices": n_dev,
             "init_s": round(init_s, 2),
             "step_ms": round(step_ms, 3),
             "samples_per_s": round(batch / (step_ms / 1e3), 1),
@@ -97,16 +131,45 @@ def main() -> None:
         "--nodes", type=int, nargs="+", default=[5376, 10752, 21504]
     )
     p.add_argument("--batch", type=int, default=BATCH)
+    p.add_argument(
+        "--shard_graph", action="store_true",
+        help="row-shard the (N, N) adjacency over a dp-device mesh "
+             "(the graph growth path, measured)",
+    )
+    p.add_argument("--dp", type=int, default=None)
+    p.add_argument(
+        "--mesh_backend", default=None,
+        help='e.g. "cpu" for the 8-virtual-device host mesh',
+    )
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="pin the whole process to CPU (use with "
+             "XLA_FLAGS=--xla_force_host_platform_device_count=8 for "
+             "the virtual mesh)",
+    )
     args = p.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     print(
-        f"{'N':>8} {'adj MB':>8} {'init s':>8} {'step ms':>9}"
+        f"{'N':>8} {'edges':>9} {'build s':>8} {'adj MB':>8} "
+        f"{'MB/dev':>7} {'dev':>4} {'init s':>8} {'step ms':>9}"
         f" {'samples/s':>11}"
     )
     for n in args.nodes:
-        r = run_one(n, args.batch)
+        r = run_one(
+            n, args.batch, iters=args.iters,
+            shard_graph=args.shard_graph, dp=args.dp,
+            mesh_backend=args.mesh_backend,
+        )
         print(
-            f"{r['nodes']:>8} {r['adjacency_mb']:>8} {r['init_s']:>8} "
+            f"{r['nodes']:>8} {r['edges']:>9} {r['graph_build_s']:>8} "
+            f"{r['adjacency_mb']:>8} {r['adj_mb_per_device']:>7} "
+            f"{r['devices']:>4} {r['init_s']:>8} "
             f"{r['step_ms']:>9} {r['samples_per_s']:>11}"
         )
 
