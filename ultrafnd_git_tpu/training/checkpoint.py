@@ -69,6 +69,15 @@ def wait_for_writes() -> None:
 def save_checkpoint(
     directory: str, name: str, state: Any, meta: Dict[str, Any]
 ) -> None:
+    """Enqueue an async full-state save of `state` into `directory/name`.
+
+    Multi-process (`jax.distributed`): ALL processes must call this with
+    the same arguments — Orbax's save is a collective (primary-host
+    array writes + global barriers; executed 2-process for real by
+    tests/test_multihost.py). The meta.json sidecar is written by
+    process 0 only; every process's finalizer still barriers on the
+    Orbax commit, so `wait_for_writes` keeps its meaning everywhere.
+    """
     root = Path(directory).resolve() / name
     root.mkdir(parents=True, exist_ok=True)
     meta_path = root / "meta.json"
@@ -81,15 +90,22 @@ def save_checkpoint(
     prev = _LAST_SLOT_FINALIZER.get(root)
     if prev is not None:
         prev.result()  # re-raises an earlier finalizer failure loudly
+    is_primary = jax.process_index() == 0
     # the old meta must not describe the in-flight overwrite (force=True
     # destroys the previous state dir before the new one commits)
-    meta_path.unlink(missing_ok=True)
+    if is_primary:
+        meta_path.unlink(missing_ok=True)
     ckptr = _ckptr()
+    # device_get is safe multi-process because the trainers keep state
+    # fully replicated (every process holds complete copies); sharded
+    # states would pass the jax.Arrays straight through instead.
     ckptr.save(root / "state", jax.device_get(state), force=True)
     payload = json.dumps(meta, ensure_ascii=False, indent=2)
 
     def _commit_meta() -> None:
         ckptr.wait_until_finished()  # state write has landed
+        if not is_primary:
+            return  # one writer: the sidecar must not be raced
         tmp = meta_path.with_name("meta.json.tmp")
         tmp.write_text(payload, encoding="utf-8")
         tmp.replace(meta_path)  # atomic: meta presence == complete slot
