@@ -117,6 +117,32 @@ def tower_ckpt(fixture_data_root, tmp_path_factory):
     }
 
 
+@pytest.fixture(scope="session")
+def v2_ckpt(fixture_data_root, tmp_path_factory):
+    """ONE plain (no-tower) trained checkpoint + persisted feature cache
+    shared by the serving/HTTP/quant suites (VERDICT r3 item 8: each
+    trained a near-identical default checkpoint, ~3 trainer fits of
+    duplicated compile+train per run). epochs=3 keeps the fixture
+    trained to saturation, which test_serving's discrimination
+    assertions rely on. Consumers only READ the out_dir (Predictor /
+    make_server); tests that must mutate a checkpoint train their own.
+    """
+    from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
+
+    out = tmp_path_factory.mktemp("v2_ckpt")
+    cfg = TrainConfig(
+        data_root=fixture_data_root,
+        out_dir=str(out),
+        batch_size=8,
+        epochs=3,
+        seed=0,
+        cache_to_disk=True,
+        log_metrics_jsonl=False,
+    )
+    ForensicTrainer(cfg).fit()
+    return str(out)
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _memoize_fixture_cache_builds():
     """Memoize build_feature_cache for real FakeSVRawDataset roots.

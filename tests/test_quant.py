@@ -92,22 +92,12 @@ def test_dequantize_is_jit_traceable():
 
 
 @pytest.mark.slow
-def test_quantized_predictor_tracks_f32_scores(tmp_path, fixture_data_root):
+def test_quantized_predictor_tracks_f32_scores(v2_ckpt, fixture_data_root):
     """Predictor(quantize=True) serves scores within the weight-rounding
     envelope of the f32 Predictor, and hard predictions almost all agree."""
     from ultrafnd_git_tpu.serving import Predictor
-    from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
 
-    out = tmp_path / "out"
-    cfg = TrainConfig(
-        data_root=fixture_data_root,
-        out_dir=str(out),
-        batch_size=8,
-        epochs=1,
-        seed=0,
-        log_metrics_jsonl=False,
-    )
-    ForensicTrainer(cfg).fit()
+    out = v2_ckpt  # session-shared plain checkpoint (read-only here)
 
     records = [
         json.loads(ln)

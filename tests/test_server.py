@@ -10,7 +10,6 @@ pytestmark = pytest.mark.slow  # trains a checkpoint to serve from
 
 from ultrafnd_git_tpu.server import make_server
 from ultrafnd_git_tpu.serving import Predictor
-from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
 
 RECORDS = [
     {
@@ -29,19 +28,9 @@ RECORDS = [
 
 
 @pytest.fixture(scope="module")
-def live_server(fixture_data_root, tmp_path_factory):
-    out = tmp_path_factory.mktemp("http_serve")
-    cfg = TrainConfig(
-        data_root=fixture_data_root,
-        out_dir=str(out),
-        batch_size=8,
-        epochs=2,
-        seed=0,
-        cache_to_disk=True,
-        log_metrics_jsonl=False,
-    )
-    ForensicTrainer(cfg).fit()
-    predictor = Predictor(str(out), batch_size=4)
+def live_server(v2_ckpt):
+    # serves the session-shared plain checkpoint (conftest.py v2_ckpt)
+    predictor = Predictor(v2_ckpt, batch_size=4)
     server = make_server(predictor, port=0)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()

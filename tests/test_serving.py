@@ -5,7 +5,6 @@ import pytest
 pytestmark = pytest.mark.slow  # trains a checkpoint to serve from
 
 from ultrafnd_git_tpu.serving import Predictor
-from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
 
 FAKE_REC = {
     "video_id": "q_fake",
@@ -22,20 +21,10 @@ REAL_REC = {
 
 
 @pytest.fixture(scope="module")
-def trained_out_dir(fixture_data_root, tmp_path_factory):
-    out = tmp_path_factory.mktemp("serve")
-    cfg = TrainConfig(
-        data_root=fixture_data_root,
-        out_dir=str(out),
-        batch_size=8,
-        epochs=3,
-        seed=0,
-        cache_to_disk=True,
-        log_metrics_jsonl=False,
-    )
-    trainer = ForensicTrainer(cfg)
-    trainer.fit()
-    return str(out)
+def trained_out_dir(v2_ckpt):
+    # the session-shared plain checkpoint (tests/conftest.py v2_ckpt);
+    # everything here only READS the out_dir
+    return v2_ckpt
 
 
 def test_predict_contract_and_discrimination(trained_out_dir):
@@ -208,6 +197,48 @@ def test_exported_artifact_matches_live_predictor(trained_out_dir, tmp_path):
         for k in ("prob_fake", "semantic_conflict", "temporal_delay",
                   "emotion_intensity"):
             np.testing.assert_allclose(g[k], w[k], atol=1e-6, err_msg=k)
+
+
+def test_exported_artifact_validates_featurizer_contract(
+    trained_out_dir, tmp_path
+):
+    """A drifted featurizer contract must fail at LOAD with the cause
+    (advisor r3): tampered feats_keys / tower_len in meta.json raise a
+    descriptive ValueError instead of an opaque XLA arity error at the
+    first dispatch."""
+    import json as _json
+
+    from ultrafnd_git_tpu.export_serving import (
+        ExportedPredictor,
+        export_artifact,
+    )
+
+    live = Predictor(trained_out_dir, batch_size=4)
+    art = tmp_path / "artifact_drift"
+    export_artifact(live, str(art), platforms=("cpu",))
+    meta_path = art / "meta.json"
+    meta = _json.loads(meta_path.read_text(encoding="utf-8"))
+
+    bad = dict(meta, feats_keys=meta["feats_keys"] + ["bogus_features"])
+    meta_path.write_text(_json.dumps(bad), encoding="utf-8")
+    with pytest.raises(ValueError, match="feature spec"):
+        ExportedPredictor(str(art))
+
+    # a tower artifact whose token length drifted from the current
+    # featurizer's TOWER_IDS_LEN (feats_keys adjusted to the tower set
+    # so the length check is what fires)
+    bad = dict(
+        meta,
+        tower_len=999,
+        feats_keys=[k for k in meta["feats_keys"] if k != "text_features"],
+    )
+    meta_path.write_text(_json.dumps(bad), encoding="utf-8")
+    with pytest.raises(ValueError, match="tower token length"):
+        ExportedPredictor(str(art))
+
+    # restore the real meta: the artifact loads again
+    meta_path.write_text(_json.dumps(meta), encoding="utf-8")
+    assert ExportedPredictor(str(art), batch_size=4) is not None
 
 
 def test_exported_artifact_is_standalone(trained_out_dir, tmp_path):
