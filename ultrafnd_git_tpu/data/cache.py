@@ -184,10 +184,12 @@ def build_feature_cache(
     ela = enc["ela"].ela_lbp_text_batch(vis_proxies)
     V = _l2n_rows(_fit_dim_rows(np.concatenate([flow, ela], axis=1), visual_dim))
 
-    # ---- temporal: one jitted corpus-wide alignment pass -------------------
+    # ---- temporal: one jitted corpus-wide alignment pass — BOTH the
+    # text-visual and the text-self reference alignments ride a single
+    # 2N-row dispatch (row-wise MLP, exact; halves the featurizer's
+    # device round trips on the serving hot path) --------------------------
     tsync = enc["tsync"]
-    U = tsync.align_batch(T, V)  # (N, 256)
-    U_tt = tsync.align_batch(T, T)  # reference alignment of text to itself
+    U, U_tt = tsync.align_batch_pair(T, V)  # (N, 256) x2
 
     # ---- aux: delay + emotion proxies --------------------------------------
     delay = alignment_delay(U_tt, U)
@@ -256,7 +258,10 @@ build_gnn_cache_from_raw_dataset = build_feature_cache
 # aux recipes): a persisted cache built by older code must rebuild, or
 # eval/serving would silently mix old features with new-code expectations.
 # v2: round-3 torch-default init in the (untrained) temporal align MLP.
-FEATURES_VERSION = 2
+# v3: round-4 fused align_batch_pair — one 2N-row dispatch; rows drift
+#     ~1e-7 vs the two-call build (XLA tiles the bigger batch
+#     differently), so v2 caches rebuild rather than mix.
+FEATURES_VERSION = 3
 
 
 def cache_fingerprint(

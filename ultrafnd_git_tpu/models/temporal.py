@@ -166,6 +166,29 @@ class TemporalSyncNet:
         v = _pad_or_trunc(jnp.asarray(V, jnp.float32), self.in_dim)
         return np.asarray(self._apply(self.params, t, v))
 
+    def align_batch_pair(
+        self, T: np.ndarray, V: np.ndarray
+    ) -> tuple:
+        """(align(T, V), align(T, T)) in ONE device dispatch + fetch.
+
+        The cache builder needs both the text-visual alignment and the
+        text-self reference alignment (for the delay proxy). The align
+        MLP is row-wise, so batching the two calls as one 2N-row forward
+        is exact — and on the tunneled chip it halves the featurizer's
+        device round trips, which ARE the serving featurize() floor
+        (~90 ms per dispatch; BASELINE.md round-3 serving table).
+        """
+        t = jnp.asarray(T, jnp.float32)
+        v = _pad_or_trunc(jnp.asarray(V, jnp.float32), self.in_dim)
+        both = self._apply(
+            self.params,
+            jnp.concatenate([t, t], axis=0),
+            jnp.concatenate([v, t], axis=0),
+        )
+        both = np.asarray(both)
+        n = T.shape[0]
+        return both[:n], both[n:]
+
     @staticmethod
     def delay_score(audio_len: int, video_len: int) -> float:
         """Length-mismatch proxy in [0,1]; 0 = matched."""

@@ -623,6 +623,11 @@ class Predictor:
                 else jnp.zeros(())
             ),
         )
+        # ONE host fetch for all outputs: separate np.asarray calls are
+        # separate device->host transfers, and on the tunneled chip each
+        # costs a ~90 ms round trip — the fetch, not the compute, was
+        # the serving dispatch floor (BASELINE.md round-3 serving table)
+        probs, forensic = jax.device_get((probs, forensic))
         probs = np.asarray(probs)[:count]
         forensic = {k: np.asarray(v)[:count] for k, v in forensic.items()}
         rows = [
