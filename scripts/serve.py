@@ -47,6 +47,11 @@ def main() -> None:
                          "device was busy")
     ap.add_argument("--max_batch", type=int, default=4096,
                     help="Max coalesced records per dispatch")
+    ap.add_argument("--gap_ms", type=float, default=3.0,
+                    help="Close the batching window early once arrivals "
+                         "go quiet for this long (window is the MAX "
+                         "wait); synchronized client bursts otherwise "
+                         "idle out the full window every cycle")
     args = ap.parse_args()
 
     if args.cpu:
@@ -97,6 +102,7 @@ def main() -> None:
             None if args.batch_window_ms < 0 else args.batch_window_ms
         ),
         max_batch=args.max_batch,
+        gap_ms=args.gap_ms,
     )
     host, port = server.server_address[:2]
     print(f"serving {args.out_dir or args.artifact} on http://{host}:{port} "

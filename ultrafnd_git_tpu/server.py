@@ -79,6 +79,7 @@ class DynamicBatcher:
         lock: threading.Lock,
         max_batch: int = 4096,
         window_ms: float = 4.0,
+        gap_ms: float = 3.0,
     ):
         import queue
 
@@ -86,6 +87,16 @@ class DynamicBatcher:
         self.lock = lock  # shared with /explain (one device pipeline)
         self.max_batch = int(max_batch)
         self.window_s = max(0.0, float(window_ms)) / 1e3
+        # Arrival-gap early close: `window_ms` is the MAX wait, but when
+        # arrivals go quiet for `gap_ms` the window closes immediately —
+        # a synchronized burst of clients (every caller blocked on the
+        # previous dispatch reposts within a few ms of the fan-out)
+        # otherwise idles out the full window on every cycle. Measured
+        # on the tunneled chip (16 clients x 8 one-record requests,
+        # window 50 ms): the full-window wait was ~40% of the ~125 ms
+        # steady-state cycle. Exactness is unaffected (same records,
+        # possibly split across more dispatches).
+        self.gap_s = max(0.0, float(gap_ms)) / 1e3
         self.batches = 0  # dispatches actually issued (stats/tests)
         self._cv = threading.Condition()
         self._queue: List[_BatchEntry] = []
@@ -137,11 +148,16 @@ class DynamicBatcher:
                 return []
             # the window runs from the OLDEST queued entry's arrival,
             # not from when this worker woke up — requests that aged in
-            # the queue during the previous dispatch go out immediately
+            # the queue during the previous dispatch go out immediately;
+            # a quiet arrival gap (gap_s since the NEWEST entry) closes
+            # it early (see __init__)
             deadline = self._queue[0].arrival + self.window_s
             while not self._stop:
                 queued = sum(len(e.records) for e in self._queue)
-                remaining = deadline - time.monotonic()
+                newest = max(e.arrival for e in self._queue)
+                remaining = (
+                    min(deadline, newest + self.gap_s) - time.monotonic()
+                )
                 if queued >= self.max_batch or remaining <= 0:
                     break
                 self._cv.wait(timeout=remaining)
@@ -349,6 +365,7 @@ def make_server(
     quiet: bool = True,
     batch_window_ms: Optional[float] = 4.0,
     max_batch: int = 4096,
+    gap_ms: float = 3.0,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server bound to (host, port).
 
@@ -391,7 +408,8 @@ def make_server(
         None
         if batch_window_ms is None
         else DynamicBatcher(
-            predictor, lock, max_batch=max_batch, window_ms=batch_window_ms
+            predictor, lock, max_batch=max_batch,
+            window_ms=batch_window_ms, gap_ms=gap_ms,
         )
     )
     handler.batcher = batcher
