@@ -101,7 +101,13 @@ def test_real_trainer_two_process_matches_single_process(
     from per-host batch columns (phase 1), Orbax best/latest saves as a
     collective, a --resume restore under jax.distributed into per-step
     dispatch (phase 2, _batch_arrays' put_global_batch branch), and
-    test() restoring `best`. Asserts:
+    test() restoring `best`.
+
+    Scan-vs-per-step agreement under multi-process closes transitively:
+    phase 1 asserts multi-scan == single-scan here; single-scan ==
+    single-per-step is asserted by test_trainer_parallel.py's
+    scan_epoch tests; phase 2 asserts multi-per-step == single-per-step
+    (the resumed epoch). Asserts:
       * both processes observe BIT-IDENTICAL trained params + metrics
         (any row-assignment bug in put_global_batch/put_epoch_batches
         would break this or the loss agreement below),
