@@ -46,6 +46,13 @@ def main() -> None:
                          "(-1 = coalescing disabled)")
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--no_http", action="store_true",
+        help="drive the DynamicBatcher directly (in-process submit()), "
+             "isolating serving capability from HTTP/client-thread "
+             "overhead — on a 1-core host the N client threads contend "
+             "with the server for the same core",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -67,6 +74,44 @@ def main() -> None:
         }
         for i in range(args.clients)
     ]
+
+    if args.no_http:
+        import threading as _th
+
+        from ultrafnd_git_tpu.server import DynamicBatcher
+
+        for w in (float(x) for x in args.windows.split(",")):
+            if w < 0:
+                continue  # per-request path needs the HTTP layer
+            b = DynamicBatcher(predictor, _th.Lock(), window_ms=w)
+            try:
+                b.submit(records[:1])  # warm (compile)
+                warm = b.batches
+
+                def bclient(i):
+                    for _ in range(args.requests):
+                        b.submit([records[i]])
+
+                ts = [
+                    threading.Thread(target=bclient, args=(i,))
+                    for i in range(args.clients)
+                ]
+                t0 = time.perf_counter()
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+                dt = time.perf_counter() - t0
+                n = args.clients * args.requests
+                print(
+                    f"batcher window={w:g}ms {n} records in {dt:6.2f}s = "
+                    f"{n/dt:7.1f} records/s  ({b.batches - warm} "
+                    "dispatches)",
+                    flush=True,
+                )
+            finally:
+                b.close()
+        return
 
     for w in (float(x) for x in args.windows.split(",")):
         window = None if w < 0 else w

@@ -55,8 +55,14 @@ def pytest_configure(config):
         "markers",
         "slow: multi-second end-to-end/mesh tests; `-m 'not slow'` is the "
         "fast inner loop (~2 min warm / ~7 cold on the 1-core bench "
-        "host), the full suite stays the merge gate (slow adds ~10-12 "
-        "min there, compile-dominated; xdist spreads it on multi-core)",
+        "host), the full suite stays the merge gate (compile-dominated; "
+        "xdist spreads it per-FILE on multi-core, so the gate's wall "
+        "time is the slowest file — round 4 rebalanced it: one shared "
+        "v2_ckpt session checkpoint, test_trainer split in two; the "
+        "2-process real-trainer test (tests/test_multihost.py, the "
+        "round-4 execution-evidence centerpiece) is now the longest "
+        "single file at ~10 min serial / less under xdist where its two "
+        "worker processes get their own cores)",
     )
 
 

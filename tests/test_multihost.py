@@ -167,23 +167,41 @@ def test_real_trainer_two_process_matches_single_process(
         PYTHONPATH=str(REPO),
         ULTRAFND_DISABLE_HF="1",
     )
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable, str(TRAINER_WORKER), str(port), str(i),
-                "2", fixture_data_root, str(mh_out),
-            ],
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=1200)
-        outs.append(out)
+    def spawn_workers(run_port):
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, str(TRAINER_WORKER), str(run_port),
+                    str(i), "2", fixture_data_root, str(mh_out),
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+        return procs, outs
+
+    procs, outs = spawn_workers(port)
+    if any(p.returncode != 0 for p in procs) and any(
+        "Gloo context initialization" in o or "DEADLINE_EXCEEDED" in o
+        for o in outs
+    ):
+        # Gloo's communicator handshake has a hard 30 s deadline; on a
+        # heavily loaded host the two workers can drift past it during
+        # their first compiles (infra flake, not a product bug — the
+        # worker also warms the communicator at startup to narrow the
+        # window). One retry on this signature only.
+        import shutil
+
+        shutil.rmtree(mh_out)
+        mh_out.mkdir()
+        procs, outs = spawn_workers(_free_port())
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
