@@ -88,6 +88,29 @@ def test_coord_dropout_is_slice_invariant():
     np.testing.assert_allclose(surv, 1.0 / 0.6, rtol=1e-6)
 
 
+def test_remat_composes_with_coord_dropout():
+    """--remat_tower recomputes activations on the backward pass; the
+    coord masks are a pure function of (key, coords), so the recompute
+    replays them exactly — remat + coord dropout must match the
+    non-remat tower bit-for-near and differentiate."""
+    ids, mask = _data(2)
+    kw = dict(width=WIDTH, depth=2, heads=6, vocab_size=128, max_len=L)
+    t_remat = TextTransformer(**kw, remat=True)
+    t_plain = TextTransformer(**kw, remat=False)
+    params = t_plain.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    key = jax.random.PRNGKey(5)
+    a = t_remat.apply({"params": params}, ids, mask, False, dropout_key=key)
+    b = t_plain.apply({"params": params}, ids, mask, False, dropout_key=key)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    g = jax.jit(jax.grad(lambda p: jnp.sum(
+        t_remat.apply({"params": p}, ids, mask, False, dropout_key=key) ** 2
+    )))(params)
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g)
+    )
+
+
 def test_tower_coord_dropout_differs_from_flax_stream_but_same_rate():
     """dropout_key selects a different mask DERIVATION, not a different
     objective: rate matches the flax stream statistically."""
