@@ -62,21 +62,13 @@ def main() -> None:
     from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
+    # maybe_initialize_distributed also warms the global Gloo
+    # communicator while both processes are still in lock-step (its
+    # handshake has a hard 30 s deadline; see parallel/mesh.py)
     ok = meshlib.maybe_initialize_distributed(
         coordinator=f"localhost:{port}", num_processes=n, process_id=pid
     )
     assert ok and jax.process_count() == n
-
-    # Build the global Gloo communicator NOW, while both processes are
-    # still in lock-step: its key-value handshake has a hard 30 s
-    # deadline, and on a loaded 1-core host the first collective
-    # otherwise lands after minutes of time-sliced compiles — if one
-    # process reaches it >30 s before the other, Gloo context init
-    # times out (observed under a full-suite run). Once created, the
-    # communicator is cached for every later collective.
-    from jax.experimental import multihost_utils
-
-    multihost_utils.sync_global_devices("gloo-warmup")
 
     from dataclasses import replace
 

@@ -222,3 +222,50 @@ def test_batching_disabled_still_serves(live_server):
     finally:
         server.shutdown()
         thread.join(timeout=5)
+
+
+def test_artifact_serving_through_dynamic_batcher(v2_ckpt, tmp_path):
+    """scripts/serve.py --artifact serves an ExportedPredictor through
+    the same DynamicBatcher pipeline (featurize outside the lock, one
+    AOT dispatch under it) — coalesced HTTP rows must match the
+    ExportedPredictor's direct predict() row for row."""
+    from ultrafnd_git_tpu.export_serving import (
+        ExportedPredictor,
+        export_artifact,
+    )
+
+    live = Predictor(v2_ckpt, batch_size=4)
+    art = tmp_path / "artifact"
+    export_artifact(live, str(art), platforms=("cpu",))
+    served = ExportedPredictor(str(art), batch_size=4)
+
+    server = make_server(served, port=0, batch_window_ms=150.0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        direct = served.predict(RECORDS)
+        results = [None, None]
+        barrier = threading.Barrier(2)
+
+        def call(i):
+            barrier.wait(timeout=60)
+            status, body = _post(f"{url}/predict", {"records": [RECORDS[i]]})
+            results[i] = (status, body)
+
+        ts = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        for i, (status, body) in enumerate(results):
+            assert status == 200
+            [p] = body["predictions"]
+            assert p["id"] == direct[i]["id"]
+            assert abs(p["prob_fake"] - direct[i]["prob_fake"]) < 1e-6
+        # the AOT scorer actually dispatched through the batcher
+        assert server.batcher.batches >= 1
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        thread.join(timeout=5)

@@ -27,6 +27,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -364,11 +365,24 @@ def bootstrap_cache(
 def save_cache(
     cache: Dict[str, Any], path: str, fingerprint: str = ""
 ) -> None:
+    """Persist the cache ATOMICALLY (tmp + rename), process 0 only.
+
+    Multi-process trainers (`--multihost`) all call bootstrap_cache with
+    the same shared out_dir — every process builds the identical cache
+    from the same seeded stream, so one writer suffices and concurrent
+    writers would race the same .npz. The rename also means a concurrent
+    reader (Predictor on the same out_dir) never sees a partial file.
+    """
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_name(f".{p.name}.tmp-{os.getpid()}.npz")
     tr, va, te = cache["split"]
     np.savez_compressed(
-        p,
+        tmp,
         version=np.int64(CACHE_VERSION),
         features_version=np.int64(FEATURES_VERSION),
         fingerprint=np.str_(fingerprint),
@@ -397,6 +411,7 @@ def save_cache(
         split_val=va,
         split_test=te,
     )
+    os.replace(tmp, p)  # atomic: readers see old-or-complete, never partial
 
 
 def load_cache(

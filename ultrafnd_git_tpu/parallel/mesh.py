@@ -52,6 +52,15 @@ def maybe_initialize_distributed(
     jax.distributed.initialize(
         coordinator_address=coord, num_processes=n, process_id=pid
     )
+    # Build the global communicator NOW, while every process is still in
+    # lock-step at startup: the CPU backend's Gloo context handshake has
+    # a hard 30 s deadline, and the first collective otherwise lands
+    # after minutes of (possibly skewed) compiles — if one process
+    # reaches it >30 s before another, context init times out (observed
+    # under a loaded host). Once created it is cached for the run.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("ultrafnd-distributed-startup")
     return True
 
 

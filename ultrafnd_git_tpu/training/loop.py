@@ -169,8 +169,15 @@ def load_checkpoint_guarded(
 
 def log_jsonl(out_dir: str, enabled: bool, record: Dict[str, Any]) -> None:
     """Append one epoch record to <out_dir>/metrics.jsonl (full precision;
-    the console prints are 4-decimal)."""
+    the console prints are 4-decimal). Under multi-process
+    (`--multihost`) only process 0 writes — every process computes the
+    identical replicated metrics, and concurrent appends to the shared
+    out_dir would interleave duplicate lines."""
     if not enabled:
+        return
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
         return
     with open(
         os.path.join(out_dir, "metrics.jsonl"), "a", encoding="utf-8"
