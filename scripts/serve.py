@@ -52,6 +52,12 @@ def main() -> None:
                          "go quiet for this long (window is the MAX "
                          "wait); synchronized client bursts otherwise "
                          "idle out the full window every cycle")
+    ap.add_argument("--warmup", type=int, default=0, metavar="N",
+                    help="Precompile the featurize/score bucket ladder "
+                         "up to N records BEFORE opening the socket — "
+                         "first requests otherwise pay ~0.7-1 s per "
+                         "novel bucket shape over a tunneled chip "
+                         "(Predictor.warmup)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -93,6 +99,17 @@ def main() -> None:
             bf16=args.bf16,
             quantize=args.quantize,
         )
+    if args.warmup > 0:
+        import time
+
+        t0 = time.perf_counter()
+        n_buckets = predictor.warmup(args.warmup)
+        print(
+            f"warmup: {n_buckets} bucket sizes compiled in "
+            f"{time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+
     server = make_server(
         predictor,
         host=args.host,

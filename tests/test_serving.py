@@ -51,6 +51,20 @@ def test_predict_batches_pad_without_recompiles(trained_out_dir):
     assert len(probs) == 1
 
 
+def test_warmup_precompiles_bucket_ladder(trained_out_dir):
+    predictor = Predictor(trained_out_dir, batch_size=4)
+    assert predictor.warmup(16) == 2  # featurize buckets 8, 16
+    compiled = predictor._score._cache_size()
+    assert compiled >= 1
+    # live requests inside the warmed range reuse the compiled programs:
+    # 5 ragged records hit featurize bucket 8 + the warmed score buckets
+    results = predictor.predict(
+        [dict(FAKE_REC, video_id=f"w{i}") for i in range(5)]
+    )
+    assert len(results) == 5
+    assert predictor._score._cache_size() == compiled
+
+
 def test_explain_grad_contract(trained_out_dir):
     predictor = Predictor(trained_out_dir, batch_size=4)
     results = predictor.explain([FAKE_REC, REAL_REC], method="grad", top_k=3)

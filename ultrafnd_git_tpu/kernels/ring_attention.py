@@ -63,7 +63,7 @@ def ring_attention_local(
     acc = jnp.zeros((b, h, s_loc, d), jnp.float32)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    for _ in range(n):  # static unroll: n is the mesh-axis size
+    for step in range(n):  # static unroll: n is the mesh-axis size
         s = (
             jnp.einsum(
                 "bhqd,bhkd->bhqk", qf, k.astype(jnp.float32)
@@ -79,8 +79,11 @@ def ring_attention_local(
         )
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         m = m_new
-        k = jax.lax.ppermute(k, axis, perm)
-        v = jax.lax.ppermute(v, axis, perm)
-        bias = jax.lax.ppermute(bias, axis, perm)
+        if step < n - 1:  # N-1 hops: the last rotation would only
+            # return K/V/bias to their owners, unused — and collectives
+            # are not reliably dead-code-eliminated once lowered
+            k = jax.lax.ppermute(k, axis, perm)
+            v = jax.lax.ppermute(v, axis, perm)
+            bias = jax.lax.ppermute(bias, axis, perm)
 
     return (acc / l).astype(q.dtype)

@@ -486,6 +486,34 @@ class Predictor:
         (asserted by tests/test_server.py)."""
         return self._score_chunk(feats_cache, count, collect_fused=False)
 
+    def warmup(self, max_records: int = 64) -> int:
+        """Precompile the featurize + score bucket ladder up to the
+        first power-of-two bucket >= max_records.
+
+        Dynamic-batching windows produce variable record counts; both
+        featurize() and _score_chunk pad to power-of-two buckets so the
+        jitted programs are shared across counts — but the FIRST request
+        at each bucket still pays its compile (~0.7-1 s per program over
+        the tunneled chip; persistent-cache misses on a fresh machine).
+        Serving entry points call this at startup (scripts/serve.py
+        --warmup) so that cost lands before the socket opens instead of
+        on a live request. Runs real predict() calls on synthetic
+        records — the same code path a request takes, so everything on
+        it (featurizer dispatch shapes, score buckets, alignment MLP)
+        is compiled after this returns. Returns the number of bucket
+        sizes exercised."""
+        sizes = []
+        s = 8  # featurize()'s minimum bucket
+        while s < int(max_records):
+            sizes.append(s)
+            s *= 2
+        sizes.append(s)
+        for n in sizes:
+            self.predict(
+                [{"title": "warmup", "ocr": "", "comments": []}] * n
+            )
+        return len(sizes)
+
     def _pipeline(self, records: Sequence[Dict[str, Any]],
                   collect_fused: bool):
         """Shared featurize->score loop (prefetch + backend-aware
