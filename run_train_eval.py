@@ -52,6 +52,12 @@ def parse_args():
     p.add_argument("--dp", type=int, default=None,
                    help="Data-parallel mesh size (default: no mesh)")
     p.add_argument("--tp", type=int, default=1, help="Tensor-parallel mesh size")
+    p.add_argument("--dcn", type=int, default=1,
+                   help="Multi-slice data parallelism: OUTER mesh axis "
+                        "whose groups are TPU slices joined by DCN; "
+                        "batches shard over (dcn, data) jointly and the "
+                        "gradient all-reduce crosses slices once per "
+                        "step (composes with --dp/--tp)")
     p.add_argument("--sp", type=int, default=1,
                    help="Sequence-parallel mesh size: ring attention over "
                         "the --train_text_tower sequence axis (the (L, L) "
@@ -227,6 +233,7 @@ def main():
                 ("--train_text_tower", args.train_text_tower),
                 ("--dp", args.dp is not None),
                 ("--tp", args.tp > 1),
+                ("--dcn", args.dcn > 1),
                 ("--shard_corpus", args.shard_corpus),
                 ("--shard_graph", args.shard_graph),
                 ("--freeze_gnn", args.freeze_gnn),
@@ -289,6 +296,7 @@ def main():
         save_best=True,
         dp=args.dp,
         tp=args.tp,
+        dcn=args.dcn,
         sp=args.sp,
         pp=args.pp,
         pp_microbatches=args.pp_microbatches,

@@ -41,6 +41,39 @@ def test_make_mesh_infers_dp_with_extra_axes():
     assert m.shape["data"] == 2  # 8 // (2*2)
 
 
+def test_make_mesh_dcn_axis():
+    """Multi-slice data parallelism: dcn prepends an OUTER data axis."""
+    m = meshlib.make_mesh(dp=2, tp=2, dcn=2, devices=jax.devices("cpu"))
+    assert m.axis_names == ("dcn", "data", "model")
+    assert m.shape == {"dcn": 2, "data": 2, "model": 2}
+    assert meshlib.data_axes(m) == ("dcn", "data")
+    assert meshlib.data_parallel_size(m) == 4
+    # the batch dim shards jointly over both data axes
+    assert meshlib.batch_sharding(m).spec == jax.sharding.PartitionSpec(
+        ("dcn", "data")
+    )
+    # dp inference accounts for the dcn factor: 8 // (tp=1 * dcn=2) = 4
+    m2 = meshlib.make_mesh(dcn=2, devices=jax.devices("cpu"))
+    assert m2.shape == {"dcn": 2, "data": 4, "model": 1}
+    # single-slice meshes keep the exact pre-dcn specs (compile-cache
+    # and checkpoint-layout stability)
+    flat = meshlib.make_mesh(dp=4, tp=2, devices=jax.devices("cpu"))
+    assert meshlib.batch_sharding(flat).spec == jax.sharding.PartitionSpec(
+        "data"
+    )
+    assert meshlib.data_parallel_size(flat) == 4
+
+
+def test_put_global_batch_dcn_mesh():
+    """Batch placement and round-trip on the multi-slice layout."""
+    m = meshlib.make_mesh(dp=4, dcn=2, devices=jax.devices("cpu"))
+    arr = np.arange(16, dtype=np.int32)
+    out = meshlib.put_global_batch(arr, m)
+    np.testing.assert_array_equal(np.asarray(out), arr)
+    # every one of the 8 data-parallel shards holds 2 rows
+    assert {s.data.shape for s in out.addressable_shards} == {(2,)}
+
+
 def test_maybe_initialize_distributed_noop(monkeypatch):
     """No coordinator configured -> graceful single-process no-op."""
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)

@@ -69,6 +69,45 @@ def test_mesh_and_single_device_agree(fixture_root, tmp_path):
     assert abs(l1 - l2) < 5e-2
 
 
+def test_dcn_multislice_agrees_with_flat_dp(fixture_root, tmp_path):
+    """--dcn 2 (outer slice axis x 4-way inner dp) computes the same
+    losses as the flat 8-way dp mesh: the batch shards over the compound
+    ('dcn', 'data') axes, so both layouts see identical rows and differ
+    only in the all-reduce hierarchy (ICI within a slice, one DCN hop
+    across) — agreement at f32 collective-rounding tolerance."""
+    t_flat = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path / "flat", epochs=1, dp=8,
+            save_best=False, mesh_backend="cpu",
+        )
+    )
+    t_dcn = ForensicTrainer(
+        _cfg(
+            fixture_root, tmp_path / "dcn", epochs=1, dp=4, dcn=2,
+            save_best=False, mesh_backend="cpu",
+        )
+    )
+    assert t_dcn.mesh.axis_names == ("dcn", "data", "model")
+    assert t_dcn.mesh.shape["dcn"] == 2
+    l1, m1 = t_flat._epoch_loop(t_flat.va_idx, "val")
+    l2, m2 = t_dcn._epoch_loop(t_dcn.va_idx, "val")
+    assert abs(l1 - l2) < 1e-4
+    assert abs(m1["auc"] - m2["auc"]) < 1e-6
+    # and a full scan-epoch TRAIN epoch executes over the layout
+    tl, _ = t_dcn._epoch_loop(t_dcn.tr_idx[:32], "train")
+    assert np.isfinite(tl)
+
+
+def test_dcn_excludes_sp_pp(fixture_root, tmp_path):
+    with pytest.raises(ValueError, match="--dcn composes"):
+        ForensicTrainer(
+            _cfg(
+                fixture_root, tmp_path, dcn=2, sp=2,
+                train_text_tower=True, mesh_backend="cpu",
+            )
+        )
+
+
 def test_shard_corpus_agrees_with_replicated(fixture_root, tmp_path):
     """Row-sharded corpus (the SCALING.md growth path) computes the same
     losses as the replicated default on the virtual mesh."""

@@ -22,6 +22,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+# Multi-slice axis (make_mesh(dcn=...)): OUTER data-parallel axis whose
+# groups are TPU slices connected by DCN (data-center network) rather
+# than ICI. Keeping it outermost — slowest-varying — is the standard
+# layout rule: XLA lowers the gradient all-reduce hierarchically, so
+# the per-step cross-slice traffic is one reduced gradient per slice
+# pair, not per chip ("How to Scale Your Model", multi-slice recipe).
+DCN_AXIS = "dcn"
+
+
+def data_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """Mesh axes the BATCH dimension shards over.
+
+    ('dcn', 'data') on a multi-slice mesh — batches shard jointly over
+    both data-parallel axes — ('data',) otherwise. Every helper that
+    places batch-dim arrays resolves the axis set through this, so the
+    single-slice layout is byte-identical to before the dcn axis existed.
+    """
+    return (
+        (DCN_AXIS, DATA_AXIS)
+        if DCN_AXIS in mesh.axis_names
+        else (DATA_AXIS,)
+    )
+
+
+def data_parallel_size(mesh: Mesh) -> int:
+    """Total data-parallel ways (product over `data_axes`)."""
+    return int(np.prod([mesh.shape[a] for a in data_axes(mesh)]))
+
+
+def _data_spec_entry(mesh: Mesh):
+    """The PartitionSpec ENTRY for a batch dimension: the bare axis name
+    on single-slice meshes (so specs stay byte-identical to the
+    pre-dcn layout) and the ('dcn', 'data') tuple on multi-slice ones."""
+    axes = data_axes(mesh)
+    return axes if len(axes) > 1 else axes[0]
 
 
 def maybe_initialize_distributed(
@@ -69,34 +104,64 @@ def make_mesh(
     tp: int = 1,
     devices=None,
     extra_axes: Sequence[Tuple[str, int]] = (),
+    dcn: int = 1,
 ) -> Mesh:
-    """Build a (dp, tp, *extra) mesh over available (or given) devices.
+    """Build a ([dcn,] dp, tp, *extra) mesh over available (or given)
+    devices.
 
     `extra_axes` is the SURVEY §2.9 PP/SP config hook: additional named
     axes (e.g. `(("pipe", 1),)` or `(("sequence", 1),)`) appended after
     ('data', 'model'). They default to empty — populating one later is a
     config change, not a code change; all sharding rules below address
     axes by NAME so size-1 extra axes don't disturb them.
+
+    `dcn > 1` prepends an OUTER 'dcn' data-parallel axis for multi-slice
+    runs: batches shard over (dcn, data) jointly (see `data_axes`), tp/
+    sp/pipe stay within a slice. On real multi-slice hardware (devices
+    carry distinct `slice_index`es) the grid is built with
+    `mesh_utils.create_hybrid_device_mesh` so the dcn axis maps exactly
+    onto slice boundaries — ICI collectives never cross DCN; on
+    single-slice or host-CPU device sets (tests, the driver dry run) it
+    falls back to a plain contiguous split, which exercises the same
+    program and shardings.
     """
     devices = list(devices if devices is not None else jax.devices())
     extra = [(str(name), int(size)) for name, size in extra_axes]
     extra_total = int(np.prod([s for _, s in extra])) if extra else 1
+    dcn = int(dcn)
     if dp is None:
-        if len(devices) % (tp * extra_total) != 0:
+        if len(devices) % (tp * extra_total * dcn) != 0:
             raise ValueError(
                 f"{len(devices)} devices not divisible by "
-                f"tp*extra={tp * extra_total}"
+                f"tp*extra*dcn={tp * extra_total * dcn}"
             )
-        dp = len(devices) // (tp * extra_total)
+        dp = len(devices) // (tp * extra_total * dcn)
     shape = (dp, tp, *[s for _, s in extra])
     names = (DATA_AXIS, MODEL_AXIS, *[n for n, _ in extra])
+    if dcn > 1:
+        shape = (dcn, *shape)
+        names = (DCN_AXIS, *names)
     n_used = int(np.prod(shape))
-    grid = mesh_utils.create_device_mesh(shape, devices=devices[:n_used])
+    devices = devices[:n_used]
+    if dcn > 1:
+        slice_ids = {getattr(d, "slice_index", None) for d in devices}
+        if None not in slice_ids and len(slice_ids) == dcn:
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (1, *shape[1:]),
+                dcn_mesh_shape=(dcn, *(1 for _ in shape[1:])),
+                devices=devices,
+            )
+            return Mesh(grid, names)
+    grid = mesh_utils.create_device_mesh(shape, devices=devices)
     return Mesh(grid, names)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(DATA_AXIS))
+    # the batch dim shards jointly over ('dcn', 'data') on a multi-slice
+    # mesh — a single compound spec entry, so XLA sees one partitioned
+    # dimension and lowers the gradient psum hierarchically (ICI within
+    # a slice, DCN across)
+    return NamedSharding(mesh, P(_data_spec_entry(mesh)))
 
 
 def epoch_batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -107,7 +172,7 @@ def epoch_batch_sharding(mesh: Mesh) -> NamedSharding:
     array the per-step path would have built with `put_global_batch` —
     this is what lets scan-epoch run under a mesh (VERDICT r2 item 2).
     """
-    return NamedSharding(mesh, P(None, DATA_AXIS))
+    return NamedSharding(mesh, P(None, _data_spec_entry(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -172,6 +172,15 @@ class TrainConfig:
     eval_only: bool = False  # no fit(); test() restores `best` (CLI hint)
     dp: Optional[int] = None  # data-parallel mesh size (None = no mesh)
     tp: int = 1  # tensor-parallel mesh size
+    # dcn > 1 adds an OUTER data-parallel axis for MULTI-SLICE pods:
+    # batches shard jointly over ('dcn', 'data') — mesh.data_axes — so
+    # each slice takes a contiguous batch block and XLA lowers the
+    # gradient all-reduce hierarchically (ICI within a slice, one
+    # cross-slice hop over DCN per step). tp stays within a slice. On
+    # real multi-slice device sets make_mesh maps the axis exactly onto
+    # slice boundaries (create_hybrid_device_mesh); sp/pp keep their
+    # single-data-axis shard_map bodies and are excluded.
+    dcn: int = 1
     shard_corpus: bool = False  # shard (N, D) corpus rows over 'data'
     shard_graph: bool = False  # shard the (N, N) adjacency rows over 'data'
     mesh_backend: Optional[str] = None  # e.g. "cpu" to mesh over host devices
@@ -366,7 +375,16 @@ class ForensicTrainer:
                 f"tower depth {cfg.text_tower_depth} not divisible by "
                 f"pp={cfg.pp}"
             )
-        if cfg.dp is not None or cfg.tp > 1 or cfg.sp > 1 or cfg.pp > 1:
+        if cfg.dcn > 1 and (cfg.sp > 1 or cfg.pp > 1):
+            raise ValueError(
+                "--dcn composes with --dp/--tp only: the sp/pp shard_map "
+                "bodies address the batch by the single 'data' axis (ring "
+                "and pipeline stay within a slice by design)"
+            )
+        if (
+            cfg.dp is not None or cfg.tp > 1 or cfg.sp > 1 or cfg.pp > 1
+            or cfg.dcn > 1
+        ):
             devices = (
                 jax.devices(cfg.mesh_backend) if cfg.mesh_backend else None
             )
@@ -377,7 +395,7 @@ class ForensicTrainer:
                 extra.append(("pipe", cfg.pp))
             self.mesh = meshlib.make_mesh(
                 dp=cfg.dp, tp=cfg.tp, devices=devices,
-                extra_axes=tuple(extra),
+                extra_axes=tuple(extra), dcn=cfg.dcn,
             )
 
         # ---- 3) device-resident corpus + graph ---------------------------
@@ -605,9 +623,10 @@ class ForensicTrainer:
         return jax.device_put(jnp.asarray(x))
 
     def _put_row_sharded(self, x: np.ndarray) -> jax.Array:
-        """Shard leading (node) axis over 'data'; replicate if not divisible."""
+        """Shard leading (node) axis over the data axes; replicate if
+        not divisible."""
         arr = np.asarray(x)
-        dp = self.mesh.shape[meshlib.DATA_AXIS]
+        dp = meshlib.data_parallel_size(self.mesh)
         if arr.shape[0] % dp or (
             jax.process_count() > 1
             and arr.shape[0] % jax.process_count()
