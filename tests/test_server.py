@@ -67,6 +67,23 @@ def test_healthz(live_server):
     assert "backend" in body
 
 
+def test_stats_endpoint_reports_batcher_efficiency(live_server):
+    url = live_server["url"]
+    status, _ = _post(f"{url}/predict", {"records": RECORDS})
+    assert status == 200
+    with urllib.request.urlopen(f"{url}/stats", timeout=30) as r:
+        body = json.loads(r.read())
+    assert r.status == 200
+    assert body["requests"] >= 1
+    assert body["records_served"] >= len(RECORDS)
+    b = body["batcher"]
+    assert b["dispatches"] >= 1
+    assert b["records"] >= len(RECORDS)
+    assert b["avg_records_per_dispatch"] >= 1
+    assert b["queued_records"] == 0  # nothing in flight between requests
+    assert b["max_batch"] == 4096
+
+
 def test_predict_endpoint_matches_library(live_server):
     live_server = live_server["url"]
     status, body = _post(f"{live_server}/predict", {"records": RECORDS})

@@ -98,6 +98,7 @@ class DynamicBatcher:
         # possibly split across more dispatches).
         self.gap_s = max(0.0, float(gap_ms)) / 1e3
         self.batches = 0  # dispatches actually issued (stats/tests)
+        self.records = 0  # records scored through those dispatches
         self._cv = threading.Condition()
         self._queue: List[_BatchEntry] = []
         self._stop = False
@@ -218,6 +219,7 @@ class DynamicBatcher:
                             cache, len(flat)
                         )
                 self.batches += 1
+                self.records += len(flat)
                 off = 0
                 for e in batch:
                     e.result = preds[off:off + len(e.records)]
@@ -236,6 +238,7 @@ class DynamicBatcher:
                                     e.records
                                 )
                             self.batches += 1
+                            self.records += len(e.records)
                         except BaseException as solo:  # noqa: BLE001
                             e.error = solo
             finally:
@@ -298,6 +301,36 @@ class _Handler(BaseHTTPRequestHandler):
                     "backend": jax.default_backend(),
                     "records_served": self.stats["records"],
                     "requests": self.stats["requests"],
+                },
+            )
+        elif self.path.rstrip("/") == "/stats":
+            # operational observability: how well dynamic batching is
+            # coalescing (records/dispatch is the serving-throughput
+            # multiplier — BASELINE.md round-4 serving table) and the
+            # live queue depth (sustained growth = the device is the
+            # bottleneck at current load)
+            b = self.batcher
+            batcher_stats = None
+            if b is not None:
+                with b._cv:
+                    queued = sum(len(e.records) for e in b._queue)
+                batcher_stats = {
+                    "dispatches": b.batches,
+                    "records": b.records,
+                    "avg_records_per_dispatch": (
+                        round(b.records / b.batches, 2) if b.batches else None
+                    ),
+                    "queued_records": queued,
+                    "window_ms": b.window_s * 1e3,
+                    "gap_ms": b.gap_s * 1e3,
+                    "max_batch": b.max_batch,
+                }
+            self._reply(
+                200,
+                {
+                    "requests": self.stats["requests"],
+                    "records_served": self.stats["records"],
+                    "batcher": batcher_stats,
                 },
             )
         else:
