@@ -56,6 +56,40 @@ def main() -> None:
 
     W, l1 = step(W, Xg, yg)
     W, l2 = step(W, Xg, yg)
+
+    # Round-4 --dcn x multi-process: the compound ('dcn', 'data') batch
+    # layout must place each process's local rows at the right GLOBAL
+    # offsets. A position-weighted checksum (computed on device, fully
+    # reduced -> replicated and readable on every process) detects any
+    # row permutation a shape-only check would miss; it must match the
+    # host-computed value for both put_global_batch and the scan-epoch
+    # matrices (put_epoch_batches).
+    mesh_d = meshlib.make_mesh(dcn=2, tp=1)
+    assert mesh_d.axis_names == ("dcn", "data", "model")
+
+    def checksum(arr_g, r, c, m):
+        rg = meshlib.put_replicated_global(r, m)
+        cg = meshlib.put_replicated_global(c, m)
+        return float(jax.jit(lambda a, rr, cc: rr @ (a @ cc))(arr_g, rg, cg))
+
+    wr = rng.normal(size=X.shape[0]).astype(np.float32)
+    wc = rng.normal(size=X.shape[1]).astype(np.float32)
+    got = checksum(meshlib.put_global_batch(X, mesh_d), wr, wc, mesh_d)
+    want = float(wr @ X @ wc)
+    assert abs(got - want) < 1e-3 * max(1.0, abs(want)), (got, want)
+
+    ch = rng.integers(0, 64, size=(3, 16)).astype(np.int32)
+    mk = rng.normal(size=(3, 16)).astype(np.float32)
+    chd, mkd = meshlib.put_epoch_batches(ch, mk, mesh_d)
+    ws = rng.normal(size=(3,)).astype(np.float32)
+    wb = rng.normal(size=(16,)).astype(np.float32)
+    got_m = checksum(mkd, ws, wb, mesh_d)
+    want_m = float(ws @ mk @ wb)
+    assert abs(got_m - want_m) < 1e-3 * max(1.0, abs(want_m))
+    got_c = checksum(chd.astype(np.float32), ws, wb, mesh_d)
+    want_c = float(ws @ ch.astype(np.float32) @ wb)
+    assert abs(got_c - want_c) < 1e-3 * max(1.0, abs(want_c))
+
     # losses are fully replicated -> addressable on every process
     print(f"MHLOSS pid={pid} l1={float(l1):.10f} l2={float(l2):.10f}", flush=True)
 
