@@ -150,7 +150,16 @@ def _probe_backend(timeout: float = 240.0) -> bool:
 
 
 def main() -> None:
+    import sys
     import tempfile
+
+    t_start = time.perf_counter()
+
+    def progress(msg: str) -> None:
+        # stderr, so the stdout contract (ONE JSON line) holds; the
+        # driver's captured tail shows where a slow run spent time
+        print(f'bench[{time.perf_counter() - t_start:7.1f}s] {msg}',
+              file=sys.stderr, flush=True)
 
     platform_note = None
     if not _probe_backend():
@@ -184,6 +193,7 @@ def main() -> None:
             save_best=False,
             log_metrics_jsonl=False,
         )
+        progress('flagship trainer build')
         trainer = ForensicTrainer(cfg, cache=cache)
 
         import jax
@@ -221,6 +231,7 @@ def main() -> None:
             return make_runner_for(trainer, batch)
 
         # ---- primary batch: warm, then >=5 timed scans -------------------
+        progress('flagship warm+timed scans')
         run_steps, idx_batches = make_runner(BATCH)
         state, losses = run_steps(trainer.state, idx_batches(ITERS))
         jax.block_until_ready(losses)
@@ -238,6 +249,7 @@ def main() -> None:
         achieved = step_flops / p50
 
         # ---- batch scaling (one warm + one timed scan per size) ----------
+        progress('batch scaling')
         scaling = {str(BATCH): round(throughput, 1)}
         for big in (2048, 8192):
             try:
@@ -252,6 +264,7 @@ def main() -> None:
                 scaling[str(big)] = None
 
         # ---- bf16-compute lever (f32 master params) -----------------------
+        progress('bf16 lever')
         try:
             cfg_bf16 = TrainConfig(
                 data_root="<synthetic>",
@@ -278,6 +291,7 @@ def main() -> None:
             scaling["bf16_512"] = None
 
         # ---- joint text-tower step (the FLOP-rich configuration) ---------
+        progress('tower step')
         # VERDICT r2 item 4: --train_text_tower is where the chip does real
         # MXU work (the depth-2 width-768 tower fwd+bwd dominates). Report
         # p50 step time, samples/s, and MFU for bf16-compute (production
@@ -314,6 +328,7 @@ def main() -> None:
             tower = None
 
         # ---- v1 feature-stage throughput (device-CV path) ----------------
+        progress('v1 feature stage')
         # Synthetic 8-clip batch through the BatchFeatureExtractor with
         # the accelerator CV stage — the VERDICT r1 "v1 pipeline
         # throughput" capture. Hash/DSP encoder rungs (hermetic).
@@ -359,6 +374,7 @@ def main() -> None:
         except Exception:
             pass
 
+        progress('graph build')
         # native graph builder vs numpy incidence matmul (one-time host
         # cost of trainer init; see BASELINE.md "Native OCR-Jaccard")
         graph_build = None
@@ -390,6 +406,74 @@ def main() -> None:
         except Exception:
             pass
 
+        # ---- serving throughput (records/s through Predictor.predict) ----
+        progress('serving row')
+        # End-to-end scoring capability: host featurization (prefetched),
+        # inductive graph attachment, and the jitted scoring dispatch —
+        # the direct-predict rate the HTTP serving rows in BASELINE.md
+        # sit under. Trains a 1-epoch fixture model into tmp (the bench's
+        # synthetic cache carries no checkpoint), warms ONE 64-record
+        # bucket, then times 64-record requests (median of 3). Kept
+        # deliberately small: every novel shape here is a remote compile
+        # over the tunnel, and the serving row must not blow the bench's
+        # wall-clock budget (the full protocol ladder lives in
+        # scripts/bench_serving.py / bench_http_serving.py).
+        serving = None
+        try:
+            from pathlib import Path as _Path
+
+            from ultrafnd_git_tpu.serving import Predictor
+
+            fixture = (
+                _Path(__file__).resolve().parent
+                / "tests" / "fixtures" / "fakesv_tiny"
+            )
+            sdir = _Path(tmp) / "serve"
+            import contextlib
+
+            # the fixture trainer prints per-epoch metric lines; stdout
+            # must stay ONE JSON line (the driver contract), so route
+            # them to stderr with the progress markers
+            with contextlib.redirect_stdout(sys.stderr):
+                st = ForensicTrainer(
+                    TrainConfig(
+                        data_root=str(fixture),
+                        out_dir=str(sdir),
+                        batch_size=8,
+                        epochs=1,
+                        seed=0,
+                        log_metrics_jsonl=False,
+                    )
+                )
+                st.fit()
+                pred = Predictor(str(sdir), batch_size=64)
+            n_req = 64
+            records = [
+                {
+                    "video_id": f"q{i}",
+                    "title": f"外星人 入侵 地球 警告 第{i}期",
+                    "ocr": "外星 飞船 出现 危险",
+                    "comments": ["太可怕了"],
+                }
+                for i in range(n_req)
+            ]
+            pred.predict(records)  # one bucket: warm featurize + score
+            times_s = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows = pred.predict(records)
+                times_s.append(time.perf_counter() - t0)
+            assert len(rows) == n_req
+            dt = float(np.median(times_s))
+            serving = {
+                "records_per_s": round(n_req / dt, 1),
+                "ms_per_record": round(dt / n_req * 1e3, 3),
+                "request": n_req,
+            }
+        except Exception:
+            pass
+
+        progress('emit json')
         print(
             json.dumps(
                 {
@@ -413,6 +497,7 @@ def main() -> None:
                         if graph_build
                         else {}
                     ),
+                    **({"serving": serving} if serving else {}),
                     "backend": jax.default_backend(),
                     **(
                         {"backend_note": platform_note}
