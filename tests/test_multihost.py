@@ -271,89 +271,6 @@ def test_real_trainer_two_process_matches_single_process(
             got[key], want[key], atol=2e-5, rtol=1e-4, err_msg=key
         )
 
-
-def test_cli_multihost_two_processes(fixture_data_root, tmp_path):
-    """The PRODUCT surface end-to-end: two `run_train_eval.py
-    --multihost` processes (env coordinator contract) train into one
-    SHARED out_dir. Exercises what the direct-trainer test cannot: the
-    CLI's maybe_initialize_distributed call, and the shared-out_dir
-    write discipline — feature_cache.npz persisted atomically by
-    process 0 only, metrics.jsonl single-writer (exactly one line per
-    epoch, no interleaved duplicates)."""
-    import json
-
-    out = tmp_path / "cli_mh"
-    out.mkdir()
-    port = _free_port()
-
-    def spawn(run_port):
-        procs = []
-        for i in range(2):
-            env = dict(
-                os.environ,
-                XLA_FLAGS="--xla_force_host_platform_device_count=4",
-                JAX_PLATFORMS="cpu",
-                PYTHONPATH=str(REPO),
-                ULTRAFND_DISABLE_HF="1",
-                JAX_COORDINATOR_ADDRESS=f"localhost:{run_port}",
-                JAX_NUM_PROCESSES="2",
-                JAX_PROCESS_ID=str(i),
-            )
-            procs.append(
-                subprocess.Popen(
-                    [
-                        sys.executable, str(REPO / "run_train_eval.py"),
-                        "--data_root", fixture_data_root,
-                        "--out_dir", str(out),
-                        "--epochs", "1", "--batch_size", "8",
-                        "--seed", "0", "--dp", "8",
-                        "--cpu", "--multihost",
-                    ],
-                    env=env,
-                    cwd=str(REPO),
-                    stdout=subprocess.PIPE,
-                    stderr=subprocess.STDOUT,
-                    text=True,
-                )
-            )
-        outs = []
-        for p in procs:
-            o, _ = p.communicate(timeout=1200)
-            outs.append(o)
-        return procs, outs
-
-    procs, outs = spawn(port)
-    if any(p.returncode != 0 for p in procs) and any(
-        "Gloo context initialization" in o or "DEADLINE_EXCEEDED" in o
-        for o in outs
-    ):
-        import shutil  # infra flake retry — see the trainer test above
-
-        shutil.rmtree(out)
-        out.mkdir()
-        procs, outs = spawn(_free_port())
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, f"CLI worker failed:\n{o[-4000:]}"
-
-    for i, o in enumerate(outs):
-        assert f"multi-host: process {i} of 2" in o
-    # both processes print identical final metric blocks
-    import re as _re
-
-    def final_block(o):
-        return _re.findall(r"Test \w+ ?:?.*", o.split("Final Results")[-1])
-
-    assert final_block(outs[0]) == final_block(outs[1])
-    assert "Test Acc" in "\n".join(final_block(outs[0]))
-
-    # single-writer artifacts in the shared out_dir
-    rows = [
-        json.loads(l)
-        for l in open(out / "metrics.jsonl", encoding="utf-8")
-    ]
-    assert len(rows) == 1 and rows[0]["epoch"] == 1  # one line, one epoch
-    from ultrafnd_git_tpu.data.cache import load_cache
-
-    cache = load_cache(str(out / "feature_cache.npz"))
-    assert cache is not None and len(cache["labels"]) > 0
-    assert (out / "best" / "meta.json").exists()
+# test_cli_multihost_two_processes moved to tests/test_multihost_cli.py
+# so xdist's per-file distribution runs it in parallel with the two
+# multi-process tests above (VERDICT r3 item 8).
