@@ -58,11 +58,11 @@ def pytest_configure(config):
         "host), the full suite stays the merge gate (compile-dominated; "
         "xdist spreads it per-FILE on multi-core, so the gate's wall "
         "time is the slowest file — round 4 rebalanced it: one shared "
-        "v2_ckpt session checkpoint, test_trainer split in two; the "
-        "2-process real-trainer test (tests/test_multihost.py, the "
-        "round-4 execution-evidence centerpiece) is now the longest "
-        "single file at ~10 min serial / less under xdist where its two "
-        "worker processes get their own cores)",
+        "v2_ckpt session checkpoint, test_trainer split in two, and the "
+        "CLI multi-host test split into test_multihost_cli.py so the "
+        "three 2-process tests (the round-4 execution-evidence "
+        "centerpiece) spread over two xdist workers instead of "
+        "serializing on one)",
     )
 
 

@@ -200,6 +200,9 @@ def test_exported_artifact_matches_live_predictor(trained_out_dir, tmp_path):
     assert (art / "arrays.npz").exists()
 
     served = ExportedPredictor(str(art), batch_size=4)
+    # warmup is inherited from Predictor and runs against the frozen
+    # StableHLO program (serve.py --artifact ... --warmup)
+    assert served.warmup(8) == 1
     recs = [FAKE_REC, REAL_REC] + [
         {"title": "普通 新闻 报道", "ocr": "今天 天气", "comments": []}
     ]  # 3 records -> bucket pad on the 4-row ladder
