@@ -64,6 +64,12 @@ def main() -> None:
     from ultrafnd_git_tpu.serving import Predictor
 
     predictor = Predictor(args.out_dir, batch_size=args.batch_size)
+    # warm the whole featurize/score bucket ladder, not just one bucket:
+    # dynamic-batching windows produce variable sizes, and on a cold
+    # compile cache the per-bucket remote compiles land INSIDE the timed
+    # runs otherwise (measured: 10.2 records/s cold vs 146.3 warm on the
+    # identical protocol — BASELINE.md round-4 session 2)
+    predictor.warmup(max(8, 2 * args.clients))
 
     records = [
         {
