@@ -79,6 +79,52 @@ def test_concurrent_submits_coalesce_and_split_exactly():
         b.close()
 
 
+def test_soak_random_sizes_under_sustained_concurrency():
+    """Sustained mixed-size load: 24 threads x 8 sequential submits of
+    1-7 records each, with nonzero featurize + dispatch latency so the
+    two pipeline stages genuinely overlap the whole run. Every caller
+    must get exactly ITS rows back in order (any fan-out off-by-one,
+    window race, or handoff-queue bug shows up here as crossed or lost
+    rows), and the queue must drain to empty."""
+    import random
+
+    pred = StubPredictor(delay_s=0.002, featurize_s=0.001)
+    b = _make(pred, window_ms=5.0, gap_ms=1.0)
+    rng = random.Random(0)
+    sizes = {
+        t: [rng.randint(1, 7) for _ in range(8)] for t in range(24)
+    }
+    errors = []
+
+    def client(t):
+        try:
+            for j, size in enumerate(sizes[t]):
+                recs = [{"id": f"t{t}r{j}k{k}"} for k in range(size)]
+                out = b.submit(recs)
+                assert [r["id"] for r in out] == [r["id"] for r in recs]
+        except BaseException as exc:  # noqa: BLE001
+            errors.append((t, exc))
+
+    try:
+        ts = [
+            threading.Thread(target=client, args=(t,)) for t in range(24)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert not errors, errors[:3]
+        total = sum(sum(s) for s in sizes.values())
+        assert sum(len(c) for c in pred.calls) == total  # no loss, no dup
+        assert b.records == total
+        # sustained concurrency must actually coalesce
+        assert b.batches < 24 * 8
+        with b._cv:
+            assert not b._queue  # drained
+    finally:
+        b.close()
+
+
 def test_max_batch_splits_dispatches():
     pred = StubPredictor()
     b = _make(pred, window_ms=100.0, max_batch=3)
