@@ -28,7 +28,6 @@ from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
 
 enable_persistent_cache()  # the device-CV stage compile is ~50 s cold
 
-import numpy as np
 
 FIXTURE = REPO / "tests" / "fixtures" / "fakesv_tiny"
 REFERENCE = Path("/root/reference")

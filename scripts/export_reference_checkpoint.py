@@ -26,7 +26,6 @@ Notes:
     Flax forward on random features at fp32 tolerance.
 """
 import argparse
-import json
 import sys
 from pathlib import Path
 

@@ -13,7 +13,6 @@ from jax.sharding import Mesh
 
 from ultrafnd_git_tpu.models.transformer import (
     TextTransformer,
-    hash_tokenize_batch,
 )
 from ultrafnd_git_tpu.parallel.pipeline import (
     pipeline_blocks,

@@ -138,7 +138,6 @@ def test_affective_routes_through_device_twin(monkeypatch):
     """AffectiveForensics.text_probs_batch must use the device twin when
     the HF rung is live, and its bucketed output must match the host
     torch path bit-for-near (same label buckets, same normalization)."""
-    import ultrafnd_git_tpu.models.affective as affective_mod
     from ultrafnd_git_tpu.models.affective import AffectiveForensics
     from ultrafnd_git_tpu.utils import hf as hf_mod
 

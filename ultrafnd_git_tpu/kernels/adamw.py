@@ -27,7 +27,6 @@ via optax; this kernel changes WHERE the math runs, not what it computes.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
