@@ -340,3 +340,83 @@ def test_exported_tower_artifact(tower_ckpt, tmp_path):
     want = live.predict([FAKE_REC, REAL_REC])
     for g, w in zip(got, want):
         np.testing.assert_allclose(g["prob_fake"], w["prob_fake"], atol=1e-6)
+
+
+def test_fused_align_single_dispatch_matches_legacy(trained_out_dir):
+    """The fused-align scoring program (default) computes the temporal
+    alignment IN-PROGRAM — featurize() never touches the device — and
+    its scores match the round-3 two-dispatch paths to f32 tiling
+    tolerance (the align MLP runs at a different batch shape, so exact
+    bit-match is not owed; serving.py fused_align docstring)."""
+    fused = Predictor(trained_out_dir, batch_size=4)
+    legacy = Predictor(trained_out_dir, batch_size=4, fused_align=False)
+    assert fused.fused_align and not legacy.fused_align
+
+    # host-only featurize: no temporal/aux keys, no align dispatch
+    recs = [FAKE_REC, REAL_REC]
+    cache = fused.featurize(recs)
+    assert "temporal" not in cache and "aux" not in cache
+    assert "emo" in cache
+    tsync = fused._encoders["tsync"]
+    orig_apply = tsync._apply
+
+    def _boom(*a, **k):  # the fused path must not dispatch the align MLP
+        raise AssertionError("align MLP dispatched during fused featurize")
+
+    tsync._apply = _boom
+    try:
+        got = fused.predict(recs)
+    finally:
+        tsync._apply = orig_apply
+
+    want = legacy.predict(recs)
+    leg_cache = legacy.featurize(recs)
+    assert "temporal" in leg_cache and "aux" in leg_cache
+    for g, w in zip(got, want):
+        assert g["id"] == w["id"] and g["label"] == w["label"]
+        for k in ("prob_fake", "semantic_conflict", "temporal_delay",
+                  "emotion_intensity"):
+            np.testing.assert_allclose(g[k], w[k], atol=1e-5, err_msg=k)
+
+    # a full legacy cache handed to the fused predictor still scores
+    # (the legacy program jits lazily) and agrees with the legacy rows
+    via_full = fused.predict_featurized(leg_cache, len(recs))
+    for g, w in zip(via_full, want):
+        np.testing.assert_allclose(g["prob_fake"], w["prob_fake"], atol=1e-6)
+
+
+def test_fused_align_evidence_checkpoint(fixture_data_root, tmp_path):
+    """use_evidence checkpoints under fused_align: featurize emits the
+    two host evidence columns ("evidence_host") and the program appends
+    the in-program delay as column 2 — rows match the legacy
+    three-column path."""
+    from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
+
+    out = tmp_path / "ev_ckpt"
+    ForensicTrainer(
+        TrainConfig(
+            data_root=fixture_data_root,
+            out_dir=str(out),
+            batch_size=8,
+            epochs=1,
+            seed=0,
+            use_evidence=True,
+            cache_to_disk=True,
+            log_metrics_jsonl=False,
+        )
+    ).fit()
+
+    fused = Predictor(str(out), batch_size=4)
+    legacy = Predictor(str(out), batch_size=4, fused_align=False)
+    assert fused.use_evidence
+
+    cache = fused.featurize([FAKE_REC, REAL_REC])
+    assert cache["evidence_host"].shape[1] == 2
+    assert "evidence" not in cache
+
+    got = fused.predict([FAKE_REC, REAL_REC])
+    want = legacy.predict([FAKE_REC, REAL_REC])
+    for g, w in zip(got, want):
+        for k in ("prob_fake", "semantic_conflict", "temporal_delay",
+                  "emotion_intensity"):
+            np.testing.assert_allclose(g[k], w[k], atol=1e-5, err_msg=k)

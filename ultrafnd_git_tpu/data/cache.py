@@ -127,6 +127,7 @@ def build_feature_cache(
     ocr_clean_fallback: Optional[bool] = None,
     with_evidence: bool = True,
     with_tower_tokens: bool = True,
+    with_align: bool = True,
 ) -> Dict[str, Any]:
     """Build the full tensor cache for the trainer + GNN in batched passes.
 
@@ -136,6 +137,18 @@ def build_feature_cache(
     never reads — evidence scorer forwards on every request batch were
     pure hot-path waste for use_evidence=False checkpoints (VERDICT r2);
     the corresponding keys are then absent from the returned dict.
+
+    `with_align=False` builds a HOST-ONLY cache: the temporal alignment
+    MLP (the featurizer's single device dispatch) is skipped, and the
+    keys it feeds — "temporal", "aux", "evidence" — are replaced by
+    their host halves: "emo" (N,) and, under with_evidence,
+    "evidence_host" (N, 2) = [semantic_conflict, emotion_intensity].
+    The serving Predictor's fused scoring program computes the
+    alignment, delay, aux and the evidence delay column IN-PROGRAM, so
+    a request batch costs ONE device round trip instead of two —
+    measured 36.8 ms featurize + 36.3 ms score at batch 64 over the
+    tunneled chip, with 32.4 ms of the featurize being this one
+    dispatch (BASELINE.md round-4 serving sections).
     """
     rng = np.random.default_rng(seed)
     n = len(raw)
@@ -189,11 +202,13 @@ def build_feature_cache(
     # text-visual and the text-self reference alignments ride a single
     # 2N-row dispatch (row-wise MLP, exact; halves the featurizer's
     # device round trips on the serving hot path) --------------------------
-    tsync = enc["tsync"]
-    U, U_tt = tsync.align_batch_pair(T, V)  # (N, 256) x2
+    U = delay = None
+    if with_align:
+        tsync = enc["tsync"]
+        U, U_tt = tsync.align_batch_pair(T, V)  # (N, 256) x2
+        delay = alignment_delay(U_tt, U)
 
     # ---- aux: delay + emotion proxies --------------------------------------
-    delay = alignment_delay(U_tt, U)
     emo = np.array(
         [
             min(
@@ -208,12 +223,18 @@ def build_feature_cache(
         ],
         dtype=np.float32,
     )
-    AUX = np.stack([delay.astype(np.float32), emo], axis=1)  # (N, 2)
+    AUX = (
+        np.stack([delay.astype(np.float32), emo], axis=1)  # (N, 2)
+        if with_align
+        else None
+    )
 
     # ---- evidence: real scorer outputs (the wiring the reference intended
     # but never completed, SURVEY §2.1) — (N, 3) ordered
-    # [semantic_conflict, emotion_intensity, temporal_delay] ----------------
-    evidence = None
+    # [semantic_conflict, emotion_intensity, temporal_delay]; the delay
+    # column is the aux delay, so host-only caches carry the first two
+    # columns as "evidence_host" and the scorer appends delay in-program
+    evidence = evidence_host = None
     if with_evidence:
         titles = [r["title"] or "" for r in records]
         ocrs = [r["ocr"] or "" for r in records]
@@ -222,9 +243,14 @@ def build_feature_cache(
         ]
         sem_gap = enc["semantic"].gap_magnitude(titles, ocrs)
         emo_int = enc["affective"].analyze_batch(texts_full)["intensity"]
-        evidence = np.stack(
-            [sem_gap, emo_int, delay.astype(np.float32)], axis=1
-        ).astype(np.float32)
+        if with_align:
+            evidence = np.stack(
+                [sem_gap, emo_int, delay.astype(np.float32)], axis=1
+            ).astype(np.float32)
+        else:
+            evidence_host = np.stack(
+                [sem_gap, emo_int], axis=1
+            ).astype(np.float32)
 
     # ---- OCR token sets + split --------------------------------------------
     ocr_sets = ocr_sets_for_records(
@@ -238,13 +264,18 @@ def build_feature_cache(
         "text": T.astype(np.float32),
         "audio": A.astype(np.float32),
         "visual": V.astype(np.float32),
-        "temporal": U.astype(np.float32),
-        "aux": AUX,
         "ocr_sets": ocr_sets,
         "split": split,
     }
+    if with_align:
+        out["temporal"] = U.astype(np.float32)
+        out["aux"] = AUX
+    else:
+        out["emo"] = emo
     if evidence is not None:
         out["evidence"] = evidence
+    if evidence_host is not None:
+        out["evidence_host"] = evidence_host
     if text_ids is not None:
         out["text_ids"] = text_ids
         out["text_mask"] = text_mask

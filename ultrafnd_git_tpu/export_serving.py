@@ -106,15 +106,7 @@ def export_artifact(
         return jax.ShapeDtypeStruct(shape, dtype)
 
     cache = predictor.cache
-    feats_spec: Dict[str, jax.ShapeDtypeStruct] = {
-        "audio_features": spec((b, cache["audio"].shape[1])),
-        "visual_features": spec((b, cache["visual"].shape[1])),
-        "temporal_features": spec((b, cache["temporal"].shape[1])),
-    }
-    if predictor.text_tower is None:
-        feats_spec["text_features"] = spec((b, cache["text"].shape[1]))
-    if predictor.use_evidence:
-        feats_spec["evidence"] = spec((b, cache["evidence"].shape[1]))
+    fused = bool(getattr(predictor, "fused_align", False))
 
     n_corpus, g_in = predictor.XG.shape
     params_spec = jax.tree.map(
@@ -135,25 +127,73 @@ def export_artifact(
         else spec((), f32)
     )
 
-    exported = jexport.export(
-        jax.jit(predictor._make_score()), platforms=tuple(platforms)
-    )(
-        params_spec,
-        feats_spec,
-        spec((b, 2)),           # aux
-        spec((b, n_corpus)),    # a_rows
-        spec((b,)),             # self_w
-        spec((b, g_in)),        # xg_new
-        spec((n_corpus, g_in)),  # xg_corpus
-        h_spec,
-        ids_spec,
-        mask_spec,
-    )
+    if fused:
+        # fused-align contract (serving.Predictor._make_score_fused):
+        # raw text/audio/visual + host aux/evidence halves; the program
+        # computes temporal/aux/evidence-delay itself — exported
+        # artifacts keep the one-dispatch-per-request property
+        align_spec = jax.tree.map(
+            lambda a: spec(a.shape, a.dtype), predictor._align_params
+        )
+        exported = jexport.export(
+            jax.jit(predictor._make_score(fused=True)),
+            platforms=tuple(platforms),
+        )(
+            params_spec,
+            align_spec,
+            spec((b, cache["text"].shape[1])),    # t_raw
+            spec((b, cache["audio"].shape[1])),   # audio
+            spec((b, cache["visual"].shape[1])),  # visual
+            spec((b,)),                            # emo
+            spec((b, 2)) if predictor.use_evidence else spec(()),
+            spec((b, n_corpus)),    # a_rows
+            spec((b,)),             # self_w
+            spec((n_corpus, g_in)),  # xg_corpus
+            h_spec,
+            ids_spec,
+            mask_spec,
+        )
+        feats_keys = ["audio", "emo", "text", "visual"]
+        if predictor.use_evidence:
+            feats_keys.append("evidence_host")
+    else:
+        feats_spec: Dict[str, jax.ShapeDtypeStruct] = {
+            "audio_features": spec((b, cache["audio"].shape[1])),
+            "visual_features": spec((b, cache["visual"].shape[1])),
+            "temporal_features": spec((b, cache["temporal"].shape[1])),
+        }
+        if predictor.text_tower is None:
+            feats_spec["text_features"] = spec((b, cache["text"].shape[1]))
+        if predictor.use_evidence:
+            feats_spec["evidence"] = spec((b, cache["evidence"].shape[1]))
+
+        exported = jexport.export(
+            jax.jit(predictor._make_score()), platforms=tuple(platforms)
+        )(
+            params_spec,
+            feats_spec,
+            spec((b, 2)),           # aux
+            spec((b, n_corpus)),    # a_rows
+            spec((b,)),             # self_w
+            spec((b, g_in)),        # xg_new
+            spec((n_corpus, g_in)),  # xg_corpus
+            h_spec,
+            ids_spec,
+            mask_spec,
+        )
+        feats_keys = sorted(feats_spec)
     (root / _SCORER).write_bytes(exported.serialize())
 
     arrays: Dict[str, np.ndarray] = {
         "p:" + k: v for k, v in _flatten_params(predictor._score_params).items()
     }
+    if fused:
+        arrays.update(
+            {
+                "ap:" + k: v
+                for k, v in _flatten_params(predictor._align_params).items()
+            }
+        )
     arrays["XG"] = np.asarray(predictor.XG)
     if predictor.H_CORPUS is not None:
         arrays["H_CORPUS"] = np.asarray(predictor.H_CORPUS)
@@ -183,7 +223,8 @@ def export_artifact(
         "tower_len": tower_len,
         "batch_size": predictor.batch_size,
         "n_corpus": int(n_corpus),
-        "feats_keys": sorted(feats_spec),
+        "fused_align": fused,
+        "feats_keys": feats_keys,
     }
     (root / _META).write_text(json.dumps(meta, indent=1), encoding="utf-8")
     return root
@@ -245,17 +286,25 @@ class ExportedPredictor(Predictor):
             self._tower_len = int(meta["tower_len"])
         set_hash_salt(self._hash_salt)
 
+        self.fused_align = bool(meta.get("fused_align", False))
+        self._score_is_fused = self.fused_align
+
         # Validate the featurizer contract NOW: if current featurization
         # code drifted from the exported spec (feature keys, tower token
         # length), failing here with the cause beats the opaque XLA
         # shape/arity error the first dispatch would raise.
-        expected_keys = {
-            "audio_features", "visual_features", "temporal_features"
-        }
-        if self.text_tower is None:
-            expected_keys.add("text_features")
-        if self.use_evidence:
-            expected_keys.add("evidence")
+        if self.fused_align:
+            expected_keys = {"audio", "emo", "text", "visual"}
+            if self.use_evidence:
+                expected_keys.add("evidence_host")
+        else:
+            expected_keys = {
+                "audio_features", "visual_features", "temporal_features"
+            }
+            if self.text_tower is None:
+                expected_keys.add("text_features")
+            if self.use_evidence:
+                expected_keys.add("evidence")
         if sorted(expected_keys) != sorted(meta.get("feats_keys") or []):
             raise ValueError(
                 f"artifact feature spec {sorted(meta.get('feats_keys') or [])} "
@@ -280,6 +329,13 @@ class ExportedPredictor(Predictor):
             jax.tree.map(jnp.asarray, _unflatten_params(flat))
         )
         self.params = self._score_params  # no separate f32 tree here
+        if self.fused_align:
+            aflat = {
+                k[3:]: z[k] for k in z.files if k.startswith("ap:")
+            }
+            self._align_params = jax.device_put(
+                jax.tree.map(jnp.asarray, _unflatten_params(aflat))
+            )
         self.XG = jnp.asarray(z["XG"])
         self.H_CORPUS = (
             jnp.asarray(z["H_CORPUS"]) if "H_CORPUS" in z.files else None
@@ -307,6 +363,19 @@ class ExportedPredictor(Predictor):
         )
 
     # ------------------------------------------------------------------
+    def _get_score(self, fused: bool):
+        """An exported artifact carries exactly ONE scoring program —
+        there are no Flax modules here to retrace the other variant."""
+        if fused != self._score_is_fused:
+            raise ValueError(
+                "this artifact was exported with "
+                f"fused_align={self._score_is_fused} but the feature "
+                "cache handed to predict_featurized follows the "
+                f"{'fused' if fused else 'legacy'} contract — featurize "
+                "with this ExportedPredictor's own featurize()"
+            )
+        return self._score
+
     def explain(self, *args, **kwargs):  # pragma: no cover - guard
         raise NotImplementedError(
             "explain() needs the full-precision Flax modules; serve "

@@ -49,6 +49,7 @@ class Predictor:
         checkpoint_name: str = "best",
         bf16: bool = False,
         quantize: bool = False,
+        fused_align: Optional[bool] = None,
     ):
         """bf16=True runs fusion/classifier/tower matmul activations in
         bfloat16 (restored params stay f32) — the serving analogue of the
@@ -63,7 +64,17 @@ class Predictor:
         traffic on the memory-bound small-batch path; scores move within
         the weight-rounding envelope (|d prob| ~ 1e-2 on the fixture).
         Composes with bf16 (dequantizes straight to bf16). explain()
-        attributions always use the full-precision weights."""
+        attributions always use the full-precision weights.
+
+        fused_align (default True) moves the featurizer's temporal
+        alignment MLP INSIDE the scoring program: featurize() becomes
+        pure host work and a request batch costs ONE device round trip
+        instead of two. On the tunneled chip the two dispatches were
+        36.8 + 36.3 ms at batch 64 — each round trip IS the floor, so
+        fusing them nearly halves serving latency. The alignment math
+        is identical (same MLP, same params, one 2B-row application);
+        rows drift only by XLA tiling (~1e-7) vs the two-dispatch
+        build. fused_align=False restores the round-3 split paths."""
         from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
 
         # serving entry points (scripts/serve.py, scripts/predict.py,
@@ -235,8 +246,6 @@ class Predictor:
         else:
             self.H_CORPUS = None
 
-        self._score = jax.jit(self._make_score())
-
         # Featurizer built ONCE (encoder objects carry jitted lambdas that
         # would re-trace per construction). Evidence scorers are only
         # constructed/run when this checkpoint actually consumes evidence.
@@ -244,6 +253,19 @@ class Predictor:
         self._encoders = make_encoders(
             seed=self._seed, with_evidence=self.use_evidence
         )
+
+        # Fused-align scoring (see class docstring): the align MLP's
+        # module + deterministic params ride into the score program as
+        # an ARGUMENT (like the corpus context — closure-captured arrays
+        # bloat the remote-compile payload).
+        self.fused_align = True if fused_align is None else bool(fused_align)
+        tsync = self._encoders["tsync"]
+        self._align_module = tsync.module
+        self._align_params = jax.device_put(
+            jax.tree.map(jnp.asarray, tsync.params)
+        )
+        self._score_is_fused = self.fused_align
+        self._score = jax.jit(self._make_score(fused=self.fused_align))
 
     def _effective_params(self):
         """The weights the scoring program actually sees (dequantized
@@ -305,10 +327,13 @@ class Predictor:
         return create_train_state(params, tx, key)
 
     # ------------------------------------------------------------------
-    def _make_score(self):
+    def _make_score(self, fused: bool = False):
         # xg_corpus/h_corpus are ARGUMENTS: closure-captured device arrays
         # are embedded in the remote-compile payload, which the tunnel
         # rejects at large corpus N (see trainer.py's corpus note)
+        if fused:
+            return self._make_score_fused()
+
         def score(params, feats, aux, a_rows, self_w, xg_new, xg_corpus,
                   h_corpus, text_ids, text_mask):
             if self.quantize:
@@ -360,6 +385,114 @@ class Predictor:
             return co["probs"], fo["forensic"], fo["fused"]
 
         return score
+
+    def _make_score_fused(self):
+        """Scoring program that ALSO computes the temporal alignment.
+
+        Inputs are the host-only featurize contract (data/cache.py
+        with_align=False): raw text/audio/visual features plus the host
+        aux half ("emo") and, for evidence checkpoints, the two host
+        evidence columns. The program derives temporal_features, the
+        delay proxy, aux and the evidence delay column itself — the
+        exact math of TemporalSyncNet.align_batch_pair +
+        data.cache.alignment_delay, one 2B-row MLP application — so a
+        request batch is ONE dispatch end-to-end. The align params are
+        an argument (deterministic seeded tree, never trained, never
+        quantized)."""
+        from ultrafnd_git_tpu.models.temporal import _pad_or_trunc
+        from ultrafnd_git_tpu.ops.graphctx import SLICES
+
+        def score(params, align_params, t_raw, audio, visual, emo,
+                  ev_host, a_rows, self_w, xg_corpus, h_corpus,
+                  text_ids, text_mask):
+            if self.quantize:
+                from ultrafnd_git_tpu.ops.quant import dequantize_tree
+
+                params = dequantize_tree(
+                    params, jnp.bfloat16 if self.bf16 else None
+                )
+            b = t_raw.shape[0]
+            both = self._align_module.apply(
+                align_params,
+                jnp.concatenate([t_raw, t_raw], axis=0),
+                jnp.concatenate(
+                    [_pad_or_trunc(visual, t_raw.shape[1]), t_raw], axis=0
+                ),
+                deterministic=True,
+            )
+            u, u_tt = both[:b], both[b:]
+            # alignment_delay, in-program (same eps/clip as the host copy)
+            an = jnp.linalg.norm(u_tt, axis=-1) + 1e-9
+            bn = jnp.linalg.norm(u, axis=-1) + 1e-9
+            delay = jnp.clip(
+                1.0 - jnp.sum(u_tt * u, axis=-1) / (an * bn), 0.0, 1.0
+            )
+            aux = jnp.stack([delay, emo], axis=1)
+            feats = {
+                "audio_features": audio,
+                "visual_features": visual,
+                "temporal_features": u,
+            }
+            if self.text_tower is not None:
+                feats["text_features"] = self.text_tower.apply(
+                    {"params": params["text_tower"]},
+                    text_ids,
+                    text_mask,
+                    deterministic=True,
+                )
+            else:
+                feats["text_features"] = t_raw
+            if self.use_evidence:
+                feats["evidence"] = jnp.concatenate(
+                    [ev_host, delay[:, None]], axis=1
+                )
+            if self.use_gnn:
+                # compact_node_features (ops/graphctx.py), in-program:
+                # temporal is computed here, so the host can't build it
+                by_key = {
+                    "text": t_raw, "audio": audio,
+                    "visual": visual, "temporal": u,
+                }
+                xg_new = jnp.concatenate(
+                    [by_key[k][:, :w] for k, w in SLICES], axis=1
+                )
+                xg_new = xg_new / (
+                    jnp.linalg.norm(xg_new, axis=1, keepdims=True) + 1e-9
+                )
+                p = params["gnn"]
+                ax_new = a_rows @ xg_corpus + self_w[:, None] * xg_new
+                h_new = jax.nn.gelu(
+                    ax_new @ p["lin1"]["kernel"] + p["lin1"]["bias"],
+                    approximate=False,
+                )
+                prop = a_rows @ h_corpus + self_w[:, None] * h_new
+                z = prop @ p["lin2"]["kernel"] + p["lin2"]["bias"]
+                feats = {**feats, "gnn_feat": z}
+            fo = self.fusion.apply(
+                {"params": params["fusion"]}, feats, deterministic=True
+            )
+            co = self.clf.apply(
+                {"params": params["clf"]},
+                fo["fused"],
+                aux,
+                deterministic=True,
+            )
+            # aux is a device product here — returned for explain();
+            # predict() fetches only probs+forensic, so it stays free
+            return co["probs"], fo["forensic"], fo["fused"], aux
+
+        return score
+
+    def _get_score(self, fused: bool):
+        """The jitted program matching a featurize contract (the default
+        one is prebuilt; the other variant jits lazily on first use —
+        e.g. a full persisted cache handed to predict_featurized)."""
+        if fused == self._score_is_fused:
+            return self._score
+        alt = getattr(self, "_score_alt", None)
+        if alt is None:
+            alt = self._score_alt = jax.jit(self._make_score(fused=fused))
+        return alt
 
     # ------------------------------------------------------------------
     def _new_node_rows(self, ocr_sets: Sequence[set]) -> np.ndarray:
@@ -455,6 +588,9 @@ class Predictor:
             # forwards and tower tokenization are hot-path waste otherwise
             with_evidence=self.use_evidence,
             with_tower_tokens=self.text_tower is not None,
+            # fused-align serving: featurize is pure host work; the
+            # scoring program computes temporal/aux/evidence-delay itself
+            with_align=not self.fused_align,
         )
 
     # ------------------------------------------------------------------
@@ -617,26 +753,15 @@ class Predictor:
         def take(key):
             return take_raw(key, np.float32)
 
-        feats = {
-            "audio_features": take("audio"),
-            "visual_features": take("visual"),
-            "temporal_features": take("temporal"),
-        }
-        if self.text_tower is None:
-            feats["text_features"] = take("text")
-        # (tower path: score() computes text_features from ids —
-        # uploading the unused cached rows would be pure tunnel
-        # traffic on the exact path this chunking optimizes)
-        if self.use_evidence:
-            feats["evidence"] = take("evidence")
-        aux = take("aux")
+        # contract detection: host-only caches (featurize under
+        # fused_align) carry no "temporal" — the fused program computes
+        # it; full caches (persisted trainer caches, fused_align=False)
+        # take the legacy two-input path
+        is_fused = "temporal" not in feats_cache
+        score_fn = self._get_score(is_fused)
 
         ocr_sets = feats_cache["ocr_sets"][:count]
         a_rows, self_w = self._new_node_rows(ocr_sets)
-        xg_new = compact_node_features(
-            {k: feats_cache[k][:count] for k in
-             ("text", "audio", "visual", "temporal")}
-        )
         if pad:
             a_rows = np.concatenate(
                 [a_rows, np.repeat(a_rows[-1:], pad, axis=0)]
@@ -644,35 +769,89 @@ class Predictor:
             self_w = np.concatenate(
                 [self_w, np.repeat(self_w[-1:], pad, axis=0)]
             )
-            xg_new = np.concatenate(
-                [xg_new, np.repeat(xg_new[-1:], pad, axis=0)]
-            )
-        probs, forensic, fused = self._score(
-            self._score_params,
-            feats,
-            aux,
-            jnp.asarray(a_rows),
-            jnp.asarray(self_w),
-            jnp.asarray(xg_new),
-            self.XG,
-            # use_gnn=False leaves H_CORPUS unset; pass a 0-d filler
-            self.H_CORPUS if self.H_CORPUS is not None else jnp.zeros(()),
-            (
-                take_raw("text_ids", np.int32)
-                if self.text_tower is not None
-                else jnp.zeros(())
-            ),
-            (
-                take_raw("text_mask", np.float32)
-                if self.text_tower is not None
-                else jnp.zeros(())
-            ),
+        # use_gnn=False leaves H_CORPUS unset; pass a 0-d filler
+        h_corpus = (
+            self.H_CORPUS if self.H_CORPUS is not None else jnp.zeros(())
         )
+        ids_arg = (
+            take_raw("text_ids", np.int32)
+            if self.text_tower is not None
+            else jnp.zeros(())
+        )
+        mask_arg = (
+            take_raw("text_mask", np.float32)
+            if self.text_tower is not None
+            else jnp.zeros(())
+        )
+
+        if is_fused:
+            # ONE dispatch: align + aux + evidence-delay + GNN extension
+            # + fusion + classifier (t_raw always rides up — it is the
+            # align input even on tower checkpoints)
+            probs, forensic, fused, aux = score_fn(
+                self._score_params,
+                self._align_params,
+                take("text"),
+                take("audio"),
+                take("visual"),
+                take_raw("emo", np.float32),
+                (
+                    take("evidence_host")
+                    if self.use_evidence
+                    else jnp.zeros(())
+                ),
+                jnp.asarray(a_rows),
+                jnp.asarray(self_w),
+                self.XG,
+                h_corpus,
+                ids_arg,
+                mask_arg,
+            )
+        else:
+            feats = {
+                "audio_features": take("audio"),
+                "visual_features": take("visual"),
+                "temporal_features": take("temporal"),
+            }
+            if self.text_tower is None:
+                feats["text_features"] = take("text")
+            # (tower path: score() computes text_features from ids —
+            # uploading the unused cached rows would be pure tunnel
+            # traffic on the exact path this chunking optimizes)
+            if self.use_evidence:
+                feats["evidence"] = take("evidence")
+            aux = take("aux")
+            xg_new = compact_node_features(
+                {k: feats_cache[k][:count] for k in
+                 ("text", "audio", "visual", "temporal")}
+            )
+            if pad:
+                xg_new = np.concatenate(
+                    [xg_new, np.repeat(xg_new[-1:], pad, axis=0)]
+                )
+            probs, forensic, fused = score_fn(
+                self._score_params,
+                feats,
+                aux,
+                jnp.asarray(a_rows),
+                jnp.asarray(self_w),
+                jnp.asarray(xg_new),
+                self.XG,
+                h_corpus,
+                ids_arg,
+                mask_arg,
+            )
         # ONE host fetch for all outputs: separate np.asarray calls are
         # separate device->host transfers, and on the tunneled chip each
         # costs a ~90 ms round trip — the fetch, not the compute, was
         # the serving dispatch floor (BASELINE.md round-3 serving table)
-        probs, forensic = jax.device_get((probs, forensic))
+        if collect_fused:
+            # explain() needs fused+aux too; keep it one transfer
+            probs, forensic, fused, aux = jax.device_get(
+                (probs, forensic, fused, aux)
+            )
+        else:
+            probs, forensic = jax.device_get((probs, forensic))
         probs = np.asarray(probs)[:count]
         forensic = {k: np.asarray(v)[:count] for k, v in forensic.items()}
         rows = [
