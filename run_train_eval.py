@@ -145,6 +145,14 @@ def parse_args():
                         "unset or single-process)")
     p.add_argument("--resume", action="store_true",
                    help="Resume from the latest checkpoint in out_dir")
+    p.add_argument("--save_every_steps", type=int, default=0,
+                   help="Also write the `latest` checkpoint (async) every "
+                        "K optimizer steps, so a mid-epoch preemption "
+                        "resumes from the last K-step boundary instead of "
+                        "replaying the whole epoch; --resume then lands "
+                        "bit-identical to an uninterrupted run (the "
+                        "mid-epoch meta records step cursor, batch order "
+                        "and shuffle stream). 0 = per-epoch only")
     p.add_argument("--select_metric", default="auc",
                    choices=("auc", "acc", "f1", "precision", "recall"),
                    help="Validation metric for best-checkpoint selection "
@@ -310,6 +318,7 @@ def main():
         hash_salt=args.hash_salt,
         bf16_compute=args.bf16,
         resume=args.resume,
+        save_every_steps=args.save_every_steps,
         eval_only=args.eval_only,
         profile_dir=args.profile_dir,
         train_text_tower=args.train_text_tower,

@@ -13,6 +13,7 @@ arrivals share one.
 Prints one line per window setting: records/s + dispatches issued.
 """
 import argparse
+import http.client
 import json
 import sys
 import threading
@@ -35,6 +36,80 @@ def _post(url: str, payload: dict, timeout: float = 300.0) -> dict:
         return json.loads(resp.read())
 
 
+class _KeepAliveClient:
+    """One persistent HTTP/1.1 connection (the server speaks 1.1 now);
+    per-request urllib connections paid a TCP handshake + a server-side
+    thread spawn PER RECORD under ThreadingHTTPServer."""
+
+    def __init__(self, host: str, port: int, timeout: float = 300.0):
+        self.conn = http.client.HTTPConnection(host, port, timeout=timeout)
+
+    def post(self, path: str, payload: dict) -> dict:
+        body = json.dumps(payload)
+        try:
+            self.conn.request(
+                "POST", path, body=body,
+                headers={"Content-Type": "application/json"},
+            )
+            resp = self.conn.getresponse()
+            data = resp.read()
+        except (http.client.HTTPException, ConnectionError, OSError):
+            # server closed the connection (idle timeout/restart):
+            # reconnect once
+            self.conn.close()
+            self.conn.request(
+                "POST", path, body=body,
+                headers={"Content-Type": "application/json"},
+            )
+            resp = self.conn.getresponse()
+            data = resp.read()
+        out = json.loads(data)
+        if resp.status != 200:
+            raise RuntimeError(f"HTTP {resp.status}: {out}")
+        return out
+
+    def close(self) -> None:
+        self.conn.close()
+
+
+def run_loadgen(
+    host: str, port: int, records, clients: int, requests: int
+) -> float:
+    """N threads x sequential 1-record POSTs over persistent
+    connections; returns elapsed seconds. Used in-process and by the
+    --loadgen subprocess mode (out-of-process attribution)."""
+    conns = [_KeepAliveClient(host, port) for _ in range(clients)]
+
+    def client(i):
+        for _ in range(requests):
+            conns[i].post("/predict", {"records": [records[i]]})
+
+    ts = [
+        threading.Thread(target=client, args=(i,)) for i in range(clients)
+    ]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    dt = time.perf_counter() - t0
+    for c in conns:
+        c.close()
+    return dt
+
+
+def _bench_records(n: int):
+    return [
+        {
+            "video_id": f"bench{i}",
+            "title": f"警告 危险 外星 入侵 信号 {i}",
+            "ocr": f"飞船 出现 逃离 城市 {i}",
+            "comments": [f"评论 {i}"],
+        }
+        for i in range(n)
+    ]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out_dir", required=True)
@@ -53,7 +128,33 @@ def main() -> None:
              "overhead — on a 1-core host the N client threads contend "
              "with the server for the same core",
     )
+    ap.add_argument(
+        "--loadgen", default=None, metavar="HOST:PORT",
+        help="(internal) run ONLY the load generator against an external "
+             "server and print LOADGEN <n> <dt>; spawned as a separate "
+             "process by --client_proc for contention attribution",
+    )
+    ap.add_argument(
+        "--client_proc", action="store_true",
+        help="run the load generator in a SEPARATE PROCESS and report "
+             "the server process's CPU seconds vs the run's wall time — "
+             "attributes the HTTP-vs-direct gap between server-side "
+             "cost and loadgen contention (VERDICT r4 item 1)",
+    )
     args = ap.parse_args()
+
+    if args.loadgen:
+        host, port = args.loadgen.rsplit(":", 1)
+        records = _bench_records(args.clients)
+        # untimed warm round (connections, thread paths), then the
+        # timed one; the parent snapshots dispatch counters between
+        run_loadgen(host, int(port), records, args.clients, 1)
+        print("WARMDONE", flush=True)
+        dt = run_loadgen(host, int(port), records, args.clients,
+                         args.requests)
+        print(f"LOADGEN {args.clients * args.requests} {dt:.4f}",
+              flush=True)
+        return
 
     if args.cpu:
         import jax
@@ -71,15 +172,7 @@ def main() -> None:
     # identical protocol — BASELINE.md round-4 session 2)
     predictor.warmup(max(8, 2 * args.clients))
 
-    records = [
-        {
-            "video_id": f"bench{i}",
-            "title": f"警告 危险 外星 入侵 信号 {i}",
-            "ocr": f"飞船 出现 逃离 城市 {i}",
-            "comments": [f"评论 {i}"],
-        }
-        for i in range(args.clients)
-    ]
+    records = _bench_records(args.clients)
 
     if args.no_http:
         import threading as _th
@@ -126,7 +219,8 @@ def main() -> None:
         )
         thread = threading.Thread(target=server.serve_forever, daemon=True)
         thread.start()
-        url = f"http://127.0.0.1:{server.server_address[1]}/predict"
+        port = server.server_address[1]
+        url = f"http://127.0.0.1:{port}/predict"
         try:
             _post(url, {"records": records[:1]})  # warm (compile)
             warm_batches = (
@@ -134,21 +228,62 @@ def main() -> None:
                 else 0
             )
 
-            def client(i):
-                for _ in range(args.requests):
-                    _post(url, {"records": [records[i]]})
-
-            ts = [
-                threading.Thread(target=client, args=(i,))
-                for i in range(args.clients)
-            ]
-            t0 = time.perf_counter()
-            for t in ts:
-                t.start()
-            for t in ts:
-                t.join()
-            dt = time.perf_counter() - t0
             n = args.clients * args.requests
+            if args.client_proc:
+                # out-of-process attribution: the loadgen subprocess
+                # owns the client threads; this (server) process's CPU
+                # seconds over the run's wall time = the server-side
+                # share of the core. The subprocess warms first and
+                # prints WARMDONE, so counters/timers bracket only the
+                # timed round.
+                import os
+                import subprocess
+
+                proc = subprocess.Popen(
+                    [
+                        sys.executable, __file__,
+                        "--loadgen", f"127.0.0.1:{port}",
+                        "--clients", str(args.clients),
+                        "--requests", str(args.requests),
+                        "--out_dir", args.out_dir,
+                    ],
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE,
+                    text=True,
+                    env=dict(os.environ, JAX_PLATFORMS="cpu"),
+                )
+                line = proc.stdout.readline().strip()
+                assert line == "WARMDONE", (line, proc.stderr.read())
+                warm_batches = (
+                    server.batcher.batches
+                    if server.batcher is not None else 0
+                )
+                cpu0 = time.process_time()
+                t0 = time.perf_counter()
+                line = proc.stdout.readline().strip()
+                wall = time.perf_counter() - t0
+                cpu = time.process_time() - cpu0
+                proc.wait(timeout=60)
+                toks = line.split()
+                assert toks and toks[0] == "LOADGEN", line
+                dt = float(toks[2])
+                extra = (
+                    f"  [server-proc CPU {cpu:5.2f}s / wall {wall:5.2f}s"
+                    f" = {100 * cpu / wall:4.1f}% core share]"
+                )
+            else:
+                run_loadgen(
+                    "127.0.0.1", port, records, args.clients, 1
+                )  # warm the persistent connections + every thread path
+                warm_batches = (
+                    server.batcher.batches
+                    if server.batcher is not None else 0
+                )
+                dt = run_loadgen(
+                    "127.0.0.1", port, records, args.clients,
+                    args.requests,
+                )
+                extra = ""
             dispatches = (
                 server.batcher.batches - warm_batches
                 if server.batcher is not None
@@ -157,7 +292,8 @@ def main() -> None:
             label = "off" if window is None else f"{window:g}ms"
             print(
                 f"window={label:5s} {n} records in {dt:6.2f}s = "
-                f"{n/dt:7.1f} records/s  ({dispatches} dispatches)",
+                f"{n/dt:7.1f} records/s  ({dispatches} dispatches)"
+                f"{extra}",
                 flush=True,
             )
         finally:

@@ -61,6 +61,11 @@ def main() -> None:
                     help="int8 serving weights (per-channel scales, "
                          "dequantized in-program; 4x less HBM weight "
                          "traffic — see ops/quant.py)")
+    ap.add_argument("--serve_dp", type=int, default=None,
+                    help="Shard each scoring dispatch's rows over this "
+                         "many devices (replicated params, 'data' mesh); "
+                         "predictions agree with single-device to 1 f32 "
+                         "ulp")
     ap.add_argument("--explain", action="store_true",
                     help="Attach per-record classifier attributions "
                          "(adds an 'explain' object per line)")
@@ -111,6 +116,7 @@ def main() -> None:
             checkpoint_name=args.checkpoint,
             bf16=args.bf16,
             quantize=args.quantize,
+            serve_dp=args.serve_dp,
         )
     records = load_records(Path(args.input))
     if args.explain:

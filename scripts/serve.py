@@ -52,6 +52,11 @@ def main() -> None:
                          "go quiet for this long (window is the MAX "
                          "wait); synchronized client bursts otherwise "
                          "idle out the full window every cycle")
+    ap.add_argument("--serve_dp", type=int, default=None,
+                    help="Shard each scoring dispatch's rows over this "
+                         "many devices (replicated params, 'data' mesh); "
+                         "predictions agree with single-device to 1 f32 "
+                         "ulp. Default: single device")
     ap.add_argument("--warmup", type=int, default=64, metavar="N",
                     help="Precompile the featurize/score bucket ladder "
                          "up to N records BEFORE opening the socket "
@@ -100,6 +105,7 @@ def main() -> None:
             checkpoint_name=args.checkpoint,
             bf16=args.bf16,
             quantize=args.quantize,
+            serve_dp=args.serve_dp,
         )
     if args.warmup > 0:
         import time

@@ -35,16 +35,18 @@ if str(REPO_ROOT) not in sys.path:
 # their Predictor/trainer programs have identical shapes.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ultrafnd_jax_cache")
 
-from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
-
-enable_persistent_cache(os.environ["JAX_COMPILATION_CACHE_DIR"])
-
 # The env var alone is not enough when a PJRT plugin sitecustomize pins
 # jax_platforms (this machine's TPU tunnel does) — override the config
-# directly so tests never compile over the tunnel.
+# directly so tests never compile over the tunnel. Pinned BEFORE the cache
+# is enabled so the CPU-backend entries land in the host-fingerprinted
+# namespace (utils/jaxcache.py) the CLI subprocesses resolve too.
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+from ultrafnd_git_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache(os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 import numpy as np
 import pytest

@@ -103,3 +103,113 @@ def test_put_replicated_global_single_process():
     out = meshlib.put_replicated_global(arr, m)
     np.testing.assert_array_equal(np.asarray(out), arr)
     assert out.sharding.spec == jax.sharding.PartitionSpec()
+
+
+class _SliceDev:
+    """Real CPU device + a fake slice_index (multi-slice hardware stand-in)."""
+
+    def __init__(self, dev, slice_index):
+        self._dev = dev
+        self.slice_index = slice_index
+
+    def __getattr__(self, name):
+        return getattr(self._dev, name)
+
+    def __repr__(self):
+        return f"slice{self.slice_index}:{self._dev!r}"
+
+
+def test_make_mesh_dcn_slice_mismatch_warns():
+    """ADVICE r4: when devices carry slice_index but don't cover exactly
+    dcn equal slices, the contiguous fallback must WARN — that layout
+    puts slice-crossing hops on the ICI axes."""
+    devs = [
+        _SliceDev(d, s)
+        for d, s in zip(jax.devices("cpu"), [0, 0, 0, 0, 1, 1, 2, 2])
+    ]
+    with pytest.warns(UserWarning, match="slice boundaries"):
+        m = meshlib.make_mesh(dp=2, tp=2, dcn=2, devices=devs)
+    assert m.shape == {"dcn": 2, "data": 2, "model": 2}
+
+
+def test_make_mesh_dcn_hybrid_path_on_even_slices():
+    """Exactly dcn slices with equal counts -> hybrid mesh, no warning,
+    and each dcn row holds one slice's devices."""
+    devs = [
+        _SliceDev(d, s)
+        for d, s in zip(jax.devices("cpu"), [0, 0, 0, 0, 1, 1, 1, 1])
+    ]
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        m = meshlib.make_mesh(dp=2, tp=2, dcn=2, devices=devs)
+    assert m.shape == {"dcn": 2, "data": 2, "model": 2}
+    grid = np.asarray(m.devices)
+    for row in range(2):
+        assert {d.slice_index for d in grid[row].ravel()} == {row}
+
+
+def test_multihost_init_retries_transient_then_diagnoses(
+    monkeypatch, capsys
+):
+    """VERDICT r4 item 6: the transient Gloo-handshake deadline retries
+    in the PRODUCT (after a full shutdown), and the terminal error is an
+    actionable RuntimeError naming coordinator/process/env knobs — not
+    the transport's raw stack. The transport is injected: jax's real
+    client LOG(FATAL)s the process on a dead coordinator, so the logic
+    is what's unit-testable (the 2-process tests in test_multihost*.py
+    exercise the real transport end-to-end, now without their own
+    retry)."""
+    calls = []
+    shutdowns = []
+
+    def fake_init(**kw):
+        calls.append(kw)
+        raise RuntimeError(
+            "DEADLINE_EXCEEDED: Gloo context initialization timed out"
+        )
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setattr(
+        jax.distributed, "shutdown", lambda: shutdowns.append(1)
+    )
+    with pytest.raises(
+        RuntimeError, match="multi-host initialization failed"
+    ) as ei:
+        meshlib.maybe_initialize_distributed(
+            "localhost:1234", 2, 1, timeout_s=7, retries=2
+        )
+    assert len(calls) == 3  # first attempt + 2 retries
+    assert len(shutdowns) == 3  # full shutdown before each retry + final
+    assert calls[0]["initialization_timeout"] == 7
+    msg = str(ei.value)
+    assert "localhost:1234" in msg
+    assert "process 1 of 2" in msg
+    assert "ULTRAFND_DIST_INIT_TIMEOUT_S" in msg
+    assert "transient" in msg
+    out = capsys.readouterr().out
+    assert "retry 1/2" in out and "retry 2/2" in out
+
+    # terminal (non-transient) failures do NOT retry
+    calls.clear()
+
+    def fake_init_terminal(**kw):
+        calls.append(kw)
+        raise RuntimeError("INVALID_ARGUMENT: something structural")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init_terminal)
+    with pytest.raises(RuntimeError, match="terminal"):
+        meshlib.maybe_initialize_distributed(
+            "localhost:1234", 2, 0, timeout_s=7, retries=2
+        )
+    assert len(calls) == 1
+
+
+def test_multihost_init_noop_without_coordinator(monkeypatch):
+    """Single-process launches (no env contract) stay a graceful no-op."""
+    for var in (
+        "JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"
+    ):
+        monkeypatch.delenv(var, raising=False)
+    assert meshlib.maybe_initialize_distributed() is False

@@ -187,21 +187,10 @@ def test_real_trainer_two_process_matches_single_process(
             outs.append(out)
         return procs, outs
 
+    # (no test-side retry: maybe_initialize_distributed itself retries
+    # the transient Gloo-handshake deadline after a full shutdown —
+    # VERDICT r4 item 6 moved that robustness into the product)
     procs, outs = spawn_workers(port)
-    if any(p.returncode != 0 for p in procs) and any(
-        "Gloo context initialization" in o or "DEADLINE_EXCEEDED" in o
-        for o in outs
-    ):
-        # Gloo's communicator handshake has a hard 30 s deadline; on a
-        # heavily loaded host the two workers can drift past it during
-        # their first compiles (infra flake, not a product bug — the
-        # worker also warms the communicator at startup to narrow the
-        # window). One retry on this signature only.
-        import shutil
-
-        shutil.rmtree(mh_out)
-        mh_out.mkdir()
-        procs, outs = spawn_workers(_free_port())
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
@@ -274,3 +263,78 @@ def test_real_trainer_two_process_matches_single_process(
 # test_cli_multihost_two_processes moved to tests/test_multihost_cli.py
 # so xdist's per-file distribution runs it in parallel with the two
 # multi-process tests above (VERDICT r3 item 8).
+
+
+def test_two_process_sigkill_midepoch_resume(fixture_data_root, tmp_path):
+    """VERDICT r4 item 3, 2-process harness: both jax.distributed
+    workers SIGKILL themselves after the first collective mid-epoch
+    save; a fresh 2-process launch with --resume replays the remaining
+    steps and lands on the SAME params fingerprint as an uninterrupted
+    2-process run (bit-match is expected here — identical program,
+    identical collective lowering)."""
+    sigkill_worker = (
+        Path(__file__).resolve().parent / "_sigkill_trainer_worker.py"
+    )
+    env = dict(
+        os.environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH=str(REPO),
+        ULTRAFND_DISABLE_HF="1",
+    )
+
+    def spawn(out_dir, kill_after, resume):
+        port = _free_port()
+        e = dict(env, ULTRAFND_RESUME="1" if resume else "0")
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, str(sigkill_worker),
+                    fixture_data_root, str(out_dir), str(kill_after),
+                    "scan", str(port), str(i), "2",
+                ],
+                env=e, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            o, _ = p.communicate(timeout=1200)
+            outs.append(o)
+        return procs, outs
+
+    # uninterrupted 2-process reference
+    ref_out = tmp_path / "ref"
+    ref_out.mkdir()
+    procs, outs = spawn(ref_out, kill_after=0, resume=False)
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"ref worker failed:\n{o[-3000:]}"
+    fps = {re.search(r"DONE fp=(\w+)", o).group(1) for o in outs}
+    assert len(fps) == 1  # both processes bit-identical
+    ref_fp = fps.pop()
+
+    # killed 2-process run: both processes die after the first
+    # committed mid-epoch save (epoch 1, cursor 2)
+    kill_out = tmp_path / "kill"
+    kill_out.mkdir()
+    procs, outs = spawn(kill_out, kill_after=1, resume=False)
+    # both must terminate abnormally; at least one by its own SIGKILL
+    # (the peer may instead die on the severed coordination service)
+    assert all(p.returncode != 0 for p in procs), outs
+    assert any(p.returncode == -9 for p in procs), [
+        p.returncode for p in procs
+    ]
+    assert any("SIGKILL after mid-epoch save #1" in o for o in outs)
+    import json as _json
+
+    meta = _json.loads((kill_out / "latest" / "meta.json").read_text())
+    assert meta["in_epoch"] and meta["step_cursor"] == 2
+
+    # resumed 2-process run finishes the epoch
+    procs, outs = spawn(kill_out, kill_after=0, resume=True)
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"resume worker failed:\n{o[-3000:]}"
+    assert all("RESUME start_epoch=1 cursor=2" in o for o in outs)
+    fps = {re.search(r"DONE fp=(\w+)", o).group(1) for o in outs}
+    assert fps == {ref_fp}

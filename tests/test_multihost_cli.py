@@ -75,16 +75,10 @@ def test_cli_multihost_two_processes(fixture_data_root, tmp_path):
             outs.append(o)
         return procs, outs
 
+    # no test-side retry: the product's maybe_initialize_distributed
+    # handles the transient Gloo-handshake flake itself (VERDICT r4
+    # item 6)
     procs, outs = spawn(port)
-    if any(p.returncode != 0 for p in procs) and any(
-        "Gloo context initialization" in o or "DEADLINE_EXCEEDED" in o
-        for o in outs
-    ):
-        import shutil  # infra flake retry — see test_multihost.py
-
-        shutil.rmtree(out)
-        out.mkdir()
-        procs, outs = spawn(_free_port())
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"CLI worker failed:\n{o[-4000:]}"
 

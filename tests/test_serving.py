@@ -420,3 +420,39 @@ def test_fused_align_evidence_checkpoint(fixture_data_root, tmp_path):
         for k in ("prob_fake", "semantic_conflict", "temporal_delay",
                   "emotion_intensity"):
             np.testing.assert_allclose(g[k], w[k], atol=1e-5, err_msg=k)
+
+
+def test_exported_artifact_accelerator_chunking_stays_at_batch_size(
+    trained_out_dir, tmp_path, monkeypatch
+):
+    """ADVICE r4: on accelerator backends _pipeline expands chunks up
+    the 4096 bucket ladder — but an AOT artifact exists at exactly ONE
+    shape, so requests (and startup warmup) above batch_size must chunk
+    at batch_size instead of asking the program for an unexported
+    bucket. Simulated by pinning default_backend()='tpu' inside the
+    serving module; the artifact itself is lowered for cpu."""
+    from ultrafnd_git_tpu import serving as serving_mod
+    from ultrafnd_git_tpu.export_serving import (
+        ExportedPredictor,
+        export_artifact,
+    )
+
+    live = Predictor(trained_out_dir, batch_size=4)
+    art = tmp_path / "artifact"
+    export_artifact(live, str(art), platforms=("cpu",))
+    served = ExportedPredictor(str(art), batch_size=4)
+    want = served.predict([dict(FAKE_REC, video_id=f"q{i}") for i in range(7)])
+
+    monkeypatch.setattr(
+        serving_mod.jax, "default_backend", lambda: "tpu"
+    )
+    # 7 records > batch_size: without the _fixed_shape_dispatch clamp
+    # this dispatches one 8-row bucket the artifact was never exported
+    # with; with it, two 4-row chunks of the frozen program
+    got = served.predict([dict(FAKE_REC, video_id=f"q{i}") for i in range(7)])
+    assert [r["id"] for r in got] == [f"q{i}" for i in range(7)]
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g["prob_fake"], w["prob_fake"], atol=1e-6)
+    # warmup's ladder (the serve.py --warmup default is 64 > batch_size)
+    # must also survive on the fixed-shape artifact
+    assert served.warmup(16) >= 1

@@ -288,6 +288,10 @@ class ExportedPredictor(Predictor):
 
         self.fused_align = bool(meta.get("fused_align", False))
         self._score_is_fused = self.fused_align
+        # the artifact holds ONE compiled shape — cap dispatch chunks at
+        # batch_size so warmup/live requests above it chunk instead of
+        # asking the AOT program for an unexported shape (ADVICE r4)
+        self._fixed_shape_dispatch = True
 
         # Validate the featurizer contract NOW: if current featurization
         # code drifted from the exported spec (feature keys, tower token

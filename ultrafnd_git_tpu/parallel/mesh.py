@@ -13,6 +13,8 @@ TPU-native scaling story: a 2-D `Mesh(('data', 'model'))` over which
 from __future__ import annotations
 
 import os
+import warnings
+from collections import Counter
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -59,10 +61,25 @@ def _data_spec_entry(mesh: Mesh):
     return axes if len(axes) > 1 else axes[0]
 
 
+#: exception-text signatures of the known-transient communicator-startup
+#: failures (retried by maybe_initialize_distributed)
+_TRANSIENT_INIT_SIGNATURES = (
+    "Gloo context initialization",
+    "DEADLINE_EXCEEDED",
+)
+
+
+def _is_transient_init_error(exc: BaseException) -> bool:
+    text = f"{type(exc).__name__}: {exc}"
+    return any(sig in text for sig in _TRANSIENT_INIT_SIGNATURES)
+
+
 def maybe_initialize_distributed(
     coordinator: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    timeout_s: Optional[float] = None,
+    retries: Optional[int] = None,
 ) -> bool:
     """Multi-host hook (SURVEY §5.8): `jax.distributed.initialize()`.
 
@@ -72,6 +89,23 @@ def maybe_initialize_distributed(
     coordinator configured, or num_processes <= 1 — is a graceful no-op
     returning False, so the same entrypoint works on one chip and on a
     multi-host slice. Must run before first device use.
+
+    Robustness (VERDICT r4 item 6 — previously this logic lived in the
+    2-process TEST, so a real pod launch hitting the same flake just
+    died with Gloo's raw error):
+      * `timeout_s` bounds coordinator connection
+        (jax.distributed's initialization_timeout; default 300 s, env
+        override ULTRAFND_DIST_INIT_TIMEOUT_S);
+      * the startup barrier (which builds the global communicator while
+        all processes are still in lock-step — the CPU backend's Gloo
+        context handshake has a hard 30 s deadline, and the first
+        collective otherwise lands after minutes of possibly-skewed
+        compiles) retries once on the known-transient Gloo/deadline
+        signatures after a full jax.distributed.shutdown (env override
+        ULTRAFND_DIST_INIT_RETRIES);
+      * terminal failures raise RuntimeError naming the coordinator,
+        this process's id, and the knobs to turn — not a bare stack
+        trace from inside the transport.
     """
     coord = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     n_str = os.environ.get("JAX_NUM_PROCESSES", "")
@@ -84,19 +118,58 @@ def maybe_initialize_distributed(
     )
     if not coord or n <= 1 or pid is None:
         return False
-    jax.distributed.initialize(
-        coordinator_address=coord, num_processes=n, process_id=pid
-    )
-    # Build the global communicator NOW, while every process is still in
-    # lock-step at startup: the CPU backend's Gloo context handshake has
-    # a hard 30 s deadline, and the first collective otherwise lands
-    # after minutes of (possibly skewed) compiles — if one process
-    # reaches it >30 s before another, context init times out (observed
-    # under a loaded host). Once created it is cached for the run.
-    from jax.experimental import multihost_utils
+    if timeout_s is None:
+        timeout_s = float(
+            os.environ.get("ULTRAFND_DIST_INIT_TIMEOUT_S", "300")
+        )
+    if retries is None:
+        retries = int(os.environ.get("ULTRAFND_DIST_INIT_RETRIES", "1"))
 
-    multihost_utils.sync_global_devices("ultrafnd-distributed-startup")
-    return True
+    diagnostic = (
+        f"(coordinator={coord}, process {pid} of {n}; "
+        f"timeout_s={timeout_s:g} via ULTRAFND_DIST_INIT_TIMEOUT_S, "
+        f"retries via ULTRAFND_DIST_INIT_RETRIES). Check that every "
+        f"process can reach the coordinator address, that all {n} "
+        f"processes launched with distinct JAX_PROCESS_ID in [0, {n}), "
+        f"and that process 0's port is free."
+    )
+    attempt = 0
+    while True:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=n,
+                process_id=pid,
+                initialization_timeout=max(1, int(timeout_s)),
+            )
+            # build the global communicator NOW (see docstring); once
+            # created it is cached for the run
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(
+                f"ultrafnd-distributed-startup-{attempt}"
+            )
+            return True
+        except Exception as exc:  # noqa: BLE001 — transport errors vary
+            transient = _is_transient_init_error(exc)
+            try:
+                jax.distributed.shutdown()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
+            if transient and attempt < retries:
+                attempt += 1
+                print(
+                    "multi-host init: transient communicator-startup "
+                    f"failure ({type(exc).__name__}), retry "
+                    f"{attempt}/{retries} {diagnostic}",
+                    flush=True,
+                )
+                continue
+            kind = "transient" if transient else "terminal"
+            raise RuntimeError(
+                f"multi-host initialization failed ({kind}: "
+                f"{type(exc).__name__}: {exc}) {diagnostic}"
+            ) from exc
 
 
 def make_mesh(
@@ -144,14 +217,37 @@ def make_mesh(
     n_used = int(np.prod(shape))
     devices = devices[:n_used]
     if dcn > 1:
-        slice_ids = {getattr(d, "slice_index", None) for d in devices}
-        if None not in slice_ids and len(slice_ids) == dcn:
-            grid = mesh_utils.create_hybrid_device_mesh(
-                (1, *shape[1:]),
-                dcn_mesh_shape=(dcn, *(1 for _ in shape[1:])),
-                devices=devices,
+        slice_ids = [getattr(d, "slice_index", None) for d in devices]
+        if None not in slice_ids:
+            # real multi-slice hardware: take the hybrid path only when
+            # the selected devices cover EXACTLY dcn slices with equal
+            # per-slice counts (create_hybrid_device_mesh's contract —
+            # uneven counts raise an opaque reshape error from inside
+            # mesh_utils). Anything else falls back to the contiguous
+            # split WITH A WARNING: that layout puts slice-crossing hops
+            # on the intra-slice axes, the exact traffic pattern the
+            # 'dcn' axis exists to prevent (ADVICE r4).
+            counts = Counter(slice_ids)
+            per_slice = n_used // dcn
+            if len(counts) == dcn and all(
+                c == per_slice for c in counts.values()
+            ):
+                grid = mesh_utils.create_hybrid_device_mesh(
+                    (1, *shape[1:]),
+                    dcn_mesh_shape=(dcn, *(1 for _ in shape[1:])),
+                    devices=devices,
+                )
+                return Mesh(grid, names)
+            warnings.warn(
+                f"dcn={dcn} requested but the {n_used} selected devices "
+                f"span {len(counts)} slice(s) with per-slice counts "
+                f"{dict(counts)} — falling back to a contiguous split, "
+                "so the 'dcn' mesh axis will NOT align with slice "
+                "boundaries and ICI-axis collectives may cross DCN. "
+                f"Pass a device list covering exactly {dcn} slices with "
+                f"{per_slice} devices each.",
+                stacklevel=2,
             )
-            return Mesh(grid, names)
     grid = mesh_utils.create_device_mesh(shape, devices=devices)
     return Mesh(grid, names)
 

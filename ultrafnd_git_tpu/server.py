@@ -218,8 +218,9 @@ class DynamicBatcher:
                         preds = self.predictor.predict_featurized(
                             cache, len(flat)
                         )
-                self.batches += 1
-                self.records += len(flat)
+                with self._cv:
+                    self.batches += 1
+                    self.records += len(flat)
                 off = 0
                 for e in batch:
                     e.result = preds[off:off + len(e.records)]
@@ -237,8 +238,9 @@ class DynamicBatcher:
                                 e.result = self.predictor.predict(
                                     e.records
                                 )
-                            self.batches += 1
-                            self.records += len(e.records)
+                            with self._cv:
+                                self.batches += 1
+                                self.records += len(e.records)
                         except BaseException as solo:  # noqa: BLE001
                             e.error = solo
             finally:
@@ -247,6 +249,15 @@ class DynamicBatcher:
 
 
 class _Handler(BaseHTTPRequestHandler):
+    # HTTP/1.1: responses always carry Content-Length (see _reply), so
+    # connections persist across requests. Under the stdlib's
+    # thread-per-CONNECTION ThreadingHTTPServer this is the difference
+    # between N long-lived handler threads for N clients and a fresh
+    # TCP handshake + thread spawn PER REQUEST (the 1.0 default closes
+    # after every response) — measured as the dominant server-side cost
+    # of the 16x8 protocol on the 1-core bench host (VERDICT r4 item 1).
+    protocol_version = "HTTP/1.1"
+
     # class attributes injected by make_server
     predictor: Predictor
     lock: threading.Lock
@@ -294,13 +305,16 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path.rstrip("/") in ("", "/healthz"):
             import jax
 
+            with self.stats_lock:
+                records_served = self.stats["records"]
+                requests = self.stats["requests"]
             self._reply(
                 200,
                 {
                     "status": "ok",
                     "backend": jax.default_backend(),
-                    "records_served": self.stats["records"],
-                    "requests": self.stats["requests"],
+                    "records_served": records_served,
+                    "requests": requests,
                 },
             )
         elif self.path.rstrip("/") == "/stats":
@@ -312,24 +326,31 @@ class _Handler(BaseHTTPRequestHandler):
             b = self.batcher
             batcher_stats = None
             if b is not None:
+                # counters snapshotted inside the same _cv block as the
+                # queue depth so the triple is mutually consistent
+                # (ADVICE r4: batches/records were read lock-free)
                 with b._cv:
                     queued = sum(len(e.records) for e in b._queue)
+                    batches, records = b.batches, b.records
                 batcher_stats = {
-                    "dispatches": b.batches,
-                    "records": b.records,
+                    "dispatches": batches,
+                    "records": records,
                     "avg_records_per_dispatch": (
-                        round(b.records / b.batches, 2) if b.batches else None
+                        round(records / batches, 2) if batches else None
                     ),
                     "queued_records": queued,
                     "window_ms": b.window_s * 1e3,
                     "gap_ms": b.gap_s * 1e3,
                     "max_batch": b.max_batch,
                 }
+            with self.stats_lock:
+                requests = self.stats["requests"]
+                records_served = self.stats["records"]
             self._reply(
                 200,
                 {
-                    "requests": self.stats["requests"],
-                    "records_served": self.stats["records"],
+                    "requests": requests,
+                    "records_served": records_served,
                     "batcher": batcher_stats,
                 },
             )

@@ -50,7 +50,9 @@ from ultrafnd_git_tpu.training.loop import (
     iter_padded_batches,
     load_checkpoint_guarded,
     log_jsonl,
+    np_random_state_payload,
     profiler_trace,
+    restore_np_random_state,
 )
 from ultrafnd_git_tpu.training.metrics import aggregate_epoch_metrics, pretty_print
 from ultrafnd_git_tpu.training.state import (
@@ -169,6 +171,20 @@ class TrainConfig:
     # --- TPU-native extras (absent in the reference) ---
     cache_to_disk: bool = True  # persist feature cache; eval-only reuses it
     resume: bool = False  # restart from the `latest` checkpoint if present
+    # Step-granular preemption safety (VERDICT r4 item 3): > 0 writes an
+    # async `latest` checkpoint every K optimizer steps IN ADDITION to
+    # the per-epoch write — under scan_epoch the epoch scan is chunked
+    # into ceil(steps/K) scans so there is a host boundary to save at
+    # (numerically identical: same step sequence, same RNG folds; the
+    # chunking is asserted against the single-scan epoch by
+    # tests/test_trainer_resume.py). The mid-epoch meta records the
+    # step cursor, the epoch's batch order, and the np.random shuffle
+    # stream, so `--resume` after a mid-epoch SIGKILL replays the
+    # remaining steps and lands BIT-IDENTICAL to an uninterrupted run
+    # (the resumed epoch's console/JSONL train metrics cover only the
+    # replayed tail; val/test metrics are full and identical). 0 = epoch
+    # granularity only (a preemption replays the whole epoch).
+    save_every_steps: int = 0
     eval_only: bool = False  # no fit(); test() restores `best` (CLI hint)
     dp: Optional[int] = None  # data-parallel mesh size (None = no mesh)
     tp: int = 1  # tensor-parallel mesh size
@@ -587,6 +603,11 @@ class ForensicTrainer:
         self.start_epoch = 1
         self.best_val_auc = -1.0
         self.no_improve = 0
+        # mid-epoch resume cursor (save_every_steps checkpoints): the
+        # number of optimizer steps of `start_epoch` already executed,
+        # plus that epoch's full (already shuffled) batch order
+        self._resume_cursor = 0
+        self._resume_order: Optional[np.ndarray] = None
         if cfg.resume:
             restored = load_checkpoint_guarded(
                 cfg.out_dir, "latest", self.state, "v2", "starting fresh"
@@ -601,9 +622,25 @@ class ForensicTrainer:
                             self.state.params, self.mesh
                         )
                     )
-                self.start_epoch = int(meta.get("epoch", 0)) + 1
+                if meta.get("in_epoch"):
+                    # mid-epoch slot: re-enter the SAME epoch at the
+                    # recorded step cursor with the recorded batch order
+                    self.start_epoch = int(meta.get("epoch", 1))
+                    self._resume_cursor = int(meta.get("step_cursor", 0))
+                    self._resume_order = np.asarray(
+                        meta["epoch_order"], np.int32
+                    )
+                else:
+                    self.start_epoch = int(meta.get("epoch", 0)) + 1
                 self.best_val_auc = float(meta.get("best_val_auc", -1.0))
                 self.no_improve = int(meta.get("no_improve", 0))
+                # restore the shuffle stream so the remaining epochs'
+                # batch orders match the uninterrupted run bit-exactly
+                # (older checkpoints without the field keep the legacy
+                # fresh-seed behavior)
+                rs = meta.get("np_random_state")
+                if rs is not None:
+                    restore_np_random_state(rs)
 
         self._train_step = jax.jit(self._make_train_step(), donate_argnums=0)
         self._eval_step = jax.jit(self._make_eval_step())
@@ -981,8 +1018,36 @@ class ForensicTrainer:
         return run
 
     # ------------------------------------------------------------------
+    def _save_step_checkpoint(
+        self, epoch: int, cursor: int, order: np.ndarray
+    ) -> None:
+        """Async mid-epoch `latest` save (save_every_steps cadence).
+
+        The meta's `in_epoch` marker plus (step_cursor, epoch_order,
+        np_random_state) is everything --resume needs to replay the
+        remaining steps bit-exactly: the full TrainState already carries
+        params/opt/step/rng, the order pins which rows each remaining
+        step consumes, and the shuffle-stream snapshot pins every LATER
+        epoch's order. Multi-process: deterministic cadence (same K,
+        same batch count on every process), so the collective Orbax
+        save stays in lock-step."""
+        meta = {
+            "trainer": "v2",
+            "epoch": int(epoch),
+            "best_val_auc": self.best_val_auc,
+            "no_improve": self.no_improve,
+            "cfg": asdict(self.cfg),
+            "in_epoch": True,
+            "step_cursor": int(cursor),
+            "epoch_order": np.asarray(order).tolist(),
+            "np_random_state": np_random_state_payload(),
+        }
+        ckpt.save_checkpoint(self.cfg.out_dir, "latest", self.state, meta)
+
+    # ------------------------------------------------------------------
     def _epoch_loop(
-        self, split_idx: np.ndarray, split: str, params=None
+        self, split_idx: np.ndarray, split: str, params=None,
+        epoch: Optional[int] = None,
     ) -> Tuple[float, Dict[str, float]]:
         cfg = self.cfg
         is_train = split == "train"
@@ -994,9 +1059,35 @@ class ForensicTrainer:
         eff_batch = cfg.batch_size * (
             max(1, cfg.grad_accum) if is_train else 1
         )
-        batches = list(
-            iter_padded_batches(split_idx, eff_batch, shuffle=is_train)
+        # step-granular saves are live only inside fit() (epoch known);
+        # direct _epoch_loop callers (bench, dryrun, tests) keep the
+        # plain path
+        save_k = (
+            int(cfg.save_every_steps)
+            if (is_train and epoch is not None and cfg.save_every_steps)
+            else 0
         )
+        skip = 0
+        if is_train and self._resume_order is not None:
+            # mid-epoch resume: replay THIS epoch from the checkpointed
+            # batch order at the checkpointed cursor (one-shot)
+            order, skip = self._resume_order, self._resume_cursor
+            self._resume_order, self._resume_cursor = None, 0
+            batches = list(
+                iter_padded_batches(order, eff_batch, shuffle=False)
+            )[skip:]
+        else:
+            if is_train:
+                # shuffle hoisted out of iter_padded_batches (identical
+                # np.random stream consumption) so the order can be
+                # checkpointed by the step-granular saves below
+                order = np.array(split_idx, dtype=np.int32)
+                np.random.shuffle(order)
+            else:
+                order = split_idx
+            batches = list(
+                iter_padded_batches(order, eff_batch, shuffle=False)
+            )
         if not batches:
             return 0.0, aggregate_epoch_metrics(
                 np.array([], dtype=int), np.array([], dtype=float),
@@ -1012,28 +1103,51 @@ class ForensicTrainer:
             # runs assemble them from per-host local columns
             # (meshlib.put_epoch_batches), keeping the one-dispatch
             # epoch alive exactly where per-step dispatch latency would
-            # multiply (VERDICT r3 item 2).
+            # multiply (VERDICT r3 item 2). With save_every_steps the
+            # epoch runs as ceil(steps/K) scans instead of one — same
+            # step sequence, a host boundary every K steps to save at.
             chunks = np.stack([c for c, _, _ in batches]).astype(np.int32)
             masks = np.stack([m for _, m, _ in batches]).astype(np.float32)
-            if self.mesh is not None:
-                chunks_d, masks_d = meshlib.put_epoch_batches(
-                    chunks, masks, self.mesh
-                )
+            n_steps = len(chunks)
+            seg = save_k if save_k > 0 else n_steps
+            parts = []
+            for s in range(0, n_steps, seg):
+                ch, ms = chunks[s : s + seg], masks[s : s + seg]
+                if self.mesh is not None:
+                    ch_d, ms_d = meshlib.put_epoch_batches(
+                        ch, ms, self.mesh
+                    )
+                else:
+                    ch_d = jnp.asarray(ch)
+                    ms_d = jnp.asarray(ms)
+                if is_train:
+                    self.state, part = self._train_epoch(
+                        self.state, ch_d, ms_d, self.corpus,
+                    )
+                else:
+                    part = self._eval_epoch(
+                        eval_params, ch_d, ms_d, self.corpus,
+                    )
+                parts.append(part)
+                if save_k > 0 and s + seg < n_steps:
+                    self._save_step_checkpoint(
+                        epoch, skip + s + seg, order
+                    )
+            if len(parts) == 1:
+                loss_arr, p1_mat, f_mat = parts[0]
             else:
-                chunks_d = jnp.asarray(chunks)
-                masks_d = jnp.asarray(masks)
-            if is_train:
-                self.state, (loss, p1, forensic) = self._train_epoch(
-                    self.state, chunks_d, masks_d, self.corpus,
+                loss_arr = np.concatenate(
+                    [np.asarray(p[0]) for p in parts]
                 )
-            else:
-                loss, p1, forensic = self._eval_epoch(
-                    eval_params, chunks_d, masks_d, self.corpus,
+                p1_mat = np.concatenate(
+                    [np.asarray(p[1]) for p in parts]
                 )
-            loss_arr, p1_mat, f_mat = loss, p1, forensic
+                f_mat = np.concatenate(
+                    [np.asarray(p[2]) for p in parts]
+                )
         else:
             outs = []
-            for chunk, mask, _valid in batches:
+            for bi, (chunk, mask, _valid) in enumerate(batches):
                 i, m = self._batch_arrays(chunk, mask)
                 if is_train:
                     self.state, out = self._train_step(
@@ -1045,6 +1159,14 @@ class ForensicTrainer:
                 # would serialize batch prep against device compute; one
                 # sync at epoch end instead
                 outs.append((out["loss"], out["p1"], out["forensic"]))
+                if (
+                    save_k > 0
+                    and (bi + 1) % save_k == 0
+                    and bi + 1 < len(batches)
+                ):
+                    self._save_step_checkpoint(
+                        epoch, skip + bi + 1, order
+                    )
             loss_arr = np.asarray([np.asarray(l) for l, _, _ in outs])
             p1_mat = np.stack([np.asarray(p) for _, p, _ in outs])
             f_mat = np.stack([np.asarray(f) for _, _, f in outs])
@@ -1084,7 +1206,9 @@ class ForensicTrainer:
         with profiler_trace(cfg.profile_dir):
             for epoch in range(self.start_epoch, cfg.epochs + 1):
                 t0 = time.time()
-                tr_loss, tr_metrics = self._epoch_loop(self.tr_idx, "train")
+                tr_loss, tr_metrics = self._epoch_loop(
+                    self.tr_idx, "train", epoch=epoch
+                )
                 va_loss, va_metrics = self._epoch_loop(self.va_idx, "val")
                 dt = time.time() - t0
 
@@ -1113,10 +1237,15 @@ class ForensicTrainer:
                 )
                 self.best_val_auc = tracker.best
                 self.no_improve = tracker.no_improve
-                # `latest` every epoch: restart-from-latest fault recovery
+                # `latest` every epoch: restart-from-latest fault
+                # recovery. The shuffle-stream snapshot makes the resumed
+                # run's remaining epochs draw the same batch orders as an
+                # uninterrupted run (trajectory-exact resume; older
+                # checkpoints without the field keep legacy behavior).
+                boundary_meta = tracker.meta(epoch, asdict(cfg))
+                boundary_meta["np_random_state"] = np_random_state_payload()
                 ckpt.save_checkpoint(
-                    cfg.out_dir, "latest", self.state,
-                    tracker.meta(epoch, asdict(cfg)),
+                    cfg.out_dir, "latest", self.state, boundary_meta
                 )
 
                 if tracker.should_stop:
