@@ -138,6 +138,12 @@ def parse_args():
                    help="Shard the (N, N) GCN adjacency rows over the "
                         "'data' mesh axis — the O(N^2) object is the "
                         "first to outgrow one chip (docs/SCALING.md)")
+    p.add_argument("--sparse_graph", action="store_true",
+                   help="Padded-neighbor-list GCN propagation instead "
+                        "of the dense (N, N) a_norm: O(N*K) storage, "
+                        "O(B*K) per-step work, no N^2 object anywhere "
+                        "(the scale regime where even sharded dense "
+                        "rows no longer fit; docs/SCALING.md)")
     p.add_argument("--multihost", action="store_true",
                    help="Call jax.distributed.initialize() before any "
                         "device use (reads JAX_COORDINATOR_ADDRESS / "
@@ -244,6 +250,7 @@ def main():
                 ("--dcn", args.dcn > 1),
                 ("--shard_corpus", args.shard_corpus),
                 ("--shard_graph", args.shard_graph),
+                ("--sparse_graph", args.sparse_graph),
                 ("--freeze_gnn", args.freeze_gnn),
                 ("--no_fast_dropout_rng", args.no_fast_dropout_rng),
                 ("--select_metric", args.select_metric != "auc"),
@@ -310,6 +317,7 @@ def main():
         pp_microbatches=args.pp_microbatches,
         shard_corpus=args.shard_corpus,
         shard_graph=args.shard_graph,
+        sparse_graph=args.sparse_graph,
         scan_epoch=not args.no_scan_epoch,
         grad_accum=args.grad_accum,
         fused_adamw=args.fused_adamw,

@@ -32,6 +32,7 @@ def run_one(
     batch: int,
     iters: int = None,
     shard_graph: bool = False,
+    sparse_graph: bool = False,
     dp: int = None,
     mesh_backend: str = None,
 ) -> dict:
@@ -60,19 +61,33 @@ def run_one(
             save_best=False,
             log_metrics_jsonl=False,
             shard_graph=shard_graph,
+            sparse_graph=sparse_graph,
             dp=dp,
             mesh_backend=mesh_backend,
         )
         # isolate the native posting-list graph build (the measured
         # growth-path number — its output is then rebuilt inside the
-        # trainer init, whose init_s also covers AX + the GCN pretrain)
-        from ultrafnd_git_tpu.ops.jaccard import build_adj_from_ocr
+        # trainer init, whose init_s also covers AX + the GCN pretrain).
+        # Sparse mode times the O(E) edge lister and NEVER materializes
+        # the (N, N) matrix — that object not existing is the point.
+        if sparse_graph:
+            from ultrafnd_git_tpu.ops.jaccard import build_edges_from_ocr
 
-        t_g = time.perf_counter()
-        adj = build_adj_from_ocr(cache["ocr_sets"], 0.12)
-        graph_build_s = time.perf_counter() - t_g
-        edges = int(adj.sum() - n_nodes)  # off-diagonal links
-        del adj
+            t_g = time.perf_counter()
+            e_src, _e_dst, _w = build_edges_from_ocr(
+                cache["ocr_sets"], 0.12
+            )
+            graph_build_s = time.perf_counter() - t_g
+            edges = int(len(e_src))
+            del e_src, _e_dst, _w
+        else:
+            from ultrafnd_git_tpu.ops.jaccard import build_adj_from_ocr
+
+            t_g = time.perf_counter()
+            adj = build_adj_from_ocr(cache["ocr_sets"], 0.12)
+            graph_build_s = time.perf_counter() - t_g
+            edges = int(adj.sum() - n_nodes)  # off-diagonal links
+            del adj
 
         t_init = time.perf_counter()
         trainer = ForensicTrainer(cfg, cache=cache)
@@ -111,7 +126,14 @@ def run_one(
         n_dev = (
             trainer.mesh.shape["data"] if trainer.mesh is not None else 1
         )
-        adj_mb = round(n_nodes * n_nodes * 4 / 2**20, 1)
+        if sparse_graph:
+            # (N, K) int32 ids + (N, K) f32 weights — the graph's whole
+            # device footprint in neighbor-list form
+            k_max = int(trainer.corpus["nbr_idx"].shape[1])
+            adj_mb = round(n_nodes * k_max * 8 / 2**20, 1)
+        else:
+            k_max = None
+            adj_mb = round(n_nodes * n_nodes * 4 / 2**20, 1)
         return {
             "nodes": n_nodes,
             "edges": edges,
@@ -122,6 +144,7 @@ def run_one(
             "init_s": round(init_s, 2),
             "step_ms": round(step_ms, 3),
             "samples_per_s": round(batch / (step_ms / 1e3), 1),
+            **({"k_max": k_max} if k_max is not None else {}),
         }
 
 
@@ -135,6 +158,11 @@ def main() -> None:
         "--shard_graph", action="store_true",
         help="row-shard the (N, N) adjacency over a dp-device mesh "
              "(the graph growth path, measured)",
+    )
+    p.add_argument(
+        "--sparse_graph", action="store_true",
+        help="padded-neighbor-list graph: O(E) host build, O(N*K) "
+             "device footprint, no (N, N) object anywhere",
     )
     p.add_argument("--dp", type=int, default=None)
     p.add_argument(
@@ -163,7 +191,8 @@ def main() -> None:
     for n in args.nodes:
         r = run_one(
             n, args.batch, iters=args.iters,
-            shard_graph=args.shard_graph, dp=args.dp,
+            shard_graph=args.shard_graph,
+            sparse_graph=args.sparse_graph, dp=args.dp,
             mesh_backend=args.mesh_backend,
         )
         print(

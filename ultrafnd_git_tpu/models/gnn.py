@@ -46,11 +46,13 @@ class SimpleGCN(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        adj: jnp.ndarray,
+        adj: jnp.ndarray | None = None,
         deterministic: bool = True,
         normalize: bool = True,
         ax: jnp.ndarray | None = None,
         out_rows: jnp.ndarray | None = None,
+        nbr_idx: jnp.ndarray | None = None,
+        nbr_w: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """Two exact batching shortcuts for transductive training:
 
@@ -65,7 +67,29 @@ class SimpleGCN(nn.Module):
         replaces the (N,N)@(N,hid) matmul with (B,N)@(N,hid) — exact, and
         ~N/B cheaper. Layer 1 still runs over all nodes (the batch's
         neighbors span the whole graph).
+
+        Sparse form (`--sparse_graph`): pass padded neighbor lists
+        (nbr_idx, nbr_w) from ops/graphctx.build_sparse_graph_context
+        INSTEAD of `adj` (requires `ax`; `normalize` must be False —
+        the weights already carry the sym normalization). The second
+        propagation becomes a gather + weighted sum over K neighbor
+        slots per row — O(B·K·H) instead of O(B·N·H), and no (N, N)
+        object anywhere. Same math as the dense row (a2 @ h reduces
+        over h's rows in a different summation order, so agreement is
+        f32-close, not bit-identical; tests/test_sparse_graph.py).
         """
+        if nbr_idx is not None:
+            if ax is None or normalize:
+                raise ValueError(
+                    "sparse GCN needs precomputed ax and normalize=False"
+                )
+            h = torch_dense(self.hid, ax.shape[-1], name="lin1")(ax)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            rows_idx = nbr_idx if out_rows is None else nbr_idx[out_rows]
+            rows_w = nbr_w if out_rows is None else nbr_w[out_rows]
+            agg = jnp.einsum("rk,rkh->rh", rows_w, h[rows_idx])
+            return torch_dense(self.out_dim, h.shape[-1], name="lin2")(agg)
         a = normalize_adjacency(adj) if normalize else adj
         ax_ = a @ x if ax is None else ax
         h = torch_dense(self.hid, ax_.shape[-1], name="lin1")(ax_)

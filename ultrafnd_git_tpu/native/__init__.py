@@ -196,6 +196,19 @@ def _build_graph() -> Optional[ctypes.CDLL]:
         ctypes.c_int,                     # mode
         ctypes.POINTER(ctypes.c_float),   # out (n*n)
     ]
+    lib.ufnd_jaccard_edges.restype = ctypes.c_int64
+    lib.ufnd_jaccard_edges.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),   # row_off (n+1)
+        ctypes.POINTER(ctypes.c_int32),   # tok (nnz)
+        ctypes.c_int64,                   # n
+        ctypes.c_int64,                   # vocab
+        ctypes.c_float,                   # thresh
+        ctypes.c_int,                     # mode (0 binary / 1 weighted)
+        ctypes.c_int64,                   # cap (entries; 0 = count only)
+        ctypes.POINTER(ctypes.c_int32),   # out_i
+        ctypes.POINTER(ctypes.c_int32),   # out_j
+        ctypes.POINTER(ctypes.c_float),   # out_w
+    ]
     return lib
 
 
@@ -226,12 +239,28 @@ def jaccard_adj_native(
     lib = get_graph_lib()
     if lib is None or (mode == 0 and thresh <= 0.0):
         return None
-    from ultrafnd_git_tpu.ops.hashing import token_vocabulary
-
     n = len(ocr_sets)
     out = np.zeros((n, n), dtype=np.float32)
     if n == 0:
         return out
+    row_off, tok, vocab_n = _csr_from_sets(ocr_sets)
+    lib.ufnd_jaccard_adj(
+        row_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        tok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        vocab_n,
+        ctypes.c_float(float(thresh)),
+        int(mode),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def _csr_from_sets(ocr_sets: Sequence):
+    """(row_off int64[n+1], tok int32[nnz], vocab_size) from token sets."""
+    from ultrafnd_git_tpu.ops.hashing import token_vocabulary
+
+    n = len(ocr_sets)
     vocab = token_vocabulary(ocr_sets)
     row_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum([len(s) for s in ocr_sets], out=row_off[1:])
@@ -241,13 +270,58 @@ def jaccard_adj_native(
         for t in s:
             tok[pos] = vocab[t]
             pos += 1
-    lib.ufnd_jaccard_adj(
+    return row_off, tok, max(1, len(vocab))
+
+
+def jaccard_edges_native(
+    ocr_sets: Sequence, thresh: float, mode: int = 0
+) -> Optional[tuple]:
+    """Symmetric COO edge list (src, dst, w) — both directions, no
+    diagonal — via the C++ posting-list builder; None when the lib is
+    unavailable or the semantics need the dense path (see
+    jaccard_adj_native's thresh <= 0 note). This is the O(E) entry the
+    sparse graph path uses where the dense (N, N) output itself no
+    longer fits (~40 GB at N=100k).
+
+    Two-pass protocol: count, allocate exactly, fill. Output is sorted
+    by (src, dst) so the layout is canonical regardless of the
+    builder's internal touch order.
+    """
+    lib = get_graph_lib()
+    if lib is None or (mode == 0 and thresh <= 0.0):
+        return None
+    n = len(ocr_sets)
+    if n == 0:
+        return (
+            np.zeros(0, np.int32), np.zeros(0, np.int32),
+            np.zeros(0, np.float32),
+        )
+    row_off, tok, vocab_n = _csr_from_sets(ocr_sets)
+    args = (
         row_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         tok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         n,
-        max(1, len(vocab)),
+        vocab_n,
         ctypes.c_float(float(thresh)),
         int(mode),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
-    return out
+    null_i = ctypes.POINTER(ctypes.c_int32)()
+    null_w = ctypes.POINTER(ctypes.c_float)()
+    total = int(lib.ufnd_jaccard_edges(*args, 0, null_i, null_i, null_w))
+    src = np.empty(total, dtype=np.int32)
+    dst = np.empty(total, dtype=np.int32)
+    w = np.empty(total, dtype=np.float32)
+    if total:
+        wrote = int(
+            lib.ufnd_jaccard_edges(
+                *args,
+                total,
+                src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+        )
+        assert wrote == total, (wrote, total)
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+    return src, dst, w

@@ -36,7 +36,99 @@ inline float jac_f32(int64_t inter, int64_t len_i, int64_t len_j) {
 
 }  // namespace
 
+namespace {
+
+// Shared posting-list pair enumeration: calls emit(i, j, jac) once per
+// unordered pair (j < i) with a nonzero intersection. The dense builder
+// and the sparse edge builder are the same algorithm with different
+// emitters, so the counting core lives once.
+template <typename Emit>
+void for_each_intersecting_pair(const int64_t* row_off, const int32_t* tok,
+                                int64_t n, int64_t vocab, Emit&& emit) {
+  const int64_t nnz = row_off[n];
+  std::vector<int64_t> pcnt(static_cast<size_t>(vocab) + 1, 0);
+  for (int64_t e = 0; e < nnz; ++e) pcnt[static_cast<size_t>(tok[e]) + 1]++;
+  for (size_t t = 1; t < pcnt.size(); ++t) pcnt[t] += pcnt[t - 1];
+  std::vector<int32_t> pdocs(static_cast<size_t>(nnz));
+  {
+    std::vector<int64_t> cursor(pcnt.begin(), pcnt.end() - 1);
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t e = row_off[i]; e < row_off[i + 1]; ++e)
+        pdocs[static_cast<size_t>(cursor[tok[e]]++)] =
+            static_cast<int32_t>(i);
+  }
+  // Incremental pair counting: when processing doc i, each token's
+  // posting prefix [pcnt[t], seen[t]) holds exactly the docs < i that
+  // contain t (postings are ascending and each row holds t once).
+  std::vector<int64_t> seen(pcnt.begin(), pcnt.end() - 1);
+  std::vector<int32_t> acc(static_cast<size_t>(n), 0);
+  std::vector<int32_t> touched;
+  touched.reserve(1024);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t len_i = row_off[i + 1] - row_off[i];
+    for (int64_t e = row_off[i]; e < row_off[i + 1]; ++e) {
+      const int32_t t = tok[e];
+      for (int64_t p = pcnt[static_cast<size_t>(t)];
+           p < seen[static_cast<size_t>(t)]; ++p) {
+        const int32_t j = pdocs[static_cast<size_t>(p)];
+        if (acc[static_cast<size_t>(j)]++ == 0) touched.push_back(j);
+      }
+      seen[static_cast<size_t>(t)]++;
+    }
+    for (const int32_t j : touched) {
+      const int64_t len_j = row_off[j + 1] - row_off[j];
+      emit(i, static_cast<int64_t>(j),
+           jac_f32(acc[static_cast<size_t>(j)], len_i, len_j));
+      acc[static_cast<size_t>(j)] = 0;
+    }
+    touched.clear();
+  }
+}
+
+}  // namespace
+
 extern "C" {
+
+// Sparse COO edge list from CSR token-id rows (the O(N^2)-free path:
+// at N where the dense (n, n) output itself no longer fits — 40 GB at
+// N=100k — this emits only the E surviving edges).
+//
+//   mode    : 0 -> binary  (w = 1 if jac >= thresh)
+//             1 -> weighted (w = jac if jac >= thresh)
+//   cap     : capacity of out_i/out_j/out_w in ENTRIES; pass 0 (with
+//             null outs) to count. Both directions (i,j) and (j,i) are
+//             emitted; the diagonal is NOT (callers add self-loops as
+//             part of normalization).
+//
+// Returns the total number of entries the full result needs. Entries
+// beyond `cap` are counted but not written, so the two-pass protocol is
+// count -> allocate -> fill. Write order is deterministic (ascending i,
+// then the posting-list touch order for j) but NOT sorted; callers
+// sort for a canonical layout.
+int64_t ufnd_jaccard_edges(const int64_t* row_off, const int32_t* tok,
+                           int64_t n, int64_t vocab, float thresh,
+                           int mode, int64_t cap, int32_t* out_i,
+                           int32_t* out_j, float* out_w) {
+  int64_t count = 0;
+  if (n <= 0) return 0;
+  for_each_intersecting_pair(
+      row_off, tok, n, vocab,
+      [&](int64_t i, int64_t j, float jac) {
+        if (jac < thresh) return;
+        const float w = (mode == 1) ? jac : 1.0f;
+        if (w == 0.0f) return;
+        if (count + 2 <= cap) {
+          out_i[count] = static_cast<int32_t>(i);
+          out_j[count] = static_cast<int32_t>(j);
+          out_w[count] = w;
+          out_i[count + 1] = static_cast<int32_t>(j);
+          out_j[count + 1] = static_cast<int32_t>(i);
+          out_w[count + 1] = w;
+        }
+        count += 2;
+      });
+  return count;
+}
 
 // Dense (n, n) float32 Jaccard adjacency from CSR token-id rows.
 //
@@ -57,57 +149,19 @@ void ufnd_jaccard_adj(const int64_t* row_off, const int32_t* tok,
                           static_cast<size_t>(n));
   if (n <= 0) return;
 
-  const int64_t nnz = row_off[n];
-  // CSR postings: token -> ascending doc ids
-  std::vector<int64_t> pcnt(static_cast<size_t>(vocab) + 1, 0);
-  for (int64_t e = 0; e < nnz; ++e) pcnt[static_cast<size_t>(tok[e]) + 1]++;
-  for (size_t t = 1; t < pcnt.size(); ++t) pcnt[t] += pcnt[t - 1];
-  std::vector<int32_t> pdocs(static_cast<size_t>(nnz));
-  {
-    std::vector<int64_t> cursor(pcnt.begin(), pcnt.end() - 1);
-    for (int64_t i = 0; i < n; ++i)
-      for (int64_t e = row_off[i]; e < row_off[i + 1]; ++e)
-        pdocs[static_cast<size_t>(cursor[tok[e]]++)] =
-            static_cast<int32_t>(i);
-  }
-
-  // Incremental pair counting: when processing doc i, each token's
-  // posting prefix [pcnt[t], seen[t]) holds exactly the docs < i that
-  // contain t (postings are ascending and each row holds t once).
-  std::vector<int64_t> seen(pcnt.begin(), pcnt.end() - 1);
-  std::vector<int32_t> acc(static_cast<size_t>(n), 0);
-  std::vector<int32_t> touched;
-  touched.reserve(1024);
-
-  for (int64_t i = 0; i < n; ++i) {
-    const int64_t len_i = row_off[i + 1] - row_off[i];
-    for (int64_t e = row_off[i]; e < row_off[i + 1]; ++e) {
-      const int32_t t = tok[e];
-      for (int64_t p = pcnt[static_cast<size_t>(t)];
-           p < seen[static_cast<size_t>(t)]; ++p) {
-        const int32_t j = pdocs[static_cast<size_t>(p)];
-        if (acc[static_cast<size_t>(j)]++ == 0) touched.push_back(j);
-      }
-      seen[static_cast<size_t>(t)]++;  // postings[t][seen] == i: consume
-    }
-    for (const int32_t j : touched) {
-      const int64_t len_j = row_off[j + 1] - row_off[j];
-      const float jac =
-          jac_f32(acc[static_cast<size_t>(j)], len_i, len_j);
-      float w = 0.0f;
-      if (mode == 2) {
-        w = jac;
-      } else if (jac >= thresh) {
-        w = (mode == 1) ? jac : 1.0f;
-      }
-      if (w != 0.0f) {
-        out[i * n + j] = w;
-        out[j * n + i] = w;
-      }
-      acc[static_cast<size_t>(j)] = 0;
-    }
-    touched.clear();
-  }
+  for_each_intersecting_pair(
+      row_off, tok, n, vocab, [&](int64_t i, int64_t j, float jac) {
+        float w = 0.0f;
+        if (mode == 2) {
+          w = jac;
+        } else if (jac >= thresh) {
+          w = (mode == 1) ? jac : 1.0f;
+        }
+        if (w != 0.0f) {
+          out[i * n + j] = w;
+          out[j * n + i] = w;
+        }
+      });
 
   // diagonal
   if (mode == 2) {

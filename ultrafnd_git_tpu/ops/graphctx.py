@@ -51,3 +51,83 @@ def build_graph_context(
     # the effective degree is adj.sum + 1 (diagonal weight becomes 2).
     deg = np.asarray(adj.sum(axis=1) + 1.0, dtype=np.float32)
     return GraphContext(xg=xg, adj=adj, a_norm=a_norm, ax=ax, deg=deg)
+
+
+@dataclass
+class SparseGraphContext:
+    """Padded-neighbor-list form of the SAME normalized graph.
+
+    O(N·K) storage instead of the dense (N, N) a_norm — the object that
+    outgrows memory first (40 GB at N=100k f32; SURVEY §7 "hard parts"
+    flags exactly this). K = 1 + max degree; row i holds [self,
+    neighbors..., padding]: `nbr_idx[i, 0] = i` with the normalized
+    self-loop weight 2·d_i·d_i, neighbor slots carry d_i·d_j, padding
+    repeats i with weight 0 (in-bounds gathers, zero contribution, and
+    row-local under `--shard_graph` row sharding).
+
+    Weight provenance: computed in numpy f32 with the dense path's op
+    order ((a_hat·d_i)·d_j on deg = rowsum + 1e-9), so entries agree
+    with `normalize_adjacency` to float32 rounding (~1 ulp — the dense
+    path evaluates `deg**-0.5` through XLA, whose libm may round the
+    odd ulp differently). Downstream agreement is asserted at rtol 1e-6
+    by tests/test_sparse_graph.py, not bit-exactness.
+    """
+
+    xg: np.ndarray  # (N, F) compact node features
+    nbr_idx: np.ndarray  # (N, K) int32 neighbor ids, slot 0 = self
+    nbr_w: np.ndarray  # (N, K) f32 normalized weights, 0 = padding
+    ax: np.ndarray  # (N, F) = a_norm @ xg, computed sparsely
+    deg: np.ndarray  # (N,) degrees of (adj + I) — same field as dense
+    k_max: int
+
+
+def build_sparse_graph_context(
+    cache: Dict[str, Any], thresh: float
+) -> SparseGraphContext:
+    from ultrafnd_git_tpu.ops.jaccard import build_edges_from_ocr
+
+    xg = compact_node_features(cache)
+    n, f = xg.shape
+    src, dst, _w = build_edges_from_ocr(cache["ocr_sets"], thresh=thresh)
+    counts = (
+        np.bincount(src, minlength=n).astype(np.int64)
+        if n else np.zeros(0, np.int64)
+    )
+    k_max = int(counts.max()) + 1 if n else 1
+
+    # normalized weights, dense op order: deg_hat = rowsum(a_hat) + 1e-9
+    # with binary a_hat = adj + I (adj carries diag 1 -> diag weight 2),
+    # d = deg_hat**-0.5, entry = (a_hat * d_i) * d_j
+    deg_hat = (counts + 2.0 + 1e-9).astype(np.float32)
+    d = deg_hat**-0.5
+
+    nbr_idx = np.tile(
+        np.arange(n, dtype=np.int32)[:, None], (1, k_max)
+    )
+    nbr_w = np.zeros((n, k_max), dtype=np.float32)
+    nbr_w[:, 0] = (2.0 * d).astype(np.float32) * d  # self-loop slot
+    if len(src):
+        # edges are sorted by (src, dst): slot positions are the running
+        # count within each src row, offset by the self slot
+        slot = np.ones(len(src), dtype=np.int64)
+        row_start = np.searchsorted(src, np.arange(n))
+        slot += np.arange(len(src)) - row_start[src]
+        nbr_idx[src, slot] = dst
+        nbr_w[src, slot] = (1.0 * d[src]).astype(np.float32) * d[dst]
+
+    # first propagation a_norm @ xg without materializing a_norm:
+    # row-chunked gather-weight-sum keeps the transient at
+    # O(chunk · K · F)
+    ax = np.empty((n, f), dtype=np.float32)
+    chunk = max(1, min(n, (1 << 26) // max(1, k_max * f)))
+    for s in range(0, n, chunk):
+        idx_c = nbr_idx[s : s + chunk]
+        w_c = nbr_w[s : s + chunk]
+        ax[s : s + chunk] = np.einsum(
+            "rk,rkf->rf", w_c, xg[idx_c], optimize=True
+        )
+
+    deg = (counts + 2.0).astype(np.float32)  # adj.sum + 1, as dense
+    return SparseGraphContext(
+        xg=xg, nbr_idx=nbr_idx, nbr_w=nbr_w, ax=ax, deg=deg, k_max=k_max
+    )

@@ -105,6 +105,69 @@ def build_adj_from_ocr(
     return adj
 
 
+def build_edges_from_ocr(
+    ocr_sets: Sequence[Set[str]],
+    thresh: float = 0.12,
+    weighted: bool = False,
+):
+    """Symmetric COO edge list (src, dst, w) of the OCR-Jaccard graph.
+
+    Exactly the off-diagonal nonzeros of `build_adj_from_ocr` /
+    `build_weighted_adj_from_ocr` (both directions, no self-loops),
+    sorted by (src, dst) — but O(E) storage instead of the dense (N, N)
+    matrix, which is the object that outgrows memory first (40 GB at
+    N=100k f32). The sparse graph path (`--sparse_graph`) builds its
+    padded neighbor lists from this.
+
+    Native posting-list builder when available; numpy fallback runs the
+    incidence matmul in row blocks so peak memory is O(block · N), not
+    O(N^2).
+    """
+    n = len(ocr_sets)
+    empty = (
+        np.zeros(0, np.int32), np.zeros(0, np.int32),
+        np.zeros(0, np.float32),
+    )
+    if n == 0:
+        return empty
+    from ultrafnd_git_tpu.native import jaccard_edges_native
+
+    native = jaccard_edges_native(
+        ocr_sets, thresh, mode=1 if weighted else 0
+    )
+    if native is not None:
+        return native
+
+    m = incidence_matrix(ocr_sets)
+    sizes = m.sum(axis=1)
+    srcs, dsts, ws = [], [], []
+    block = max(1, min(n, (1 << 24) // max(1, n)))  # ~64 MB per slab
+    for s in range(0, n, block):
+        mb = m[s : s + block]
+        inter = mb @ m.T
+        union = sizes[s : s + block, None] + sizes[None, :] - inter
+        jac = (inter / (union + 1e-9)).astype(np.float32)
+        keep = jac >= thresh
+        # the dense builders overwrite the diagonal, so it never
+        # contributes edges regardless of jac(s, s)
+        rows, cols = np.nonzero(keep)
+        on_diag = (rows + s) == cols
+        rows, cols = rows[~on_diag], cols[~on_diag]
+        srcs.append((rows + s).astype(np.int32))
+        dsts.append(cols.astype(np.int32))
+        ws.append(
+            jac[rows, cols] if weighted
+            else np.ones(len(rows), np.float32)
+        )
+    if not srcs:
+        return empty
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    w = np.concatenate(ws)
+    order = np.lexsort((dst, src))
+    return src[order], dst[order], w[order]
+
+
 def build_weighted_adj_from_ocr(
     ocr_sets: Sequence[Set[str]], thresh: float = 0.12
 ) -> np.ndarray:

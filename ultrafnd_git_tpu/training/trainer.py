@@ -199,6 +199,17 @@ class TrainConfig:
     dcn: int = 1
     shard_corpus: bool = False  # shard (N, D) corpus rows over 'data'
     shard_graph: bool = False  # shard the (N, N) adjacency rows over 'data'
+    # Padded-neighbor-list graph instead of the dense (N, N) a_norm: the
+    # per-step propagation gathers K neighbor slots per batch row
+    # (O(B·K·H)) and NO O(N^2) object exists anywhere — host build is
+    # the native O(E) edge lister, device storage is O(N·K). Same GCN
+    # params/math (f32-close, not bit-identical: different summation
+    # order; tests/test_sparse_graph.py). This is the scale lever SURVEY
+    # §7 asks for past dense-shardable N (dense at N=100k is 40 GB;
+    # sparse at K~100 is ~80 MB). Composes with shard_graph (neighbor
+    # rows shard over 'data'). Default off: at FakeSV N=5376 the dense
+    # matmul is faster than gathers on the MXU.
+    sparse_graph: bool = False
     mesh_backend: Optional[str] = None  # e.g. "cpu" to mesh over host devices
     bf16_compute: bool = False  # bf16 matmuls with f32 master params
     # Run each epoch as ONE jitted lax.scan over its (steps, B) index
@@ -449,17 +460,32 @@ class ForensicTrainer:
         # shards, with XLA inserting the cross-device exchanges. Default
         # off: at FakeSV scale (5376^2 f32 = 116 MB) replication avoids
         # the gather traffic.
-        from ultrafnd_git_tpu.ops.graphctx import build_graph_context
+        from ultrafnd_git_tpu.ops.graphctx import (
+            build_graph_context,
+            build_sparse_graph_context,
+        )
 
-        gctx = build_graph_context(self.cache, cfg.gnn_overlap_thresh)
         rep = self._put_replicated
         put_graph = (
             self._put_row_sharded
             if (cfg.shard_graph and self.mesh is not None)
             else rep
         )
+        if cfg.sparse_graph and cfg.use_gnn:
+            # padded neighbor lists — no (N, N) object built at all
+            # (see the sparse_graph config comment); the (N, K) rows
+            # take the same 'data' row sharding the dense a_norm would
+            gctx = build_sparse_graph_context(
+                self.cache, cfg.gnn_overlap_thresh
+            )
+            self.A_NORM = None
+            self.NBR_IDX = put_graph(gctx.nbr_idx)
+            self.NBR_W = put_graph(gctx.nbr_w)
+        else:
+            gctx = build_graph_context(self.cache, cfg.gnn_overlap_thresh)
+            self.A_NORM = put_graph(gctx.a_norm)
+            self.NBR_IDX = self.NBR_W = None
         self.XG = rep(gctx.xg)
-        self.A_NORM = put_graph(gctx.a_norm)
         self.AX = rep(gctx.ax)
 
         # The HBM-resident arrays travel through every jitted step as ONE
@@ -474,9 +500,13 @@ class ForensicTrainer:
             "aux": self.AUX,
             "labels": self.LABELS,
             "xg": self.XG,
-            "a_norm": self.A_NORM,
             "ax": self.AX,
         }
+        if self.A_NORM is not None:
+            self.corpus["a_norm"] = self.A_NORM
+        if self.NBR_IDX is not None:
+            self.corpus["nbr_idx"] = self.NBR_IDX
+            self.corpus["nbr_w"] = self.NBR_W
         if self.EVID is not None:
             self.corpus["evidence"] = self.EVID
         if cfg.train_text_tower:
@@ -529,9 +559,13 @@ class ForensicTrainer:
             "clf": self.clf.init(
                 k_c, jnp.zeros((B, self.fusion.hidden)), jnp.zeros((B, 2))
             )["params"],
-            "gnn": self.gnn.init(k_g, self.XG, self.A_NORM, normalize=False)[
-                "params"
-            ],
+            # sparse mode initializes through the neighbor-list branch;
+            # both branches create identical param shapes (lin1 from
+            # ax's width, lin2 from hid), so checkpoints interchange
+            "gnn": self.gnn.init(
+                k_g, self.XG, self.A_NORM, normalize=False,
+                **self._gnn_graph_kwargs(),
+            )["params"],
         }
 
         self.text_tower = None
@@ -685,6 +719,15 @@ class ForensicTrainer:
         return jnp.asarray(idx, jnp.int32), jnp.asarray(mask, jnp.float32)
 
     # ------------------------------------------------------------------
+    def _gnn_graph_kwargs(self) -> Dict[str, Any]:
+        """Sparse-graph kwargs for host-side gnn.init/apply calls (the
+        jitted _forward reads the same arrays from `corpus` instead)."""
+        if self.NBR_IDX is None:
+            return {}
+        return {
+            "ax": self.AX, "nbr_idx": self.NBR_IDX, "nbr_w": self.NBR_W
+        }
+
     def _pretrain_gnn(self, gnn_params, epochs: int = 2):
         """Degree-reconstruction warm start (fixed random readout head)."""
         self.rng, k_head, k_drop = jax.random.split(self.rng, 3)
@@ -692,7 +735,13 @@ class ForensicTrainer:
             jax.random.normal(k_head, (self.cfg.gnn_dim, 1))
             / self.cfg.gnn_dim**0.5
         )
-        deg = self.A_NORM.sum(axis=-1, keepdims=True)
+        # normalized-degree target; the sparse rows hold exactly the
+        # dense row's nonzeros, so their sum is the same value (up to
+        # f32 summation order)
+        if self.NBR_IDX is not None:
+            deg = self.NBR_W.sum(axis=-1, keepdims=True)
+        else:
+            deg = self.A_NORM.sum(axis=-1, keepdims=True)
         target = deg / jnp.maximum(1.0, float(self.n_total))
 
         opt = optax.adamw(1e-3, weight_decay=1e-4)
@@ -703,15 +752,17 @@ class ForensicTrainer:
         # adjacency blows the tunnel's remote-compile request limit
         # (HTTP 413 at N~10k). As arguments they stay in HBM.
         @jax.jit
-        def step(p, o, key, xg, a_norm, ax, head, tgt):
+        def step(p, o, key, xg, graph, ax, head, tgt):
             def loss_fn(p):
                 z = self.gnn.apply(
                     {"params": p},
                     xg,
-                    a_norm,
+                    graph.get("a_norm"),
                     deterministic=False,
                     normalize=False,
                     ax=ax,
+                    nbr_idx=graph.get("nbr_idx"),
+                    nbr_w=graph.get("nbr_w"),
                     rngs={"dropout": key},
                 )
                 pred = jax.nn.sigmoid(z @ head)
@@ -721,13 +772,18 @@ class ForensicTrainer:
             updates, o = opt.update(g, o, p)
             return optax.apply_updates(p, updates), o
 
+        graph = (
+            {"nbr_idx": self.NBR_IDX, "nbr_w": self.NBR_W}
+            if self.NBR_IDX is not None
+            else {"a_norm": self.A_NORM}
+        )
         for e in range(epochs):
             gnn_params, opt_state = step(
                 gnn_params,
                 opt_state,
                 jax.random.fold_in(k_drop, e),
                 self.XG,
-                self.A_NORM,
+                graph,
                 self.AX,
                 head_w,
                 target,
@@ -827,11 +883,13 @@ class ForensicTrainer:
             feats["gnn_feat"] = self.gnn.apply(
                 {"params": gnn_params},
                 corpus["xg"],
-                corpus["a_norm"],
+                corpus.get("a_norm"),  # None under --sparse_graph
                 deterministic=deterministic,
                 normalize=False,
                 ax=corpus["ax"],
                 out_rows=idx,  # exact batch-rows shortcut, see SimpleGCN
+                nbr_idx=corpus.get("nbr_idx"),
+                nbr_w=corpus.get("nbr_w"),
                 rngs=rngs_g,
             )
 
