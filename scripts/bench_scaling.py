@@ -114,13 +114,19 @@ def run_one(
                 rng.integers(0, n_nodes, size=(iters, batch)), jnp.int32
             )
 
+        # sync via a 1-float device->host fetch, not block_until_ready:
+        # on the tunneled axon backend block_until_ready has been
+        # observed returning ~1 ms after enqueue while the scan was
+        # still executing remotely (measured 0.03 ms/step "results" at
+        # N=21504 vs 2.5 ms real; the fetch forces completion — same
+        # fix shape as bench.py's loss assert)
         state, losses = run_steps(trainer.state, batches(), trainer.corpus)
-        jax.block_until_ready(losses)
+        assert np.isfinite(float(np.asarray(losses)[-1]))
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             state, losses = run_steps(state, batches(), trainer.corpus)
-            jax.block_until_ready(losses)
+            assert np.isfinite(float(np.asarray(losses)[-1]))
             times.append((time.perf_counter() - t0) / iters)
         step_ms = float(np.median(times)) * 1e3
         n_dev = (
