@@ -58,6 +58,7 @@ class Predictor:
         quantize: bool = False,
         fused_align: Optional[bool] = None,
         serve_dp: Optional[int] = None,
+        serve_backend: Optional[str] = None,
     ):
         """bf16=True runs fusion/classifier/tower matmul activations in
         bfloat16 (restored params stay f32) — the serving analogue of the
@@ -291,7 +292,10 @@ class Predictor:
                 PartitionSpec as SP,
             )
 
-            devs = jax.devices()
+            # serve_backend pins the mesh platform (e.g. "cpu" for the
+            # driver dryrun's virtual devices when another backend was
+            # already initialized in-process); None = default platform
+            devs = jax.devices(serve_backend) if serve_backend else jax.devices()
             if len(devs) < int(serve_dp):
                 raise ValueError(
                     f"serve_dp={serve_dp} but only {len(devs)} device(s) "
