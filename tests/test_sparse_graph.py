@@ -304,3 +304,19 @@ def test_sparse_graph_shards_over_mesh(fixture_data_root, tmp_path):
     )
     best_mesh = meshed.fit()
     assert abs(best_plain - best_mesh) < 1e-4
+
+
+def test_sparse_context_warns_on_hub_degree():
+    """A hub node inflates every padded row — the builder says so
+    instead of silently degrading past the dense crossover."""
+    import warnings
+
+    n = 80
+    cache = _tiny_cache(n=n)
+    # identical 2-token sets: pairwise jaccard = 1 -> fully connected
+    cache["ocr_sets"] = [{"HUB", "HUB2"} for _ in range(n)]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s = build_sparse_graph_context(cache, 0.12)
+    assert s.k_max == n  # fully connected: self + (n-1) neighbors
+    assert any("sparse graph" in str(x.message) for x in w)

@@ -94,6 +94,19 @@ def build_sparse_graph_context(
         if n else np.zeros(0, np.int64)
     )
     k_max = int(counts.max()) + 1 if n else 1
+    if n and k_max > max(64, n // 4):
+        # padded lists cost O(N·K_max): one hub node inflates EVERY row.
+        # Past ~N/4 the dense (N, N) matmul is both smaller and faster
+        # on the MXU — tell the operator instead of silently degrading.
+        import warnings
+
+        warnings.warn(
+            f"sparse graph: max degree {k_max - 1} of N={n} makes the "
+            f"padded neighbor lists {n}x{k_max} "
+            f"({n * k_max * 8 / 2**20:.0f} MB); past ~N/4 the dense "
+            "adjacency (--shard_graph for growth) is the better layout",
+            stacklevel=2,
+        )
 
     # normalized weights, dense op order: deg_hat = rowsum(a_hat) + 1e-9
     # with binary a_hat = adj + I (adj carries diag 1 -> diag weight 2),
