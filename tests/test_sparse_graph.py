@@ -245,10 +245,12 @@ def test_trainer_sparse_graph_end_to_end(fixture_data_root, tmp_path):
 
 
 @pytest.mark.slow
-def test_sparse_checkpoint_serves_dense(fixture_data_root, tmp_path):
-    """A --sparse_graph checkpoint loads in the (dense) serving
-    Predictor: param shapes are identical, and serving rebuilds its own
-    dense graph context."""
+def test_sparse_checkpoint_serves_both_layouts(fixture_data_root, tmp_path):
+    """A --sparse_graph checkpoint serves through BOTH graph layouts:
+    by default the Predictor honors the checkpoint's recorded
+    sparse_graph choice (no (N, N) object at serving init either), and
+    `sparse_graph=False` forces the dense context — predictions agree
+    to f32 rounding (the GCN params are layout-independent)."""
     from ultrafnd_git_tpu.serving import Predictor
     from ultrafnd_git_tpu.training.trainer import ForensicTrainer, TrainConfig
 
@@ -265,12 +267,26 @@ def test_sparse_checkpoint_serves_dense(fixture_data_root, tmp_path):
             log_metrics_jsonl=False,
         )
     ).fit()
-    pred = Predictor(str(out), batch_size=8)
-    rows = pred.predict(
-        [{"video_id": "q", "title": "警告 危险", "ocr": "飞船",
-          "comments": ["评论"]}]
-    )
-    assert len(rows) == 1 and 0.0 <= rows[0]["prob_fake"] <= 1.0
+    recs = [
+        {"video_id": f"q{i}", "title": "警告 危险", "ocr": "飞船",
+         "comments": ["评论"]}
+        for i in range(3)
+    ]
+    p_auto = Predictor(str(out), batch_size=8)
+    assert p_auto.sparse_graph and p_auto.A_NORM is None
+    p_dense = Predictor(str(out), batch_size=8, sparse_graph=False)
+    assert not p_dense.sparse_graph and p_dense.NBR_IDX is None
+    r_s = p_auto.predict(recs)
+    r_d = p_dense.predict(recs)
+    for rs, rd in zip(r_s, r_d):
+        assert rs["id"] == rd["id"]
+        assert abs(rs["prob_fake"] - rd["prob_fake"]) < 1e-5
+        assert 0.0 <= rs["prob_fake"] <= 1.0
+    # the explain background's corpus propagation has a sparse branch
+    # (neighbor einsum instead of A_NORM @ H_CORPUS) — drive it
+    ex = p_auto.explain(recs[:1], method="grad", top_k=4)
+    assert len(ex) == 1
+    assert len(ex[0]["explain"]["top_fused_dims"]) == 4
 
 
 @pytest.mark.slow

@@ -34,7 +34,11 @@ from ultrafnd_git_tpu.data.cache import load_cache, make_encoders
 from ultrafnd_git_tpu.models.classifier import DeepTruthClassifier
 from ultrafnd_git_tpu.models.fusion import CrossModalTransformer
 from ultrafnd_git_tpu.models.gnn import SimpleGCN
-from ultrafnd_git_tpu.ops.graphctx import build_graph_context, compact_node_features
+from ultrafnd_git_tpu.ops.graphctx import (
+    build_graph_context,
+    build_sparse_graph_context,
+    compact_node_features,
+)
 from ultrafnd_git_tpu.training import checkpoint as ckpt
 from ultrafnd_git_tpu.training.state import TrainState, create_train_state
 
@@ -59,6 +63,7 @@ class Predictor:
         fused_align: Optional[bool] = None,
         serve_dp: Optional[int] = None,
         serve_backend: Optional[str] = None,
+        sparse_graph: Optional[bool] = None,
     ):
         """bf16=True runs fusion/classifier/tower matmul activations in
         bfloat16 (restored params stay f32) — the serving analogue of the
@@ -194,10 +199,28 @@ class Predictor:
 
         # Device-resident corpus context for the inductive graph extension
         # (SAME construction as the trainer's graph — shared helper).
+        # A checkpoint trained with --sparse_graph serves sparse too
+        # (recorded in its cfg meta): the corpus-side context builds as
+        # (N, K) neighbor lists and NO (N, N) object exists at serving
+        # init either — the per-request path only ever needed H_CORPUS
+        # and the new-node link rows, both N-linear. `sparse_graph=...`
+        # overrides the checkpoint's choice (either direction; the GCN
+        # params are layout-independent).
         self.thresh = float(saved_cfg.get("gnn_overlap_thresh", 0.12))
-        gctx = build_graph_context(self.cache, self.thresh)
+        if sparse_graph is None:
+            sparse_graph = bool(saved_cfg.get("sparse_graph", False))
+        self.sparse_graph = bool(sparse_graph)
+        if self.sparse_graph and self.use_gnn:
+            sctx = build_sparse_graph_context(self.cache, self.thresh)
+            self.A_NORM = None
+            self.NBR_IDX = jnp.asarray(sctx.nbr_idx)
+            self.NBR_W = jnp.asarray(sctx.nbr_w)
+            gctx = sctx
+        else:
+            gctx = build_graph_context(self.cache, self.thresh)
+            self.A_NORM = jnp.asarray(gctx.a_norm)
+            self.NBR_IDX = self.NBR_W = None
         self.XG = jnp.asarray(gctx.xg)
-        self.A_NORM = jnp.asarray(gctx.a_norm)
         self.AX = jnp.asarray(gctx.ax)
         self.corpus_deg = gctx.deg
 
@@ -352,7 +375,12 @@ class Predictor:
                 key, jnp.zeros((b, self.fusion.hidden)), jnp.zeros((b, 2))
             )["params"],
             "gnn": self.gnn.init(
-                key, self.XG, self.A_NORM, normalize=False
+                key, self.XG, self.A_NORM, normalize=False,
+                **(
+                    {"ax": self.AX, "nbr_idx": self.NBR_IDX,
+                     "nbr_w": self.NBR_W}
+                    if self.NBR_IDX is not None else {}
+                ),
             )["params"],
         }
         if self.text_tower is not None:
@@ -996,9 +1024,13 @@ class Predictor:
             feats["evidence"] = rows("evidence")
         if self.use_gnn:
             p = self.params["gnn"]
-            z = (self.A_NORM @ self.H_CORPUS) @ p["lin2"]["kernel"] + p[
-                "lin2"
-            ]["bias"]
+            if self.NBR_IDX is not None:
+                agg = jnp.einsum(
+                    "nk,nkh->nh", self.NBR_W, self.H_CORPUS[self.NBR_IDX]
+                )
+            else:
+                agg = self.A_NORM @ self.H_CORPUS
+            z = agg @ p["lin2"]["kernel"] + p["lin2"]["bias"]
             feats["gnn_feat"] = z[idx]
         fo = self.fusion.apply(
             {"params": self.params["fusion"]}, feats, deterministic=True
