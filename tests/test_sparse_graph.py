@@ -336,3 +336,22 @@ def test_sparse_context_warns_on_hub_degree():
         s = build_sparse_graph_context(cache, 0.12)
     assert s.k_max == n  # fully connected: self + (n-1) neighbors
     assert any("sparse graph" in str(x.message) for x in w)
+
+
+def test_numpy_fallback_multiblock_matches_single_block(monkeypatch):
+    """The fallback's row-blocked incidence matmul must agree with the
+    dense nonzeros across block boundaries (auto sizing makes test-size
+    corpora a single block, so pin a tiny block explicitly)."""
+    monkeypatch.setenv("ULTRAFND_NATIVE", "0")
+    native.reset()
+    try:
+        sets = _random_sets(90, seed=5)
+        dense = build_adj_from_ocr(sets, 0.12)
+        ref = _dense_offdiag_coo(dense)
+        src, dst, w = build_edges_from_ocr(sets, 0.12, block_rows=7)
+        np.testing.assert_array_equal(src, ref[0])
+        np.testing.assert_array_equal(dst, ref[1])
+        np.testing.assert_array_equal(w, ref[2])
+    finally:
+        monkeypatch.delenv("ULTRAFND_NATIVE", raising=False)
+        native.reset()

@@ -109,6 +109,7 @@ def build_edges_from_ocr(
     ocr_sets: Sequence[Set[str]],
     thresh: float = 0.12,
     weighted: bool = False,
+    block_rows: int | None = None,
 ):
     """Symmetric COO edge list (src, dst, w) of the OCR-Jaccard graph.
 
@@ -119,9 +120,13 @@ def build_edges_from_ocr(
     N=100k f32). The sparse graph path (`--sparse_graph`) builds its
     padded neighbor lists from this.
 
-    Native posting-list builder when available; numpy fallback runs the
-    incidence matmul in row blocks so peak memory is O(block · N), not
-    O(N^2).
+    Native posting-list builder when available — that is the at-scale
+    path (CSR in, edges out, O(E) memory). The numpy fallback runs the
+    incidence matmul in row blocks so no (N, N) slab materializes, but
+    it still holds the dense (N, V) incidence matrix, so a large
+    corpus × large vocabulary needs the native lib. `block_rows`
+    overrides the fallback's auto-sized row block (tests pin the
+    multi-block path with it).
     """
     n = len(ocr_sets)
     empty = (
@@ -141,7 +146,8 @@ def build_edges_from_ocr(
     m = incidence_matrix(ocr_sets)
     sizes = m.sum(axis=1)
     srcs, dsts, ws = [], [], []
-    block = max(1, min(n, (1 << 24) // max(1, n)))  # ~64 MB per slab
+    # ~64 MB per (block, N) slab unless the caller pins the block size
+    block = block_rows or max(1, min(n, (1 << 24) // max(1, n)))
     for s in range(0, n, block):
         mb = m[s : s + block]
         inter = mb @ m.T
